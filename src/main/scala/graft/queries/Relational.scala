@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+/** Core relational operators (SURVEY.md §2.2–2.6, §2.4–2.5).
+  *
+  * Each query is declarative DataFrame API so Catalyst plans it: filters and
+  * projections push into the parquet scan, aggregates run partial+final,
+  * small dims broadcast, top-K plans as TakeOrderedAndProject (no full sort).
+  * Every double output is rounded so the DuckDB oracle hash-compares stably.
+  *
+  * Reference operators covered (see SURVEY.md §2 for file:line citations):
+  * O-P1..P11 filters/projections, O-S1..S3 top-K/sorts, O-J1/J3/J4 joins,
+  * O-A1..A3 aggregations, O-D1/D2 dedup, set ops.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** O-A2 / TPC-H Q1 shape: scan → filter → partial/final hash agg.
+    * Reference: daily groupby-mean, sentiment_analysis.ipynb cell 13.
+    * Scale: single shuffle on low-cardinality keys; map-side combine makes
+    * the shuffle O(#groups × #partitions), independent of input rows.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** O-S1/O-S2: top-K by timestamp (reference: sort('date',-1).limit(1000),
+    * data_preparation.py:19). Catalyst plans TakeOrderedAndProject — each
+    * partition keeps a K-row heap, driver merges; no global sort at 100 TB.
+    */
+  def q2TopKByDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      .limit(1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 1000""".stripMargin
+
+  /** O-P5/O-P6/O-P8: numeric predicates + projection + derived column.
+    * Filter and the 4-column projection push into the parquet scan
+    * (PushedFilters + ReadSchema — verified via explain).
+    */
+  def q3FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+
+  val q3Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin
+
+  /** O-J1: broadcast hash join against a small dimension (reference: 12-row
+    * topic-label join, topic_modelling.ipynb cell 29). `broadcast(part)`
+    * ships the dim to every executor — zero shuffle of the fact table.
+    */
+  def q4BroadcastJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  val q4Sql: String =
+    """SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** O-J1 (left outer flavor): customers with their order counts; count(col)
+    * ignores the nulls produced by the outer side, matching the oracle.
+    */
+  def q5LeftJoinCount(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  val q5Sql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment""".stripMargin
+
+  /** O-J3: left anti join — the reference's incremental-ingest dedup pushdown
+    * (middlewares.py:12-16 skips already-crawled URLs before fetching).
+    * At scale AQE converts this to broadcast when the existing-keys side is
+    * small, else shuffled hash join on the key.
+    */
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q6Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)""".stripMargin
+
+  /** O-J4: left semi join — existence probe (pipelines.py:33-44 seen-set). */
+  def q7SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 49)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+  }
+
+  val q7Sql: String =
+    """SELECT p_partkey, p_brand, p_type FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin
+
+  /** O-D1: exact dedup — distinct over a projection (DuplicatesPipeline,
+    * pipelines.py:33-44). Shuffles on the full row key; at scale prefer the
+    * keyed variant (q9) which picks a deterministic survivor.
+    */
+  def q8DistinctPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+
+  val q8Sql: String = "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** O-D2: keyed dedup with deterministic survivor — latest event per user
+    * (cross-run URL dedup, bbc_news_dag.py:36-38). row_number over a
+    * per-key window; one shuffle on the key, streams within groups.
+    */
+  def q9LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  val q9Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** O-A3: frequency count sorted desc (value_counts, topic_modelling.ipynb
+    * cell 25). Key tiebreak keeps output deterministic.
+    */
+  def q10ValueCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  val q10Sql: String =
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin
+
+  /** O-A1 + exact distinct count: per-type cardinality of users. At 100 TB
+    * this is the expensive exact form (two-level shuffle); the approximate
+    * HLL form is MLQueries.approxDistinct (no oracle — sketch differs).
+    */
+  def q11CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val q11Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Set ops: union all + except-distinct (implicit UNION ALL of Mongo
+    * appends; SURVEY §2.6). Error-users minus signup-users.
+    */
+  def q12ExceptUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "error").select(col("user_id"))
+      .except(e.filter(col("event_type") === "signup" && col("value") > 150)
+        .select(col("user_id")))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'error'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 150""".stripMargin
+
+  def q13IntersectUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "error").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+  }
+
+  val q13Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'error'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** O-P2: timestamp range predicate (archive_scraper.py:28 lastmod cutoff) +
+    * O-P9 cast to date. Predicate pushes into the parquet scan.
+    */
+  def q14TsRange(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") > lit("2024-01-05 00:00:00").cast("timestamp"))
+      .select(col("event_id"), to_date(col("ts")).as("event_date"), col("event_type"))
+
+  val q14Sql: String =
+    """SELECT event_id, CAST(ts AS DATE) AS event_date, event_type
+      |FROM events WHERE ts > TIMESTAMP '2024-01-05 00:00:00'""".stripMargin
+
+  /** from_json coverage (events.props payload; SURVEY §7.2 step 7).
+    * get_json_object avoids a full from_json schema when one key is needed.
+    */
+  def q15JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"),
+                             round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k"))
+
+  val q15Sql: String =
+    """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Multi-table join: fact → dim → dim chain with broadcasts (region/nation
+    * are tiny). At scale only the customer⋈orders edge shuffles.
+    */
+  def q16JoinChain(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q16Sql: String =
+    """SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** O-P3: non-null/non-empty predicate (drop-empty-title, pipelines.py:21). */
+  def q17NonEmpty(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val q17Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin
+
+  /** Conditional aggregation (CASE WHEN): per-segment order status mix. */
+  def q18PivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val q18Sql: String =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_topk_by_date" -> (q2TopKByDate _),
+    "q3_filter_project" -> (q3FilterProject _),
+    "q4_broadcast_join_agg" -> (q4BroadcastJoinAgg _),
+    "q5_left_join_count" -> (q5LeftJoinCount _),
+    "q6_anti_join" -> (q6AntiJoin _),
+    "q7_semi_join" -> (q7SemiJoin _),
+    "q8_distinct_pairs" -> (q8DistinctPairs _),
+    "q9_latest_per_key" -> (q9LatestPerKey _),
+    "q10_value_counts" -> (q10ValueCounts _),
+    "q11_count_distinct" -> (q11CountDistinct _),
+    "q12_except_users" -> (q12ExceptUsers _),
+    "q13_intersect_users" -> (q13IntersectUsers _),
+    "q14_ts_range" -> (q14TsRange _),
+    "q15_json_extract" -> (q15JsonExtract _),
+    "q16_join_chain" -> (q16JoinChain _),
+    "q17_non_empty" -> (q17NonEmpty _),
+    "q18_pivot_status" -> (q18PivotStatus _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_topk_by_date" -> q2Sql,
+    "q3_filter_project" -> q3Sql,
+    "q4_broadcast_join_agg" -> q4Sql,
+    "q5_left_join_count" -> q5Sql,
+    "q6_anti_join" -> q6Sql,
+    "q7_semi_join" -> q7Sql,
+    "q8_distinct_pairs" -> q8Sql,
+    "q9_latest_per_key" -> q9Sql,
+    "q10_value_counts" -> q10Sql,
+    "q11_count_distinct" -> q11Sql,
+    "q12_except_users" -> q12Sql,
+    "q13_intersect_users" -> q13Sql,
+    "q14_ts_range" -> q14Sql,
+    "q15_json_extract" -> q15Sql,
+    "q16_join_chain" -> q16Sql,
+    "q17_non_empty" -> q17Sql,
+    "q18_pivot_status" -> q18Sql,
+  )
+}

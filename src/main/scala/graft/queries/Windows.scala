@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+/** Window / time-series operators (SURVEY.md §2.9).
+  *
+  * O-W1 daily tumbling bucket (sentiment_analysis.ipynb line 477),
+  * O-W2 10-row trailing rolling mean with pandas null semantics (lines
+  * 506-508: first 9 rows null because min_periods defaults to window),
+  * O-W5 groupwise top-1 (dominant topic, topic_modelling.ipynb 676-679).
+  *
+  * Scale notes: the rolling mean runs over the *post-aggregation* daily
+  * frame (cardinality ≈ #days), so its single-partition global window is
+  * fine at any input scale — the shuffle that matters is the daily groupBy,
+  * which map-side combines. Per-key windows (w3) partition by key and scale
+  * horizontally.
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** O-W1: tumbling 1-day window over event time → multi-measure mean.
+    * Mirrors groupby(date).mean() over polarity/subjectivity.
+    */
+  def w1DailyAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  val w1Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  round(avg(value), 6) AS avg_value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** O-W2: 10-row trailing rolling mean over the daily series, masked to
+    * null while fewer than 10 rows are in frame (pandas min_periods).
+    */
+  def w2RollingMean(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("avg_value"))
+    val w = Window.orderBy(col("day")).rowsBetween(-9, 0)
+    daily
+      .withColumn("rolling_avg",
+        when(count(lit(1)).over(w) < 10, lit(null))
+          .otherwise(round(avg(col("avg_value")).over(w), 6)))
+      .select(col("day"), round(col("avg_value"), 6).as("avg_value"), col("rolling_avg"))
+      .orderBy(col("day"))
+  }
+
+  val w2Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, avg(value) AS avg_value
+      |  FROM events GROUP BY 1)
+      |SELECT day, round(avg_value, 6) AS avg_value,
+      |  CASE WHEN count(*) OVER w < 10 THEN NULL
+      |       ELSE round(avg(avg_value) OVER w, 6) END AS rolling_avg
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  /** O-W5 / O-A7: groupwise top-1 via row_number — the dominant-topic
+    * pattern (max-value event per user). One shuffle on the key.
+    */
+  def w3TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  val w3Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** Groupwise top-N (N=3) — generalization the label/topic reporting needs. */
+  def w4Top3PerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+  }
+
+  val w4Sql: String =
+    """SELECT event_type, rn, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin
+
+  /** Running cumulative sum per key — incremental-ingest bookkeeping shape
+    * (the reference's XCom doc-counts become running counts; O-A1).
+    */
+  def w5RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 4))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .select(col("user_id"), col("seq"), col("event_id"), col("running_value"))
+  }
+
+  val w5Sql: String =
+    """SELECT user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+      |  event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+      |FROM events""".stripMargin
+
+  /** Lag/lead delta — session-gap shape over the event stream. */
+  def w6LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_sec",
+        when(col("prev_ts").isNull, lit(null))
+          .otherwise(col("ts").cast("double") - col("prev_ts").cast("double")))
+      .select(col("user_id"), col("event_id"),
+              round(col("gap_sec"), 6).as("gap_sec"))
+  }
+
+  val w6Sql: String =
+    """SELECT user_id, event_id,
+      |  round(epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_sec
+      |FROM events""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+    "w1_daily_avg" -> (w1DailyAvg _),
+    "w2_rolling_mean" -> (w2RollingMean _),
+    "w3_top_per_group" -> (w3TopPerGroup _),
+    "w4_top3_per_group" -> (w4Top3PerGroup _),
+    "w5_running_sum" -> (w5RunningSum _),
+    "w6_lag_delta" -> (w6LagDelta _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "w1_daily_avg" -> w1Sql,
+    "w2_rolling_mean" -> w2Sql,
+    "w3_top_per_group" -> w3Sql,
+    "w4_top3_per_group" -> w4Sql,
+    "w5_running_sum" -> w5Sql,
+    "w6_lag_delta" -> w6Sql,
+  )
+}
