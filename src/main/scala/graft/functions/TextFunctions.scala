@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-cleaning column functions reproducing the reference's `clean()`
+  * chain (data_preparation.py:28-56) with Spark built-ins only, so the
+  * whole pipeline stays inside whole-stage codegen — no UDF, no Python,
+  * no per-row interpretation. Each step cites the reference line it
+  * mirrors; order is semantic and must not be re-sequenced.
+  *
+  * All functions are pure Column→Column combinators: they compose into a
+  * single generated function per stage at any scale.
+  */
+object TextFunctions {
+
+  /** NLTK english stop-word list (the reference loads it via
+    * nltk.corpus.stopwords, data_preparation.py:45) plus the reference's
+    * custom additions ['from','re','also'] (data_preparation.py:46-48).
+    * Shipped inline so output is reproducible offline.
+    */
+  val stopWords: Seq[String] = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "you're", "you've", "you'll", "you'd", "your", "yours",
+    "yourself", "yourselves", "he", "him", "his", "himself", "she",
+    "she's", "her", "hers", "herself", "it", "it's", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "that'll", "these", "those", "am",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has",
+    "had", "having", "do", "does", "did", "doing", "a", "an", "the",
+    "and", "but", "if", "or", "because", "as", "until", "while", "of",
+    "at", "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't",
+    // reference additions, data_preparation.py:46-48
+    "from", "re", "also")
+
+  /** O-T2..T10: the regex normalization chain, exactly in reference order
+    * (data_preparation.py:34-42). Steps:
+    * lower+trim → strip URLs → strip tags → non-alnum→space → drop
+    * multi-digit tokens → drop literal http/https/www → drop single
+    * letters → collapse spaces. The final punctuation translate
+    * (reference :42) is a no-op after the non-alnum pass and is elided.
+    */
+  def cleanChain(c: Column): Column = {
+    val lowered = lower(trim(c))                                    // :34
+    val noUrl   = regexp_replace(lowered, "http\\S+", "")           // :35
+    val noTag   = regexp_replace(noUrl, "<.*?>", "")                // :36
+    val alnum   = regexp_replace(noTag, "[^ 0-9a-z]", " ")          // :37
+    val noNum   = regexp_replace(alnum, "\\b(\\d+\\d)\\b", "")      // :38
+    val noProto = regexp_replace(noNum, "http|https|www", "")       // :39
+    val noChar  = regexp_replace(noProto, "\\b[a-z]\\b", "")        // :40
+    regexp_replace(noChar, " +", " ")                               // :41
+  }
+
+  /** O-T14: whitespace tokenization (data_preparation.py:56). */
+  def tokenize(c: Column): Column = split(trim(c), "\\s+")
+
+  /** O-T11 + O-T13: stop-word removal and min-token-length>2 filter
+    * (data_preparation.py:54-56), as a higher-order array filter —
+    * codegen-friendly, no UDF.
+    */
+  def contentTokens(tokens: Column): Column = {
+    val sw = array(stopWords.map(lit): _*)
+    filter(tokens, t => length(t) > 2 && !array_contains(sw, t))
+  }
+
+  /** Full clean pipeline: chain → tokenize → stop/length filter → re-join
+    * (O-T16). Mirrors clean()'s observable output minus the POS filter
+    * (O-T12, see PosFilter) which needs a tagger.
+    */
+  def cleanText(c: Column): Column =
+    array_join(contentTokens(tokenize(cleanChain(c))), " ")
+
+  /** O-P6: word count by single-space split (data_preparation.py:89). */
+  def wordCount(c: Column): Column = size(split(c, " "))
+
+  /** Token count via a BPE-ish word regex — counts alphanumeric runs the
+    * way subword tokenizers pre-segment (training-data pipeline op).
+    */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Quality score for training-data filtering: mean of four bounded
+    * signals — length band, alpha ratio, stop-word ratio band, mean
+    * token length band. All built-ins; stays in codegen.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenize(c)
+    val nTok = size(toks)
+    val nChars = length(c)
+    val alphaChars = length(regexp_replace(c, "[^A-Za-z]", ""))
+    val sw = array(stopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(sw, lower(t))))
+    val lengthOk = when(nTok >= 50 && nTok <= 10000, 1.0).otherwise(
+      when(nTok >= 10, 0.5).otherwise(0.0))
+    val alphaRatio = when(nChars > 0, alphaChars.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0)
+    val stopOk = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.0)
+    val meanTokLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(0.0)
+    val tokLenOk = when(meanTokLen >= 3 && meanTokLen <= 10, 1.0).otherwise(0.0)
+    round((lengthOk + alphaRatio + stopOk + tokLenOk) / 4.0, 6)
+  }
+
+  /** Stop-word hit ratio per language profile — the language-ID heuristic.
+    * English profile = NLTK list; the other profiles are small
+    * high-frequency function-word sets. Deterministic argmax, returns
+    * "und" when nothing matches (training-data pipeline op).
+    */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "at", "by", "an", "be", "this",
+      "which", "or", "from", "but", "not", "are", "have", "has"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "las", "por", "con", "para", "es", "al", "del", "se", "su", "como"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "que", "qui", "dans", "pour", "est", "pas", "sur", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
+      "mit", "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein"))
+
+  def langId(c: Column): Column = {
+    val toks = tokenize(lower(c))
+    val nTok = size(toks)
+    // score per language = fraction of tokens that are profile hits
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val prof = array(words.map(lit): _*)
+      val hits = size(filter(toks, t => array_contains(prof, t)))
+      struct((hits.cast("double") / greatest(nTok, lit(1))).as("score"),
+             lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("score") >= 0.05, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact-content fingerprint: md5 of the normalized text — the
+    * document-identity key for exact dedup across a 100 TB corpus
+    * (hash the normalized form, group on the digest).
+    */
+  def fingerprint(c: Column): Column = md5(c.cast("binary"))
+
+  /** Word-level n-gram shingles (default n=3) for MinHash/Jaccard dedup.
+    * transform over token positions; empty-safe.
+    */
+  def shingles(tokens: Column, n: Int = 3): Column = {
+    val count = size(tokens) - (n - 1)
+    // sequence(0, k) descends when k < 0 — guard the short-doc case
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => array_join(slice(tokens, i + 1, n), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+}
