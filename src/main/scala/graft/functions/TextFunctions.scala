@@ -159,7 +159,7 @@ object TextFunctions {
     // sequence(0, k) descends when k < 0 — guard the short-doc case
     when(count > 0,
       transform(sequence(lit(0), count - 1),
-        i => array_join(slice(tokens, i + 1, n), " ")))
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 }
