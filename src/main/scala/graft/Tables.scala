@@ -22,16 +22,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw long nanos (legacy conf) and floor-convert to
-    * a microsecond TimestampType — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP, keeping oracle comparisons aligned.
-    * Integer `div` (not `/`) avoids double-precision loss on ~1.7e18 ns.
+    * rejects. Requires `spark.sql.legacy.parquet.nanosAsLong=true` set at
+    * session build (Verify/Bench/test harness do this — a per-read
+    * `conf.set` here would be a racy side effect on shared session state).
+    * The raw long nanos are floor-converted to a microsecond TimestampType
+    * — the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    * keeping oracle comparisons aligned. Integer `div` (not `/`) avoids
+    * double-precision loss on ~1.7e18 ns.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -80,13 +80,17 @@ object Relational {
       |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
       |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin
 
-  /** O-J1: broadcast hash join against a small dimension (reference: 12-row
-    * topic-label join, topic_modelling.ipynb cell 29). `broadcast(part)`
-    * ships the dim to every executor — zero shuffle of the fact table.
+  /** O-J1: dimension join + agg (reference: topic-label join,
+    * topic_modelling.ipynb cell 29). No broadcast hint: `part` scales with
+    * the data (100 TB → hundreds of GB), so a forced broadcast would OOM
+    * executors at scale. The broadcast threshold / AQE picks broadcast when
+    * the dim is genuinely small; otherwise a shuffled hash join on the key.
+    * (Explicit `broadcast()` is reserved for fixed-cardinality dims like
+    * nation/region in q16.)
     */
   def q4BroadcastJoinAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
