@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Text-pipeline operators over `documents` (SURVEY.md §2.7 + §2.2).
+  *
+  * The reference's clean() chain (data_preparation.py:28-56) and the
+  * derived-column string ops (bbc_news_dag.py:32, ArticlesSpider.py:24,28,
+  * data_preparation.py:88-94) re-expressed as oracle-checked queries. All
+  * pure built-in Column combinators — the whole chain compiles into one
+  * whole-stage-codegen function per stage, so at 100 TB each partition
+  * streams through a single generated loop with no per-row interpretation
+  * and no shuffle (map-only; the only shuffles below are the final
+  * low-cardinality groupBys, which map-side combine).
+  */
+object Text {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SQL-literal list of the stop words, apostrophes doubled. */
+  private val stopWordsSql: String =
+    stopWords.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** O-T2..T10: the regex normalization chain (data_preparation.py:34-42). */
+  def t1CleanChain(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), cleanChain(col("text")).as("clean_text"))
+
+  val t1Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(lower(trim(text)), 'http\S+', '', 'g'),
+      |              '<.*?>', '', 'g'),
+      |            '[^ 0-9a-z]', ' ', 'g'),
+      |          '\b(\d+\d)\b', '', 'g'),
+      |        'http|https|www', '', 'g'),
+      |      '\b[a-z]\b', '', 'g'),
+      |    ' +', ' ', 'g') AS clean_text
+      |FROM documents""".stripMargin
+
+  /** O-P6: word count by single-space split (data_preparation.py:89) +
+    * O-P5 numeric threshold (:90, n_words > 50 keeps an article).
+    */
+  def t2WordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), wordCount(col("text")).as("n_words"))
+      .filter(col("n_words") > 50)
+
+  val t2Sql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_words
+      |FROM documents WHERE len(string_split(text, ' ')) > 50""".stripMargin
+
+  /** O-T11+T13+T14+T16: full clean → tokenize → stop-word + length filter →
+    * re-join (data_preparation.py:54-56).
+    */
+  def t3CleanText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), cleanText(col("text")).as("clean"))
+
+  val t3Sql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(
+       |    list_filter(
+       |      string_split_regex(trim(regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(lower(trim(text)), 'http\\S+', '', 'g'),
+       |                  '<.*?>', '', 'g'),
+       |                '[^ 0-9a-z]', ' ', 'g'),
+       |              '\\b(\\d+\\d)\\b', '', 'g'),
+       |            'http|https|www', '', 'g'),
+       |          '\\b[a-z]\\b', '', 'g'),
+       |        ' +', ' ', 'g')), '\\s+'),
+       |      t -> len(t) > 2 AND NOT list_contains($stopWordsSql, t)),
+       |    ' ') AS clean
+       |FROM documents""".stripMargin
+
+  /** O-P1: substring predicate (bbc_news_dag.py:32 keeps URLs containing
+    * 'www.bbc.com/news/'). Pushed into the parquet scan as a Contains filter.
+    */
+  def t4ContainsFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").contains("spark"))
+      .select(col("doc_id"), col("source"))
+
+  val t4Sql: String =
+    "SELECT doc_id, source FROM documents WHERE contains(text, 'spark')"
+
+  /** O-P4: drop-any-null rows (data_preparation.py:88 dropna). */
+  def t5NaDrop(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .na.drop("any")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val t5Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+      |  AND source IS NOT NULL AND n_chars IS NOT NULL""".stripMargin
+
+  /** O-P7: URL→category derivation (ArticlesSpider.py:24 — strip prefix,
+    * split on '-', drop last token, re-join). The fixture has no URL column,
+    * so one is synthesized deterministically first; the derivation itself is
+    * the operator under test.
+    */
+  def t6UrlCategory(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://www.bbc.com/news/"), col("source"),
+      lit("-"), col("lang"), lit("-"), col("doc_id"))
+    val path = regexp_replace(url, "^https://www\\.bbc\\.com/news/", "")
+    val parts = split(path, "-")
+    val category = array_join(
+      slice(parts, lit(1), greatest(size(parts) - 1, lit(0))), "-")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), category.as("category"))
+  }
+
+  val t6Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_slice(
+      |      string_split(regexp_replace(
+      |        'https://www.bbc.com/news/' || source || '-' || lang || '-' || doc_id,
+      |        '^https://www\.bbc\.com/news/', ''), '-'),
+      |      1, greatest(len(string_split(regexp_replace(
+      |        'https://www.bbc.com/news/' || source || '-' || lang || '-' || doc_id,
+      |        '^https://www\.bbc\.com/news/', ''), '-')) - 1, 0)),
+      |    '-') AS category
+      |FROM documents""".stripMargin
+
+  /** O-P11: paragraph join — concat all tokens but the last
+    * (ArticlesSpider.py:28, ' '.join(paragraphs[:-1])).
+    */
+  def t7ParagraphJoin(s: SparkSession, dir: String): DataFrame = {
+    val parts = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(slice(parts, lit(1), greatest(size(parts) - 1, lit(0))), " ")
+          .as("body"))
+  }
+
+  val t7Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_slice(string_split(text, ' '), 1,
+      |               greatest(len(string_split(text, ' ')) - 1, 0)),
+      |    ' ') AS body
+      |FROM documents""".stripMargin
+
+  /** Exact-dedup fingerprint: md5 over normalized text → group. The 100 TB
+    * path: hash each doc (map-only), shuffle only the 32-byte digests +
+    * doc ids, keep min-id survivor per group — never the documents
+    * themselves.
+    */
+  def t8Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("fp"))
+
+  val t8Sql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keeper_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Token count via alphanumeric-run extraction (BPE-ish pre-segmentation;
+    * training-data pipeline op).
+    */
+  def t9TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+
+  val t9Sql: String =
+    """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** Quality score histogram (training-data filtering). The score itself is
+    * deterministic double arithmetic; bucketing to a histogram keeps the
+    * oracle compare on exact group keys. Rows-only oracle (the aggregate
+    * lambda is not portably expressible in DuckDB SQL with identical
+    * float-op ordering).
+    */
+  def t10QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+
+  /** Language-ID distribution (training-data pipeline op). Rows-only oracle
+    * (profile-argmax with struct tie-break is not cleanly DuckDB-portable).
+    */
+  def t11LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  val queries: ListMap[String, Q] = ListMap(
+    "t1_clean_chain" -> (t1CleanChain _),
+    "t2_word_count" -> (t2WordCount _),
+    "t3_clean_text" -> (t3CleanText _),
+    "t4_contains_filter" -> (t4ContainsFilter _),
+    "t5_na_drop" -> (t5NaDrop _),
+    "t6_url_category" -> (t6UrlCategory _),
+    "t7_paragraph_join" -> (t7ParagraphJoin _),
+    "t8_fingerprint" -> (t8Fingerprint _),
+    "t9_token_count" -> (t9TokenCount _),
+    "t10_quality_score" -> (t10QualityScore _),
+    "t11_lang_id" -> (t11LangId _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "t1_clean_chain" -> t1Sql,
+    "t2_word_count" -> t2Sql,
+    "t3_clean_text" -> t3Sql,
+    "t4_contains_filter" -> t4Sql,
+    "t5_na_drop" -> t5Sql,
+    "t6_url_category" -> t6Sql,
+    "t7_paragraph_join" -> t7Sql,
+    "t8_fingerprint" -> t8Sql,
+    "t9_token_count" -> t9Sql,
+  )
+}
