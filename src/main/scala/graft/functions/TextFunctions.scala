@@ -54,7 +54,9 @@ object TextFunctions {
     * (reference :42) is a no-op after the non-alnum pass and is elided.
     */
   def cleanChain(c: Column): Column = {
-    val lowered = lower(trim(c))                                    // :34
+    // Python str.strip() removes ALL whitespace (\n, \t, …); Spark's trim()
+    // removes only ' ' — regexp keeps reference fidelity on newline-edged text
+    val lowered = lower(regexp_replace(c, "^\\s+|\\s+$", ""))       // :34
     val noUrl   = regexp_replace(lowered, "http\\S+", "")           // :35
     val noTag   = regexp_replace(noUrl, "<.*?>", "")                // :36
     val alnum   = regexp_replace(noTag, "[^ 0-9a-z]", " ")          // :37
@@ -64,8 +66,12 @@ object TextFunctions {
     regexp_replace(noChar, " +", " ")                               // :41
   }
 
-  /** O-T14: whitespace tokenization (data_preparation.py:56). */
-  def tokenize(c: Column): Column = split(trim(c), "\\s+")
+  /** O-T14: whitespace tokenization (data_preparation.py:56). Python
+    * str.split() discards leading/trailing whitespace of ANY kind, so the
+    * edge-strip must be regexp-based (Spark trim() is space-only).
+    */
+  def tokenize(c: Column): Column =
+    split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
 
   /** O-T11 + O-T13: stop-word removal and min-token-length>2 filter
     * (data_preparation.py:54-56), as a higher-order array filter —

@@ -38,7 +38,7 @@ object Text {
       |        regexp_replace(
       |          regexp_replace(
       |            regexp_replace(
-      |              regexp_replace(lower(trim(text)), 'http\S+', '', 'g'),
+      |              regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), 'http\S+', '', 'g'),
       |              '<.*?>', '', 'g'),
       |            '[^ 0-9a-z]', ' ', 'g'),
       |          '\b(\d+\d)\b', '', 'g'),
@@ -76,7 +76,7 @@ object Text {
        |            regexp_replace(
        |              regexp_replace(
        |                regexp_replace(
-       |                  regexp_replace(lower(trim(text)), 'http\\S+', '', 'g'),
+       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
        |                  '<.*?>', '', 'g'),
        |                '[^ 0-9a-z]', ' ', 'g'),
        |              '\\b(\\d+\\d)\\b', '', 'g'),

@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextFunctions correctness vs independent in-JVM reference
+  * implementations (java.util.regex / plain Scala), mirroring the
+  * reference semantics at data_preparation.py:28-56,89.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  import TextFunctions._
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent re-statement of the clean() chain with plain Java regex —
+    * the same spec as cleanChain but a different engine, so a Spark-API
+    * misuse (wrong arg order, wrong escaping) cannot pass both.
+    */
+  private def refClean(s: String): String =
+    s.trim.toLowerCase
+      .replaceAll("http\\S+", "")
+      .replaceAll("<.*?>", "")
+      .replaceAll("[^ 0-9a-z]", " ")
+      .replaceAll("\\b(\\d+\\d)\\b", "")
+      .replaceAll("http|https|www", "")
+      .replaceAll("\\b[a-z]\\b", "")
+      .replaceAll(" +", " ")
+
+  private def runClean(inputs: Seq[String]): Seq[String] =
+    inputs.toDF("text").select(cleanChain($"text")).as[String].collect().toSeq
+
+  private val pinned = Seq(
+    "Hello, World! Visit http://example.com/x now",
+    "<p>Tagged <b>bold</b> text</p>",
+    "numbers 42 7 1999 stay-or-go",
+    "  MIXED Case   with    spaces  ",
+    "http https www leftovers",
+    "a b c single letters go",
+    "",
+    "   ",
+    "already clean lowercase words",
+  )
+
+  test("cleanChain matches the reference regex chain on pinned inputs") {
+    assert(runClean(pinned) == pinned.map(refClean))
+  }
+
+  test("cleanChain matches the reference regex chain on random inputs") {
+    val rng = new scala.util.Random(42)
+    val alphabet =
+      "abc XYZ 019 .,!<>/:h tp\n\té中" // latin, digits, punct, tags, unicode
+    val inputs = Seq.fill(200)(
+      (0 until rng.nextInt(80)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    assert(runClean(inputs) == inputs.map(refClean))
+  }
+
+  test("cleanChain is idempotent modulo edge-trim") {
+    val once = runClean(pinned)
+    val twice = runClean(once)
+    assert(twice == once.map(refClean)) // second pass == reference on first pass
+  }
+
+  test("cleanText drops stop words and short tokens, joins with spaces") {
+    val out = Seq("The quick brown fox is on the hill with it")
+      .toDF("text").select(cleanText($"text")).as[String].collect()
+    assert(out.head == "quick brown fox hill")
+  }
+
+  test("contentTokens removes the reference's custom stop words too") {
+    // 'from', 're', 'also' are the reference additions (data_preparation.py:46-48)
+    val out = Seq(Seq("from", "also", "keep", "re", "words"))
+      .toDF("toks").select(contentTokens($"toks")).as[Seq[String]].collect()
+    assert(out.head == Seq("keep", "words"))
+  }
+
+  test("wordCount matches python len(s.split(' ')) semantics") {
+    val data = Seq("a b  c", "", "one", " lead", "trail ")
+    val out = data.toDF("text").select(wordCount($"text")).as[Int].collect().toSeq
+    // python: "a b  c".split(" ")==['a','b','','c']; "".split(" ")==['']
+    assert(out == Seq(4, 1, 1, 2, 2))
+  }
+
+  test("tokenCount counts alphanumeric runs") {
+    val out = Seq("Hello, world! 42", "", "...", "a1b2")
+      .toDF("text").select(tokenCount($"text")).as[Int].collect().toSeq
+    assert(out == Seq(3, 0, 0, 1))
+  }
+
+  test("fingerprint equals JVM md5 hex of utf8 bytes") {
+    val texts = Seq("hello", "", "café 中文")
+    val out = texts.toDF("text").select(fingerprint($"text")).as[String].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = texts.map { t =>
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out == exp)
+  }
+
+  test("shingles produces sliding word n-grams; short inputs give empty") {
+    def run(tokens: Seq[String], n: Int): Seq[String] =
+      Seq(tokens).toDF("toks").select(shingles($"toks", n)).as[Seq[String]].collect().head
+    assert(run(Seq("a", "b", "c", "d"), 3) == Seq("a b c", "b c d"))
+    assert(run(Seq("a", "b", "c"), 3) == Seq("a b c"))
+    assert(run(Seq("a", "b"), 3) == Seq.empty)
+    assert(run(Seq.empty, 3) == Seq.empty)
+  }
+
+  test("shingles matches brute-force sliding window on random token lists") {
+    val rng = new scala.util.Random(7)
+    val lists = Seq.fill(50)(Seq.fill(rng.nextInt(10))("t" + rng.nextInt(5)))
+    val out = lists.toDF("toks").select(shingles($"toks", 3)).as[Seq[String]].collect().toSeq
+    val exp = lists.map(l => l.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq)
+    assert(out == exp)
+  }
+
+  test("langId detects English and Spanish function words; gibberish is und") {
+    val out = Seq(
+      "the cat sat on the mat and it was happy",
+      "el gato se sienta en la casa y es feliz",
+      "zzz qqq xxx yyy")
+      .toDF("text").select(langId($"text")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore is bounded in [0,1] and 0 for empty text") {
+    val rng = new scala.util.Random(11)
+    val inputs = "" +: Seq.fill(50)(
+      (0 until rng.nextInt(200)).map(_ => "ab cde f ".charAt(rng.nextInt(9))).mkString)
+    val out = inputs.toDF("text").select(qualityScore($"text")).as[Double].collect().toSeq
+    assert(out.head == 0.0)
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("qualityScore rewards normal prose over junk") {
+    val prose = ("the quick brown fox jumps over the lazy dog and keeps running " * 10).trim
+    val junk = "@@@@ #### %%%% ^^^^ &&&&"
+    val out = Seq(prose, junk).toDF("text").select(qualityScore($"text")).as[Double].collect()
+    assert(out(0) > out(1))
+  }
+}

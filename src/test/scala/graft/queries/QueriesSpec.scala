@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-level properties on the sf0.001 fixtures, verified against
+  * brute-force driver-side computation on the collected (tiny) data.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("w2 rolling mean matches brute force incl. first-9-null semantics") {
+    val rows = Windows.w2RollingMean(spark, dir)
+      .collect().map(r => (r.getDate(0).toString,
+        r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // brute force over the same daily series
+    val daily = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((_, _, rolling), i) =>
+      if (i < 9) assert(rolling.isEmpty, s"row $i should be null (pandas min_periods)")
+      else {
+        val exp = daily.slice(i - 9, i + 1).sum / 10.0
+        assert(math.abs(rolling.get - BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) < 1e-9)
+      }
+    }
+    assert(rows.length >= 10)
+  }
+
+  test("semi ⊎ anti partitions the probe side (q6/q7 duality)") {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000)
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi == c.count())
+  }
+
+  test("q9 latest-per-key returns one row per key, the max-ts event") {
+    val out = Relational.q9LatestPerKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val expected = events.groupBy(_._1).map { case (uid, es) =>
+      uid -> es.maxBy(e => (e._3, e._2))._2
+    }
+    assert(out == expected)
+  }
+
+  test("q8 distinct is idempotent and no larger than its input") {
+    val d = Relational.q8DistinctPairs(spark, dir)
+    assert(d.count() == d.distinct().count())
+    assert(d.count() <= Tables.events(spark, dir).count())
+  }
+
+  test("q2 top-K matches driver-side sort of the full table") {
+    val out = Relational.q2TopKByDate(spark, dir).collect()
+      .map(r => (r.getLong(0))).toSeq
+    val all = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // ISO date strings sort chronologically; mirror the query's (date desc, key asc)
+    val exp = all.sortBy { case (k, d) => (d, k) }(
+        Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      .take(1000).map(_._1).toSeq
+    assert(out == exp)
+  }
+
+  test("t8 fingerprint groups partition the documents exactly") {
+    val total = Tables.documents(spark, dir).count()
+    val grouped = Text.t8Fingerprint(spark, dir)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(grouped == total)
+  }
+
+  test("t6 url category derivation drops the trailing token") {
+    val out = Text.t6UrlCategory(spark, dir)
+      .filter(col("doc_id") === 0).collect().head.getString(1)
+    // expected = same algorithm driver-side on the raw columns of doc 0
+    val r = Tables.documents(spark, dir).filter(col("doc_id") === 0)
+      .select(col("source"), col("lang"), col("doc_id")).collect().head
+    val path = s"${r.getString(0)}-${r.getString(1)}-${r.getLong(2)}"
+    val exp = path.split("-").dropRight(1).mkString("-")
+    assert(out == exp)
+  }
+
+  test("w5 running sum is per-key monotone for non-negative values") {
+    val neg = Tables.events(spark, dir).filter(col("value") < 0).count()
+    val rows = Windows.w5RunningSum(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    if (neg == 0) {
+      rows.groupBy(_._1).values.foreach { es =>
+        val sorted = es.sortBy(_._2).map(_._3)
+        assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a - 1e-9 })
+      }
+    }
+    // seq numbering is dense 1..n per key either way
+    rows.groupBy(_._1).values.foreach { es =>
+      assert(es.map(_._2).sorted.toSeq == (1 to es.size).toSeq)
+    }
+  }
+}
