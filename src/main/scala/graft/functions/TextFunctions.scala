@@ -78,7 +78,9 @@ object TextFunctions {
     * codegen-friendly, no UDF.
     */
   def contentTokens(tokens: Column): Column = {
-    val sw = array(stopWords.map(lit): _*)
+    // typedlit → ONE foldable array Literal; array(lit*) would inline 182
+    // CreateArray children into the lambda body and blow up codegen size
+    val sw = typedLit(stopWords)
     filter(tokens, t => length(t) > 2 && !array_contains(sw, t))
   }
 
@@ -107,7 +109,7 @@ object TextFunctions {
     val nTok = size(toks)
     val nChars = length(c)
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", ""))
-    val sw = array(stopWords.map(lit): _*)
+    val sw = typedLit(stopWords)
     val nStop = size(filter(toks, t => array_contains(sw, lower(t))))
     val lengthOk = when(nTok >= 50 && nTok <= 10000, 1.0).otherwise(
       when(nTok >= 10, 0.5).otherwise(0.0))
@@ -137,12 +139,18 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
       "mit", "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein"))
 
-  def langId(c: Column): Column = {
-    val toks = tokenize(lower(c))
+  def langId(c: Column): Column = langIdFromTokens(tokenize(lower(c)))
+
+  /** langId over pre-computed tokens. Callers that can should tokenize in
+    * a separate projection ONCE — this expression references the token
+    * array ~8 times (4 profiles × hits + size), and inlining the tokenize
+    * subtree at each reference makes the generated code explode.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val nTok = size(toks)
     // score per language = fraction of tokens that are profile hits
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val prof = array(words.map(lit): _*)
+      val prof = typedLit(words)
       val hits = size(filter(toks, t => array_contains(prof, t)))
       struct((hits.cast("double") / greatest(nTok, lit(1))).as("score"),
              lit(lang).as("lang"))

@@ -198,7 +198,11 @@ object Text {
     */
   def t11LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .groupBy(langId(col("text")).as("lang_pred"))
+      // tokenize once in its own projection; CollapseProject keeps the
+      // non-cheap multi-referenced split() from being re-inlined 8×
+      .select(tokenize(lower(col("text"))).as("toks"))
+      .select(langIdFromTokens(col("toks")).as("lang_pred"))
+      .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
