@@ -21,12 +21,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.Text.queries
+      graft.queries.Text.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Analytics.queries ++
+      graft.queries.Topics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Windows.oracle ++
-      graft.queries.Text.oracle
+      graft.queries.Text.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle ++
+      graft.queries.Analytics.oracle ++
+      graft.queries.Topics.oracle
 }

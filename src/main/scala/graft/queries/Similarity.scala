@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.SimFunctions._
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * — the ANN operators of a training-data pipeline.
+  *
+  * All cosine arithmetic is double-precision sequential folds, which
+  * match DuckDB's list_dot_product accumulation bit-for-bit (verified),
+  * so s1 is fully oracle-checkable. Scores are rounded to 1e-6 and the
+  * rounded value drives ordering in BOTH engines, making ranks
+  * deterministic.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  /** Query set: a fixed slice of the corpus (standard ANN-bench shape:
+    * few queries probing a huge corpus).
+    */
+  private val NQ = 20
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** S1: brute-force cosine top-K — the exactness baseline. The query
+    * side (NQ rows) broadcasts; the corpus side streams map-only through
+    * score computation; the bounded TopKAggregator map-side-combines each
+    * partition to K rows per query, so the single shuffle carries
+    * O(NQ × partitions × K) rows — NOT the |corpus| × NQ scored pairs a
+    * window-rank plan would move. Survives an arbitrarily large corpus.
+    */
+  def s1CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val c = all.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val scored = c.join(broadcast(q), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+    scored
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  val s1Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+       |), scored AS (
+       |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT id1, id2, cos,
+       |         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM scored
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY id1, rank""".stripMargin
+
+  /** S2: IVF-style approximate top-K. Coarse quantizer = the first 16
+    * corpus vectors (deterministic); every corpus vector is assigned to
+    * its nearest centroid cell (broadcast centroids, map-only); each
+    * query probes its 4 nearest cells and scores ONLY vectors in those
+    * cells — at scale this reads nprobe/ncells of the corpus instead of
+    * all of it, which is the whole point of IVF. Approximate by design →
+    * rows-only oracle; SimilaritySpec pins recall vs the exact s1 answer.
+    */
+  def s2IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val NCELL = 16; val NPROBE = 4
+    val all = vecs(s, dir)
+    val cents = all.filter(col("vec_id") < NCELL)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // cell assignment: argmax cosine over centroids (window over the
+    // small corpus×16 product; the product is map-side via broadcast)
+    val sims = all.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cs"))
+    val cells = sims
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"))
+    val corpus = all.join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
+        col("cell"))
+    // query probes: its NPROBE nearest cells
+    val probes = sims.filter(col("vec_id") < NQ)
+      .groupBy(col("vec_id"))
+      .agg(TopK.topK(NPROBE)(col("cs"), col("cent_id")).as("pc"))
+      .select(col("vec_id").as("id1"), explode(col("pc.id")).as("cell"))
+    val qside = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .join(broadcast(qside), Seq("id1"))
+    cand
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .distinct()
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "s1_cosine_topk" -> (s1CosineTopK _),
+    "s2_ivf_topk" -> (s2IvfTopK _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "s1_cosine_topk" -> s1Sql,
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel}
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Topic-modelling slice (SURVEY §2.8): the reference's
+  * notebooks/topic_modelling.ipynb re-expressed on MLlib —
+  * CountVectorizer(minDF, maxDF) for the vocabulary build/prune/doc2bow
+  * (O-A4/A5/A6), LDA(seed=42) for training (O-M1), describeTopics for
+  * topic-term inspection (O-M4), transform + vector-argmax for the
+  * per-doc dominant topic (O-M5/M6/A7), and a broadcast label join
+  * (O-J1).
+  *
+  * Scale: CountVectorizer.fit is one distributed term-DF aggregation;
+  * LDA (online optimizer) is iterative driver-coordinated Bayes updates
+  * over executor partitions — both are the standard MLlib scale paths.
+  * Only m1's vocabulary query is DuckDB-expressible (the vocabulary SET
+  * is relational algebra); model outputs are seeded-but-iterative and
+  * covered by TopicsSpec (structure, determinism, synthetic separation).
+  */
+object Topics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinDF = 10
+  private val MaxDF = 0.9
+  private val K = 12
+
+  /** Tokenized corpus: clean → tokenize → stop/length filter, the same
+    * pipeline the reference feeds gensim (topic_modelling.ipynb line 286
+    * tokenizes the cleaned text).
+    */
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), contentTokens(tokenize(cleanChain(col("text")))).as("tokens"))
+
+  def fitVectorizer(c: DataFrame): CountVectorizerModel =
+    new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(MinDF).setMaxDF(MaxDF)
+      .fit(c)
+
+  def fitLda(vectorized: DataFrame, k: Int = K, maxIter: Int = 10): LDAModel =
+    new LDA().setK(k).setSeed(42).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(vectorized)
+
+  /** M1 (O-A4/A5): the pruned vocabulary as rows — term + document
+    * frequency, for every term the CountVectorizer(minDF=10, maxDF=0.9)
+    * build keeps (gensim filter_extremes(no_below=10, no_above=0.9) +
+    * compactify, ipynb lines 316-320). Oracle-checked: the kept-term SET
+    * is pure relational algebra over per-doc distinct tokens.
+    */
+  def m1Vocabulary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val model = fitVectorizer(c)
+    val vocab = model.vocabulary.toSeq.toDF("term")
+    val df = c.select(explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    vocab.join(df, Seq("term"))
+      .orderBy(col("term"))
+  }
+
+  val m1Sql: String = {
+    // kept iff doc_freq >= 10 AND doc_freq <= 0.9 * n_docs-with-tokens
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      string_split_regex(trim(regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
+       |                  '<.*?>', '', 'g'),
+       |                '[^ 0-9a-z]', ' ', 'g'),
+       |              '\\b(\\d+\\d)\\b', '', 'g'),
+       |            'http|https|www', '', 'g'),
+       |          '\\b[a-z]\\b', '', 'g'),
+       |        ' +', ' ', 'g')), '\\s+'),
+       |      t -> len(t) > 2 AND NOT list_contains(${stopWordsSqlList}, t))) AS toks
+       |  FROM documents
+       |), flat AS (
+       |  SELECT unnest(toks) AS term FROM toks
+       |), df AS (
+       |  SELECT term, count(*) AS doc_freq FROM flat GROUP BY 1
+       |), n AS (SELECT count(*) AS n_docs FROM toks)
+       |SELECT term, doc_freq FROM df, n
+       |WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs
+       |ORDER BY term""".stripMargin
+  }
+
+  private def stopWordsSqlList: String =
+    stopWords.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** M2 (O-M5/M6/O-A7/O-A3): dominant-topic distribution — train LDA,
+    * infer per-doc topic mixtures, argmax each doc's vector, value_counts
+    * per topic (ipynb lines 665-689, 810). Rows-only: LDA's topic ids
+    * are seed-stable but not SQL-derivable.
+    */
+  def m2DominantTopics(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val vectorized = cv.transform(c)
+    val lda = fitLda(vectorized)
+    val inferred = lda.transform(vectorized)
+    val argmaxUdf = udf { v: MlVector => v.argmax }
+    inferred
+      .select(col("doc_id"), argmaxUdf(col("topicDistribution")).as("dominant_topic"))
+      .groupBy(col("dominant_topic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("dominant_topic"))
+  }
+
+  /** M3 (O-M4/O-J1): topic keywords — describeTopics(10) mapped through
+    * the vocabulary, joined (broadcast) to a 12-row topic-label dim table
+    * (ipynb lines 1678-1696). Rows-only.
+    */
+  def m3TopicKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val lda = fitLda(cv.transform(c))
+    val vocab = cv.vocabulary
+    val termsUdf = udf { idx: Seq[Int] => idx.map(vocab(_)) }
+    val labels = (0 until K).map(i => (i, s"label_$i")).toDF("topic_num", "topic_label")
+    val topics = lda.describeTopics(10)
+      .select(col("topic"), termsUdf(col("termIndices")).as("keywords"))
+    topics.join(broadcast(labels), topics("topic") === labels("topic_num"), "left")
+      .select(col("topic"), col("topic_label"),
+        array_join(col("keywords"), " ").as("keywords"))
+      .orderBy(col("topic"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "m1_vocabulary" -> (m1Vocabulary _),
+    "m2_dominant_topics" -> (m2DominantTopics _),
+    "m3_topic_keywords" -> (m3TopicKeywords _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "m1_vocabulary" -> m1Sql,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import graft.functions.TextFunctions._
+import graft.functions.SimFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Near-dup operator semantics, verified against brute-force driver-side
+  * computation and planted synthetic duplicates.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  /** Brute-force 3-shingle Jaccard over the collected fixture. */
+  private def bruteJaccard(threshold: Double): Map[(Long, Long), Double] = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .filter(_._2.size >= 3)
+      .map { case (id, t) =>
+        (id, t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      }
+    (for {
+      (i1, s1) <- docs; (i2, s2) <- docs if i1 < i2
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= threshold
+    } yield (i1, i2) -> j).toMap
+  }
+
+  test("d1 exact jaccard pairs match brute force") {
+    val got = Dedup.d1JaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exp = bruteJaccard(0.2)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6) }
+  }
+
+  test("d2 minhash-lsh finds exactly the pairs >= 0.5 on the fixture") {
+    val got = Dedup.d2MinHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteJaccard(0.5).keySet)
+  }
+
+  test("minhash signature agreement approximates jaccard on synthetic sets") {
+    // two 80%-overlapping shingle sets: signature agreement ≈ 0.8
+    val base = (0 until 100).map(i => s"sh$i")
+    val df = Seq(
+      (1L, base),
+      (2L, base.drop(20) ++ (100 until 120).map(i => s"x$i"))
+    ).toDF("doc_id", "sh")
+    val sigs = df.select(col("doc_id"), minHashSignature(col("sh"), 256).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 256.0
+    val trueJ = 80.0 / 120.0 // |∩|=80, |∪|=120
+    assert(math.abs(agree - trueJ) < 0.12, s"agreement $agree vs jaccard $trueJ")
+  }
+
+  test("identical texts get identical simhash; near-identical low hamming") {
+    val text = (0 until 60).map(i => s"w${i % 25}").mkString(" ")
+    val mutated = text.replace("w3", "zzz") // a few shingles change
+    val df = Seq((1L, text), (2L, text), (3L, mutated)).toDF("doc_id", "text")
+    // same pipeline as simHashSignatures but over an in-memory frame
+    val h = df.select(col("doc_id"), explode(shingles(tokenize(col("text")), 3)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val sig = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simHashFromBitSums(j => col(s"b$j")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val ham = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(ham > 0 && ham <= 16, s"hamming to mutated doc was $ham")
+  }
+
+  test("d3 simhash pairs have verified hamming <= 6 and include a planted near-dup") {
+    val rows = Dedup.d3SimHashPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 <= 6))
+    // the fixture's strongest jaccard near-dups should appear
+    val strong = bruteJaccard(0.9).keySet
+    if (strong.nonEmpty)
+      assert(rows.map(_._1).toSet.intersect(strong).nonEmpty)
+  }
+}

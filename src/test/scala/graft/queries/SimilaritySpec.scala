@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import graft.functions.{ScoredId, TopKAggregator}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search semantics vs driver-side brute force. */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  /** Driver-side exact top-k with the same rounding + tie-break. */
+  private def bruteTopK(k: Int, nq: Int): Map[Long, Seq[(Long, Double)]] = {
+    val vs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val norms = vs.map { case (id, v) => id -> nrm(v) }.toMap
+    vs.filter(_._1 < nq).map { case (qid, qv) =>
+      val scored = vs.filter(_._1 != qid).map { case (cid, cv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val cos = BigDecimal(dot / (norms(qid) * norms(cid)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, cos)
+      }
+      qid -> scored.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+    }.toMap
+  }
+
+  test("s1 brute-force cosine top-5 matches driver-side computation") {
+    val got = Similarity.s1CosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exp = bruteTopK(5, 20)
+    got.foreach { case (id1, id2, cos, rank) =>
+      val (eid, ecos) = exp(id1)(rank - 1)
+      assert(id2 == eid && math.abs(cos - ecos) < 2e-6,
+        s"q$id1 rank$rank: got ($id2,$cos) want ($eid,$ecos)")
+    }
+    assert(got.length == exp.size * 5)
+  }
+
+  test("s2 ivf scores are exact for returned pairs; recall@5 >= 0.5") {
+    val exact = bruteTopK(5, 20)
+    val allScores = exact // only used for spot checks on shared pairs
+    val got = Similarity.s2IvfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // any returned pair that IS in the exact top-5 must carry the same score
+    got.foreach { case (id1, id2, cos) =>
+      allScores(id1).find(_._1 == id2).foreach { case (_, ecos) =>
+        assert(math.abs(cos - ecos) < 2e-6)
+      }
+    }
+    val exactPairs = exact.flatMap { case (q, tops) => tops.map(t => (q, t._1)) }.toSet
+    val gotPairs = got.map(g => (g._1, g._2)).toSet
+    val recall = exactPairs.intersect(gotPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
+  test("TopKAggregator equals global sort-take on random input under any split") {
+    val rng = new scala.util.Random(3)
+    val data = Seq.fill(500)(ScoredId(rng.nextInt(50) / 10.0, rng.nextInt(1000).toLong))
+    val ord = Ordering.by((s: ScoredId) => (-s.score, s.id))
+    val expect = data.sorted(ord).take(7)
+    val agg = new TopKAggregator(7)
+    // random split into chunks, reduce each, merge in random order
+    val chunks = data.grouped(37).toSeq
+    val partials = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    val merged = rng.shuffle(partials).reduce(agg.merge)
+    assert(agg.finish(merged) == expect)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LDA/vocabulary semantics: structural and determinism properties (the
+  * reference's gensim topics can never match topic-for-topic — SURVEY
+  * §7.5.5 — so tests assert structure, seed-stability, and separation on
+  * a synthetic 2-topic corpus).
+  */
+class TopicsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  test("vocabulary respects minDF and maxDF bounds") {
+    val rows = Topics.m1Vocabulary(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Topics.corpus(spark, dir).count()
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      assert(df >= 10 && df <= 0.9 * nDocs, s"${r.getString(0)} df=$df")
+    }
+  }
+
+  test("LDA with fixed seed is deterministic run-to-run") {
+    val c = Topics.corpus(spark, dir).cache()
+    val cv = Topics.fitVectorizer(c)
+    val v = cv.transform(c).cache()
+    val t1 = Topics.fitLda(v, k = 4, maxIter = 5).describeTopics(5)
+      .collect().map(_.toString).toSeq
+    val t2 = Topics.fitLda(v, k = 4, maxIter = 5).describeTopics(5)
+      .collect().map(_.toString).toSeq
+    assert(t1 == t2)
+  }
+
+  test("LDA separates a synthetic 2-topic corpus") {
+    // topic A vocabulary disjoint from topic B; 40 docs each
+    val rng = new scala.util.Random(13)
+    val aWords = (0 until 30).map(i => s"alpha$i")
+    val bWords = (0 until 30).map(i => s"beta$i")
+    def doc(ws: Seq[String]) = Seq.fill(40)(ws(rng.nextInt(ws.size)))
+    val docs = (0 until 40).map(i => (i.toLong, doc(aWords), "A")) ++
+      (40 until 80).map(i => (i.toLong, doc(bWords), "B"))
+    val df = docs.toDF("doc_id", "tokens", "truth")
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features").fit(df)
+    val v = cv.transform(df)
+    val lda = new org.apache.spark.ml.clustering.LDA()
+      .setK(2).setSeed(42).setMaxIter(30).fit(v)
+    val argmaxUdf = udf { vec: org.apache.spark.ml.linalg.Vector => vec.argmax }
+    val assigned = lda.transform(v)
+      .select(col("truth"), argmaxUdf(col("topicDistribution")).as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // every truth group should map overwhelmingly to one topic, and the
+    // two groups to different topics
+    val byTruth = assigned.groupBy(_._1).map { case (k, vs) =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.size)
+      k -> counts.maxBy(_._2)
+    }
+    val purity = byTruth.values.map(_._2).sum.toDouble / assigned.length
+    assert(purity >= 0.9, s"purity $purity")
+    assert(byTruth("A")._1 != byTruth("B")._1, "both groups collapsed to one topic")
+  }
+
+  test("model save/load round-trips describeTopics (S10)") {
+    val c = Topics.corpus(spark, dir).cache()
+    val v = Topics.fitVectorizer(c).transform(c).cache()
+    val m = Topics.fitLda(v, k = 3, maxIter = 3)
+    val path = java.nio.file.Files.createTempDirectory("lda_model").toString + "/m"
+    m.save(path)
+    val loaded = org.apache.spark.ml.clustering.LocalLDAModel.load(path)
+    assert(loaded.describeTopics(5).collect().map(_.toString).toSeq ==
+      m.describeTopics(5).collect().map(_.toString).toSeq)
+  }
+}
