@@ -25,7 +25,9 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Analytics.queries ++
-      graft.queries.Topics.queries
+      graft.queries.Topics.queries ++
+      graft.queries.Extraction.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +38,7 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.Analytics.oracle ++
-      graft.queries.Topics.oracle
+      graft.queries.Topics.oracle ++
+      graft.queries.Extraction.oracle ++
+      graft.queries.Multimodal.oracle
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** O-T12 (POS filter) + O-T15 (POS-aware lemmatization) — the two
+  * clean()-chain steps the reference delegates to NLTK
+  * (data_preparation.py:52 pos_tag keep-list, :60-80 WordNet lemmatizer
+  * with tag-initial → wordnet-POS defaulting to NOUN).
+  *
+  * Offline build (no NLTK, no model downloads), so both are rule-based
+  * JVM re-implementations with DOCUMENTED DIVERGENCE from NLTK's
+  * averaged-perceptron tagger / WordNet morphy:
+  *  - tagging: closed-class word lists decide function words; suffix
+  *    rules decide open-class tags; unknown defaults to NN (same default
+  *    NLTK uses for unseen tokens).
+  *  - lemmatization: WordNet morphy's detachment rules without the
+  *    irregular-exception tables (so "went" stays "went" while NLTK
+  *    yields "go"). PosLemmaSpec pins exact in/out pairs.
+  *
+  * The keep-list matches the reference exactly: NN/NNS/NNP/NNPS, JJ/JJR/
+  * JJS, RB/RBR/RBS — nouns, adjectives, adverbs survive; everything
+  * else is dropped.
+  */
+object PosLemma {
+
+  // closed-class (function) words → dropped by the POS filter
+  private val determiners = Set("the", "a", "an", "this", "that", "these",
+    "those", "each", "every", "either", "neither", "some", "any", "no",
+    "all", "both", "half", "such", "what", "which", "whose")
+  private val prepositions = Set("of", "in", "to", "for", "with", "on",
+    "at", "by", "from", "up", "about", "into", "over", "after", "under",
+    "between", "through", "during", "before", "above", "below", "off",
+    "out", "around", "near", "since", "until", "upon", "within", "without",
+    "toward", "towards", "against", "along", "across", "behind", "beyond",
+    "except", "despite", "among", "amid", "via", "per")
+  private val conjunctions = Set("and", "or", "but", "nor", "so", "yet",
+    "although", "because", "if", "while", "unless", "whereas", "though")
+  private val pronouns = Set("i", "you", "he", "she", "it", "we", "they",
+    "me", "him", "her", "us", "them", "my", "your", "his", "its", "our",
+    "their", "mine", "yours", "hers", "ours", "theirs", "myself",
+    "yourself", "himself", "herself", "itself", "ourselves", "themselves",
+    "who", "whom", "someone", "anyone", "everyone", "nobody", "something",
+    "anything", "everything", "nothing")
+  private val auxiliaries = Set("be", "am", "is", "are", "was", "were",
+    "been", "being", "have", "has", "had", "having", "do", "does", "did",
+    "doing", "will", "would", "shall", "should", "can", "could", "may",
+    "might", "must", "ought", "need", "dare")
+  private val commonVerbs = Set("say", "says", "said", "get", "gets",
+    "got", "make", "makes", "made", "go", "goes", "went", "gone", "know",
+    "knows", "knew", "known", "take", "takes", "took", "taken", "see",
+    "sees", "saw", "seen", "come", "comes", "came", "think", "thinks",
+    "thought", "want", "wants", "wanted", "give", "gives", "gave",
+    "given", "use", "uses", "used", "find", "finds", "found", "tell",
+    "tells", "told", "become", "becomes", "became", "show", "shows",
+    "showed", "shown", "leave", "leaves", "left", "feel", "feels",
+    "felt", "put", "puts", "bring", "brings", "brought", "begin",
+    "begins", "began", "begun", "keep", "keeps", "kept", "hold", "holds",
+    "held", "write", "writes", "wrote", "written", "stand", "stands",
+    "stood", "hear", "hears", "heard", "let", "lets", "mean", "means",
+    "meant", "set", "sets", "meet", "meets", "met", "run", "runs", "ran",
+    "pay", "pays", "paid", "sit", "sits", "sat", "speak", "speaks",
+    "spoke", "spoken", "lie", "lies", "lay", "lead", "leads", "led")
+  private val adverbsIrregular = Set("very", "too", "quite", "rather",
+    "also", "just", "now", "then", "here", "there", "again", "always",
+    "never", "often", "soon", "still", "already", "even", "only", "well",
+    "almost", "perhaps", "maybe", "together", "instead", "once", "twice",
+    "ever", "far", "fast", "hard", "late", "early", "today", "tomorrow",
+    "yesterday", "away", "back", "down", "more", "most", "less", "least",
+    "much", "enough", "however", "moreover", "therefore", "thus",
+    "meanwhile", "nevertheless", "nonetheless", "otherwise", "indeed")
+
+  /** Simplified Penn tag for a (lowercased) token. */
+  def posTag(t: String): String = {
+    if (t.isEmpty) "NN"
+    else if (determiners.contains(t)) "DT"
+    else if (prepositions.contains(t)) "IN"
+    else if (conjunctions.contains(t)) "CC"
+    else if (pronouns.contains(t)) "PRP"
+    else if (auxiliaries.contains(t)) "MD"
+    else if (commonVerbs.contains(t)) "VB"
+    else if (adverbsIrregular.contains(t) || t.endsWith("ly")) "RB"
+    else if (t.forall(_.isDigit)) "CD"
+    else if (t.endsWith("ing") && t.length > 5) "VBG"
+    else if (t.endsWith("ed") && t.length > 4) "VBD"
+    else if (t.endsWith("able") || t.endsWith("ible") || t.endsWith("ful") ||
+      t.endsWith("ous") || t.endsWith("ive") || t.endsWith("ic") ||
+      t.endsWith("al") || t.endsWith("ish")) "JJ"
+    else if (t.endsWith("er") && t.length > 4 && !t.endsWith("eer")) "JJR"
+    else if (t.endsWith("est") && t.length > 5) "JJS"
+    else "NN"
+  }
+
+  /** The reference's keep-list (data_preparation.py:52). */
+  private val keepTags =
+    Set("NN", "NNS", "NNP", "NNPS", "JJ", "JJR", "JJS", "RB", "RBR", "RBS")
+
+  def keep(tag: String): Boolean = keepTags.contains(tag)
+
+  /** WordNet-morphy detachment rules (no exception tables), POS-aware
+    * with the reference's tag-initial mapping (J→adj, V→verb, R→adv,
+    * default noun — data_preparation.py:65-72).
+    */
+  def lemmatize(t: String, tag: String): String = {
+    def tryRules(word: String, rules: Seq[(String, String)]): String =
+      rules.collectFirst {
+        case (suf, rep) if word.endsWith(suf) && word.length > suf.length + 1 =>
+          word.dropRight(suf.length) + rep
+      }.getOrElse(word)
+    tag.headOption match {
+      case Some('V') =>
+        tryRules(t, Seq("ies" -> "y", "es" -> "e", "ed" -> "", "ing" -> "", "s" -> ""))
+      case Some('J') | Some('R') =>
+        tryRules(t, Seq("est" -> "", "er" -> ""))
+      case _ => // noun default
+        // guards: short nouns and -ss/-us/-is endings are lexical, not
+        // plural ("gas", "bus", "glass", "virus", "basis")
+        if (t.length <= 3 || t.endsWith("ss") || t.endsWith("us") || t.endsWith("is")) t
+        else tryRules(t, Seq("ches" -> "ch", "shes" -> "sh", "ses" -> "s",
+          "xes" -> "x", "zes" -> "z", "ves" -> "f", "ies" -> "y",
+          "men" -> "man", "s" -> ""))
+    }
+  }
+
+  /** Full O-T12+O-T15 over a token array: tag, filter to content POS,
+    * lemmatize survivors.
+    */
+  val posFilterLemmatize: Column => Column =
+    udf { tokens: Seq[String] =>
+      tokens.flatMap { t =>
+        val tag = posTag(t)
+        if (keep(tag)) Some(lemmatize(t, tag)) else None
+      }
+    }.apply(_)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** S2 (XML sitemap parse) + S9 (HTML field extraction) — the reference's
+  * ingestion-side parsers (bbc_news_dag.py:28-34 BeautifulSoup <loc>/
+  * <lastmod> extraction; ArticlesSpider.py:18-33 CSS/XPath field
+  * extraction), re-expressed with Spark's built-in Hive xpath_* SQL
+  * functions over markup-bearing string columns.
+  *
+  * The fixtures carry no markup, so each query SYNTHESIZES a
+  * deterministic document from fixture fields first (that projection is
+  * not the operator under test) and then runs the real extraction
+  * expressions. The DuckDB oracle re-synthesizes the same string and
+  * extracts with regexes — equivalent on this well-formed shape, so both
+  * queries are fully value-checked.
+  *
+  * Scale: xpath_* are per-row scalar expressions — map-only, no shuffle;
+  * a 100 TB crawl archive parses embarrassingly parallel.
+  */
+object Extraction {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** X1/S2: sitemap <url><loc>…</loc><lastmod>…</lastmod></url> parse +
+    * the news-URL substring predicate (O-P1, bbc_news_dag.py:32).
+    */
+  def x1SitemapParse(s: SparkSession, dir: String): DataFrame = {
+    val xml = concat(
+      lit("<url><loc>https://www.bbc.com/"),
+      when(col("doc_id") % 3 === 0, lit("sport/")).otherwise(lit("news/")),
+      col("source"), lit("-"), col("doc_id").cast("string"),
+      lit("</loc><lastmod>2022-0"), ((col("doc_id") % 9) + 1).cast("string"),
+      lit("-15T12:00:00Z</lastmod></url>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), xml.as("xml"))
+      .select(col("doc_id"),
+        expr("xpath_string(xml, '/url/loc')").as("loc"),
+        expr("xpath_string(xml, '/url/lastmod')").as("lastmod"))
+      .filter(col("loc").contains("www.bbc.com/news/"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x1Sql: String =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    '<url><loc>https://www.bbc.com/' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'sport/' ELSE 'news/' END ||
+      |    source || '-' || doc_id ||
+      |    '</loc><lastmod>2022-0' || (doc_id % 9) + 1 ||
+      |    '-15T12:00:00Z</lastmod></url>' AS xml
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  regexp_extract(xml, '<loc>(.*?)</loc>', 1) AS loc,
+      |  regexp_extract(xml, '<lastmod>(.*?)</lastmod>', 1) AS lastmod
+      |FROM synth
+      |WHERE contains(regexp_extract(xml, '<loc>(.*?)</loc>', 1), 'www.bbc.com/news/')
+      |ORDER BY doc_id""".stripMargin
+
+  /** X2/S9 + O-P11: HTML page field extraction — headline from
+    * //h1[@id='main-heading'], timestamp attribute from //time/@datetime,
+    * paragraph texts as an array, then ' '.join(paragraphs[:-1])
+    * (ArticlesSpider.py:22,26-28).
+    */
+  def x2HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val headline = regexp_replace(substring(col("text"), 1, 40), "\\s+$", "")
+    val html = concat(
+      lit("<html><body><h1 id=\"main-heading\">"), headline,
+      lit("</h1><time datetime=\"2022-06-0"), ((col("doc_id") % 9) + 1).cast("string"),
+      lit("\"></time><p>alpha "), col("doc_id").cast("string"),
+      lit("</p><p>beta "), col("source"),
+      lit("</p><p>footer</p></body></html>"))
+    Tables.documents(s, dir)
+      .filter(!col("text").contains("<") && !col("text").contains("&"))
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        expr("xpath_string(html, '//h1[@id=\"main-heading\"]')").as("title"),
+        expr("xpath_string(html, '//time/@datetime')").as("published"),
+        expr("xpath(html, '//p/text()')").as("paras"))
+      .select(col("doc_id"), col("title"), col("published"),
+        array_join(slice(col("paras"), lit(1),
+          greatest(size(col("paras")) - 1, lit(0))), " ").as("body"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x2Sql: String =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    regexp_replace(substr(text, 1, 40), '\s+$', '') AS title,
+      |    '2022-06-0' || (doc_id % 9) + 1 AS published,
+      |    ['alpha ' || doc_id, 'beta ' || source] AS kept_paras
+      |  FROM documents
+      |  WHERE NOT contains(text, '<') AND NOT contains(text, '&')
+      |)
+      |SELECT doc_id, title, published,
+      |       array_to_string(kept_paras, ' ') AS body
+      |FROM synth ORDER BY doc_id""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+    "x1_sitemap_parse" -> (x1SitemapParse _),
+    "x2_html_extract" -> (x2HtmlExtract _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "x1_sitemap_parse" -> x1Sql,
+    "x2_html_extract" -> x2Sql,
+  )
+}

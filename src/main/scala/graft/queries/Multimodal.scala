@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+/** Multimodal-column operators for a training-data pipeline: media
+  * payloads as opaque BINARY columns with a typed metadata struct,
+  * partition-wise batch "decode" / feature extraction / frame sampling.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (byte-histogram features, length-based "frames") —
+  * clearly marked below. Everything Spark-side is real and tested: the
+  * binary column representation, the metadata struct schema, the
+  * mapPartitions batch shape (the Scala analog of mapInPandas: one
+  * iterator pass per partition, amortizing per-batch decoder setup), and
+  * the downstream relational handling of the extracted features.
+  *
+  * Scale: payloads never shuffle — features are extracted map-side and
+  * only the small feature vectors/metadata flow into joins/aggregates.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The media table: fixture text re-encoded as a binary payload with
+    * deterministic metadata (the synthesis stands in for reading real
+    * image/audio bytes; schema and plumbing are the operator).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          when(col("doc_id") % 3 === 0, lit("png"))
+            .when(col("doc_id") % 3 === 1, lit("jpeg"))
+            .otherwise(lit("wav")).as("format"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          (col("n_chars") % 480).cast("int").as("height"),
+          (length(col("text")) / 100).cast("int").as("n_frames")
+        ).as(("meta")))
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** STUB DECODER — stands in for a real image/audio decode (no codecs
+    * in this container). Deterministic 8-bucket byte histogram,
+    * L1-normalized. A real implementation would decode pixels/samples
+    * here; the signature (bytes → fixed-width feature vector) is what a
+    * real decoder plugs into.
+    */
+  private def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 5) += 1.0
+      i += 1
+    }
+    val n = math.max(1.0, payload.length.toDouble)
+    hist.map(v => v / n)
+  }
+
+  /** MM1: partition-wise batch feature extraction over binary payloads —
+    * mapPartitions so a real decoder would initialize once per partition
+    * (the Scala analog of mapInPandas' batch shape), then features
+    * aggregated per format. Rows-only oracle (stub decoder);
+    * MultimodalSpec pins the histogram math and batch behavior.
+    */
+  def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    val feats = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (once, not per row)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          Row(id, r.getString(2), fakeDecodeFeatures(payload).toSeq)
+        }
+      }(enc)
+    feats
+      .select(col("media_id"), col("format"),
+        round(aggregate(col("features"), lit(0.0), (a, x) => a + x * x), 6).as("energy"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(col("energy")), 6).as("avg_energy"))
+      .orderBy(col("format"))
+  }
+
+  /** MM2: frame sampling — every k-th frame index from the metadata
+    * frame count (a real video pipeline samples frames the same way; the
+    * frame PAYLOAD slice is stubbed as a byte range). Demonstrates
+    * metadata-driven explode without touching payload bytes until the
+    * sampled frames are selected.
+    */
+  def mm2FrameSample(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("meta.format") === "wav" && col("meta.n_frames") >= 4)
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(4))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        // stubbed frame payload slice: 100 "samples" per frame
+        (col("frame_idx") * 100).as("offset"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mm2Sql: String =
+    """SELECT doc_id AS media_id, frame_idx, frame_idx * 100 AS offset
+      |FROM (
+      |  SELECT doc_id, unnest(range(0, len(text) // 100, 4)) AS frame_idx
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND len(text) // 100 >= 4
+      |)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+    "mm1_media_features" -> (mm1MediaFeatures _),
+    "mm2_frame_sample" -> (mm2FrameSample _),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "mm2_frame_sample" -> mm2Sql,
+  )
+}

@@ -206,6 +206,22 @@ object Text {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** O-T12 + O-T15 (+ the full O-T2..T16 chain): the reference's complete
+    * clean()+lemmatize() pipeline (data_preparation.py:91-94) — regex
+    * chain → tokenize → stop/length filter → POS content filter →
+    * lemmatize → re-join, plus the n_words_clean derivation. Rows-only
+    * oracle (rule-based tagger/lemmatizer are custom UDFs);
+    * PosLemmaSpec pins exact pairs.
+    */
+  def t12PosLemma(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.PosLemma.posFilterLemmatize(
+          contentTokens(tokenize(cleanChain(col("text"))))).as("toks"))
+      .select(col("doc_id"), array_join(col("toks"), " ").as("article_clean"),
+        size(col("toks")).as("n_words_clean"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -218,6 +234,7 @@ object Text {
     "t9_token_count" -> (t9TokenCount _),
     "t10_quality_score" -> (t10QualityScore _),
     "t11_lang_id" -> (t11LangId _),
+    "t12_pos_lemma" -> (t12PosLemma _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

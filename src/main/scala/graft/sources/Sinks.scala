@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (SURVEY §2.1): the reference's Mongo/CSV sinks
+  * re-expressed as Spark writers.
+  *
+  *  - S5/S6 (insert_one / insert_many): both collapse to an append-mode
+  *    parquet write — Spark writes are always batched per partition, so
+  *    the row/bulk distinction disappears by construction.
+  *  - S7 (unique-index sink with DuplicateKeyError-skip): Spark has no
+  *    write-path constraint; the equivalent plan is dedup-within-batch +
+  *    left-anti join against the existing sink keys, then append
+  *    (middlewares.py:12-16 + bbc_news_dag.py:36-38). At scale the
+  *    anti-join reads ONLY the key column of the sink (column pruning)
+  *    and shuffles on the key — or broadcasts when the new batch is
+  *    small, which AQE decides.
+  *  - S8 (CsvItemExporter with explicit fields_to_export): column-ordered
+  *    header CSV write (pipelines.py:76-102).
+  */
+object Sinks {
+
+  /** S5/S6: append rows to a parquet table. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S7: append only rows whose key is absent from the existing sink;
+    * duplicates within the incoming batch keep the first by a
+    * deterministic tie-break (min of all other columns is not defined —
+    * use dropDuplicates, matching the reference's first-write-wins).
+    * Returns the number of rows actually written.
+    */
+  def appendUnique(spark: SparkSession, df: DataFrame, path: String,
+      key: String): Long = {
+    val deduped = df.dropDuplicates(key)
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val existingKeys = spark.read.parquet(path).select(col(key))
+        deduped.join(existingKeys, Seq(key), "left_anti")
+      } else deduped
+    val out = fresh.cache()
+    val n = out.count()
+    if (n > 0) append(out, path)
+    out.unpersist()
+    n
+  }
+
+  /** S8: header CSV with explicit field ordering. */
+  def writeCsv(df: DataFrame, path: String, fieldsToExport: Seq[String]): Unit =
+    df.select(fieldsToExport.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-path round-trips: append, unique-key append, ordered CSV. */
+class SinksSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("append accumulates rows across writes (S5/S6)") {
+    val path = tmp("append")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    Sinks.append(docs.filter(col("doc_id") < 100), path)
+    Sinks.append(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), path)
+    assert(spark.read.parquet(path).count() == 150)
+  }
+
+  test("appendUnique skips keys already in the sink (S7)") {
+    val path = tmp("unique")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val n1 = Sinks.appendUnique(spark, docs.filter(col("doc_id") < 100), path, "doc_id")
+    assert(n1 == 100)
+    // overlapping second batch: only the 50 new keys land
+    val n2 = Sinks.appendUnique(spark,
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 150), path, "doc_id")
+    assert(n2 == 50)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 150)
+    assert(stored.select("doc_id").distinct().count() == 150)
+  }
+
+  test("appendUnique dedups within the incoming batch too (O-D1)") {
+    val path = tmp("unique2")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val doubled = docs.filter(col("doc_id") < 20)
+      .union(docs.filter(col("doc_id") < 20))
+    val n = Sinks.appendUnique(spark, doubled, path, "doc_id")
+    assert(n == 20)
+  }
+
+  test("writeCsv round-trips with explicit field order and header (S8)") {
+    val path = tmp("csv")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      // text can contain newlines/quotes — csv quoting handles it, but
+      // keep the round-trip strict on simple columns
+      .select("doc_id", "lang", "source", "n_chars")
+    Sinks.writeCsv(docs, path, Seq("source", "doc_id", "lang", "n_chars"))
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    assert(back.columns.toSeq == Seq("source", "doc_id", "lang", "n_chars"))
+    assert(back.count() == 50)
+    val got = back.select("doc_id", "lang").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val exp = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1))).toSet
+    assert(got == exp)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-vs-batch equivalence for the incremental dedup ingest
+  * (O-W3/O-W4): the streamed, multi-micro-batch dropDuplicates output
+  * must have exactly the batch-distinct key set — one row per key,
+  * exactly once, across micro-batch boundaries.
+  */
+class StreamDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("streamed dropDuplicates equals batch distinct keys across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_src").toString
+    // two overlapping micro-batch files: keys 0-99 then 50-149
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val part1 = events.filter(col("user_id") < 100)
+    val part2 = events.filter(col("user_id") >= 50 && col("user_id") < 150)
+    part1.coalesce(1).write.parquet(s"$tmp/f1")
+    part2.coalesce(1).write.parquet(s"$tmp/f2")
+    // flatten the two files into one source dir (order-stable names)
+    val dir = java.nio.file.Files.createTempDirectory("stream_flat").toString
+    var i = 0
+    for (sub <- Seq("f1", "f2")) {
+      val f = new java.io.File(s"$tmp/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(dir, f"part_$i%02d.parquet"))
+      i += 1
+    }
+
+    val schema = events.schema
+    val q = StreamDedup.dedupStream(spark, dir, schema, "user_id", "ts")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT user_id FROM dedup_out")
+      .collect().map(_.getLong(0)).toSeq
+    val expectedKeys = events.filter(col("user_id") < 150)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == got.toSet.size, "a key was emitted more than once")
+    assert(got.toSet == expectedKeys)
+  }
+}
