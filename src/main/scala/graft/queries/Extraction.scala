@@ -80,10 +80,11 @@ object Extraction {
       .select(col("doc_id"),
         expr("xpath_string(html, '//h1[@id=\"main-heading\"]')").as("title"),
         expr("xpath_string(html, '//time/@datetime')").as("published"),
-        expr("xpath(html, '//p/text()')").as("paras"))
-      .select(col("doc_id"), col("title"), col("published"),
-        array_join(slice(col("paras"), lit(1),
-          greatest(size(col("paras")) - 1, lit(0))), " ").as("body"))
+        // drop-last INSIDE the xpath (position()<last()): referencing the
+        // extracted array twice (slice + size) would re-inline the xpath
+        // and re-parse the document per reference
+        array_join(expr("xpath(html, '//p[position()<last()]/text()')"), " ")
+          .as("body"))
       .orderBy(col("doc_id"))
   }
 

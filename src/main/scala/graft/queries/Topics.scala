@@ -140,10 +140,52 @@ object Topics {
       .orderBy(col("topic"))
   }
 
+  /** Top-N terms per topic of a fitted model, as strings. */
+  def topTopicWords(lda: LDAModel, vocab: Array[String], topN: Int): Seq[Seq[String]] =
+    lda.describeTopics(topN).collect().toSeq
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Int](1).map(vocab(_)).toSeq)
+
+  /** M4 (O-M2+O-M3): the reference's model-selection sweep — train LDA
+    * for k ∈ {2,4,6}, score each with c_v coherence over the token
+    * corpus, emit (k, coherence) (ipynb cells 8-9, lines 346-375).
+    * Rows-only: iterative model scores aren't SQL-derivable.
+    */
+  def m4LdaSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val v = cv.transform(c).cache()
+    val toks = c.select(col("doc_id"), col("tokens"))
+    val rows = Seq(2, 4, 6).map { k =>
+      val lda = fitLda(v, k = k, maxIter = 5)
+      val words = topTopicWords(lda, cv.vocabulary, 10)
+      val coh = graft.functions.Coherence.cv(toks, words)
+      (k, BigDecimal(coh.sum / coh.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("k", "c_v").orderBy(col("k"))
+  }
+
+  /** M5 (O-M3): per-topic c_v coherence of the k=12 model. Rows-only. */
+  def m5Coherence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val lda = fitLda(cv.transform(c))
+    val words = topTopicWords(lda, cv.vocabulary, 10)
+    val coh = graft.functions.Coherence.cv(c.select(col("doc_id"), col("tokens")), words)
+    coh.zipWithIndex.map { case (score, topic) =>
+      (topic, BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("topic", "c_v").orderBy(col("topic"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
     "m3_topic_keywords" -> (m3TopicKeywords _),
+    "m4_lda_sweep" -> (m4LdaSweep _),
+    "m5_coherence" -> (m5Coherence _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
