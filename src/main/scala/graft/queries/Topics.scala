@@ -180,15 +180,68 @@ object Topics {
     }.toDF("topic", "c_v").orderBy(col("topic"))
   }
 
+  /** M6 (O-A6): doc2bow — per-document bag-of-words statistics off the
+    * CountVectorizer sparse vector (ipynb line 323: dictionary.doc2bow
+    * per doc). n_terms = distinct vocabulary terms present, n_tokens =
+    * total vocabulary-term occurrences. Oracle-checked: both counts are
+    * relational algebra over tokens × the minDF/maxDF vocabulary.
+    */
+  def m6Doc2bow(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val nnzUdf = udf { vec: MlVector => vec.numNonzeros }
+    val totUdf = udf { vec: MlVector => vec.toArray.sum.toLong }
+    cv.transform(c)
+      .select(col("doc_id"), nnzUdf(col("features")).as("n_terms"),
+        totUdf(col("features")).as("n_tokens"))
+      .filter(col("n_terms") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val m6Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      string_split_regex(trim(regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
+       |                  '<.*?>', '', 'g'),
+       |                '[^ 0-9a-z]', ' ', 'g'),
+       |              '\\b(\\d+\\d)\\b', '', 'g'),
+       |            'http|https|www', '', 'g'),
+       |          '\\b[a-z]\\b', '', 'g'),
+       |        ' +', ' ', 'g')), '\\s+'),
+       |      t -> len(t) > 2 AND NOT list_contains(${stopWordsSqlList}, t)) AS toks
+       |  FROM documents
+       |), flat AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM toks
+       |), dfreq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM flat GROUP BY 1
+       |), n AS (SELECT count(*) AS n_docs FROM toks
+       |), vocab AS (
+       |  SELECT term FROM dfreq, n
+       |  WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs
+       |)
+       |SELECT f.doc_id, count(DISTINCT f.term) AS n_terms, count(*) AS n_tokens
+       |FROM flat f JOIN vocab v USING (term)
+       |GROUP BY f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
     "m3_topic_keywords" -> (m3TopicKeywords _),
     "m4_lda_sweep" -> (m4LdaSweep _),
     "m5_coherence" -> (m5Coherence _),
+    "m6_doc2bow" -> (m6Doc2bow _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "m1_vocabulary" -> m1Sql,
+    "m6_doc2bow" -> m6Sql,
   )
 }
