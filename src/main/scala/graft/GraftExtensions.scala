@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{VecDot, VecNorm}
+
+/** Session extension registering graft's native Catalyst expressions —
+  * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (Verify, Bench, and the test harness all do). After injection the
+  * functions are usable from both the Column API (`expr("vec_dot(a,b)")`)
+  * and plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo("graft.expressions.VecDot", "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo("graft.expressions.VecNorm", "vec_norm"),
+      (children: Seq[Expression]) => VecNorm(children.head)))
+  }
+}

@@ -76,12 +76,14 @@ object SimFunctions {
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Sequential-fold dot product of two double arrays (matches DuckDB
-    * list_dot_product accumulation order exactly — verified).
+    * list_dot_product accumulation order exactly — verified). Backed by
+    * the native codegen expression graft.expressions.VecDot (requires
+    * GraftExtensions on the session): the built-in
+    * aggregate(zip_with(...)) HOF form evaluates interpreted at ~250×
+    * the cost on the candidate-pair hot path.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+  def dot(a: Column, b: Column): Column = call_udf("vec_dot", a, b)
 
-  /** L2 norm, same sequential fold. */
-  def l2Norm(c: Column): Column =
-    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm, same sequential fold (native VecNorm expression). */
+  def l2Norm(c: Column): Column = call_udf("vec_norm", c)
 }

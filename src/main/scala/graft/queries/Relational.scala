@@ -304,6 +304,39 @@ object Relational {
       |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** O-J2 (+O-P10): positional join — the reference aligns LDA inference
+    * output with its source rows by pandas index (topic_modelling.ipynb
+    * line 820 pd.concat(axis=1)). Spark has no implicit row order, so the
+    * positional form is row_number over an EXPLICIT deterministic
+    * ordering on both sides, then an equi-join on the ordinal (the
+    * pattern to reach for when an ordinal is semantically real; for LDA
+    * itself we avoid it entirely — transform appends in-row, see Topics).
+    * The ordinal shuffle is a single window per side over the sort key.
+    */
+  def q19PositionalJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val left = Tables.documents(s, dir)
+      .withColumn("pos", row_number().over(Window.orderBy(col("doc_id"))))
+      .select(col("pos"), col("doc_id"), col("lang"))
+    val right = Tables.embeddings(s, dir)
+      .withColumn("pos", row_number().over(Window.orderBy(col("vec_id"))))
+      .select(col("pos"), col("vec_id"), col("label"))
+    left.join(right, Seq("pos"))
+      .select(col("pos"), col("doc_id"), col("lang"), col("vec_id"), col("label"))
+      .orderBy(col("pos"))
+  }
+
+  val q19Sql: String =
+    """WITH l AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS pos, doc_id, lang
+      |  FROM documents
+      |), r AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, vec_id, label
+      |  FROM embeddings
+      |)
+      |SELECT pos, doc_id, lang, vec_id, label
+      |FROM l JOIN r USING (pos) ORDER BY pos""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -323,6 +356,7 @@ object Relational {
     "q16_join_chain" -> (q16JoinChain _),
     "q17_non_empty" -> (q17NonEmpty _),
     "q18_pivot_status" -> (q18PivotStatus _),
+    "q19_positional_join" -> (q19PositionalJoin _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -344,5 +378,6 @@ object Relational {
     "q16_join_chain" -> q16Sql,
     "q17_non_empty" -> q17Sql,
     "q18_pivot_status" -> q18Sql,
+    "q19_positional_join" -> q19Sql,
   )
 }
