@@ -13,9 +13,13 @@ import scala.collection.immutable.ListMap
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The E3 sentiment-trend slice (SURVEY §7.3): scan → clean chain →
+    * sentiment UDF → daily agg → rolling window — the reference's
+    * headline pipeline end-to-end.
+    */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    graft.queries.Analytics.a2SentimentTrend(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
