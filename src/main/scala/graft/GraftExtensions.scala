@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{VecDot, VecNorm}
+import graft.expressions.{VecDot, VecNorm, WinnowFingerprints}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo("graft.expressions.VecNorm", "vec_norm"),
       (children: Seq[Expression]) => VecNorm(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo("graft.expressions.WinnowFingerprints", "winnow_fingerprints"),
+      (children: Seq[Expression]) => WinnowFingerprints(children.head)))
   }
 }

@@ -214,11 +214,39 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  /** D5: winnowing-fingerprint copy detection (Schleimer et al. 2003) —
+    * each doc's Rabin rolling-hash winnowed fingerprint set (native
+    * codegen expression, one O(n) pass per row), inverted-index join on
+    * shared fingerprints, pairs sharing ≥ 5. Any shared substring of
+    * ≥ 11 bytes guarantees a shared fingerprint, so near-identical docs
+    * surface without all-pairs comparison — same scale shape as d1.
+    * Rows-only (the wrapping int64 rolling hash has no DuckDB
+    * counterpart); DedupSpec pins the fingerprint guarantees.
+    * Threshold: ≥ 5 shared 24-byte-gram fingerprints ≈ five shared
+    * ~4-word runs — plagiarism-level overlap, not vocabulary overlap.
+    */
+  def d5WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(expr("winnow_fingerprints(text)")).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val a = inv.select(col("doc_id").as("id1"), col("fp"))
+    val b = inv.select(col("doc_id").as("id2"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
     "d3_simhash_pairs" -> (d3SimHashPairs _),
     "d4_embedding_dups" -> (d4EmbeddingDups _),
+    "d5_winnow_pairs" -> (d5WinnowPairs _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

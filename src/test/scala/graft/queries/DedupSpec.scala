@@ -79,6 +79,33 @@ class DedupSpec extends AnyFunSuite {
     assert(ham > 0 && ham <= 16, s"hamming to mutated doc was $ham")
   }
 
+  test("winnow fingerprints: identity, substring guarantee, selectivity") {
+    import graft.expressions.WinnowFingerprints.compute
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // identical input → identical fingerprints
+    assert(compute(text.getBytes).toSeq == compute(text.getBytes).toSeq)
+    // a long shared substring guarantees a shared fingerprint value
+    val shared = "XXXX " + text + " YYYY"
+    val fp1 = compute(text.getBytes).toSet
+    val fp2 = compute(shared.getBytes).toSet
+    assert(fp1.intersect(fp2).nonEmpty)
+    // unrelated strings share nothing
+    val other = compute("zebra quartz viable mixup jolly".getBytes).toSet
+    assert(fp1.intersect(other).isEmpty)
+    // short input: below k → empty; k..k+w-1 bytes → single fingerprint
+    assert(compute(("a" * 23).getBytes).isEmpty)
+    assert(compute(("b" * 24).getBytes).length == 1)
+  }
+
+  test("d5 winnow pairs finds the planted near-dups") {
+    val got = Dedup.d5WinnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val strong = bruteJaccard(0.9).keySet
+    if (strong.nonEmpty)
+      assert(got.intersect(strong).nonEmpty, "missed all strong near-dups")
+  }
+
   test("d3 simhash pairs have verified hamming <= 6 and include a planted near-dup") {
     val rows = Dedup.d3SimHashPairs(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
