@@ -52,4 +52,39 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got.size == got.toSet.size, "a key was emitted more than once")
     assert(got.toSet == expectedKeys)
   }
+
+  test("streamed daily tumbling counts equal batch date_trunc counts (O-W1)") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_w1").toString
+    val events = graft.Tables.events(spark, graft.TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    events.coalesce(2).write.parquet(s"$tmp/src")
+
+    val q = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .writeStream
+      .format("memory")
+      .queryName("daily_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT window.start, n, avg_value FROM daily_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val exp = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq == exp.map(t => (t._1, t._2)).toSeq)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
+  }
 }
