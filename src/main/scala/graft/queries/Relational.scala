@@ -158,17 +158,22 @@ object Relational {
   val q8Sql: String = "SELECT DISTINCT user_id, event_type FROM events"
 
   /** O-D2: keyed dedup with deterministic survivor — latest event per user
-    * (cross-run URL dedup, bbc_news_dag.py:36-38). row_number over a
-    * per-key window; one shuffle on the key, streams within groups.
+    * (cross-run URL dedup, bbc_news_dag.py:36-38). max_by aggregation,
+    * NOT a window rank: the partial (map-side) aggregate keeps one row
+    * per key per partition, so the shuffle carries ~|keys| rows instead
+    * of every event, and a hot key costs its partitions one row each —
+    * skew-immune where row_number().over(partitionBy(key)) would funnel
+    * the hot key's full history through one task. Tie-break (ts,
+    * event_id) is total, so the survivor is deterministic.
     */
-  def q9LatestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def q9LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id"), col("last.event_type"),
+        col("last.value"))
 
   val q9Sql: String =
     """SELECT user_id, event_id, event_type, value FROM (

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the driver-side kernels (run by sbt's
+  * native ScalaCheck support alongside the ScalaTest suites).
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(wordGen, Gen.oneOf("not", "very", "good", "bad", "the")))
+      .map(_.mkString(" "))
+
+  property("sentiment stays bounded") = forAll(textGen) { t =>
+    val (p, s) = functions.Sentiment.score(t)
+    p >= -1.0 && p <= 1.0 && s >= 0.0 && s <= 1.0
+  }
+
+  property("lemmatize never lengthens a token") =
+    forAll(wordGen, Gen.oneOf("NN", "NNS", "VB", "VBD", "JJ", "RB")) { (w, tag) =>
+      functions.PosLemma.lemmatize(w, tag).length <= w.length
+    }
+
+  property("posTag is total and keep() decides every tag") = forAll(wordGen) { w =>
+    val tag = functions.PosLemma.posTag(w)
+    tag.nonEmpty && (functions.PosLemma.keep(tag) || !functions.PosLemma.keep(tag))
+  }
+
+  property("winnow: a shared >=31-byte substring implies a shared fingerprint") =
+    forAll(wordGen, wordGen, Gen.choose(31, 120)) { (pre, post, n) =>
+      val core = Iterator.continually("abcdefghij kl mno pqr stuvw xyz ")
+        .flatten.take(n).mkString
+      val f1 = expressions.WinnowFingerprints.compute(core.getBytes).toSet
+      val f2 = expressions.WinnowFingerprints
+        .compute((pre + " " + core + " " + post).getBytes).toSet
+      f1.isEmpty || f1.intersect(f2).nonEmpty
+    }
+
+  property("winnow fingerprints are deterministic") = forAll(textGen) { t =>
+    expressions.WinnowFingerprints.compute(t.getBytes).toSeq ==
+      expressions.WinnowFingerprints.compute(t.getBytes).toSeq
+  }
+
+  property("TopKAggregator equals sort-take under arbitrary chunking") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0, 30).map(_ / 10.0), Gen.choose(0L, 50L))),
+      Gen.choose(1, 10)) { (data, k) =>
+      val items = data.map { case (s, i) => functions.ScoredId(s, i) }
+      val agg = new functions.TopKAggregator(k)
+      val ord = Ordering.by((s: functions.ScoredId) => (-s.score, s.id))
+      val chunks = items.grouped(math.max(1, items.size / 3 + 1)).toSeq
+      val merged = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == items.sorted(ord).take(k)
+    }
+
+  property("simhash-style bit fold round-trips sign sums") =
+    forAll(Gen.listOfN(64, Gen.oneOf(-3L, -1L, 1L, 3L))) { sums =>
+      // reconstructing bits from the packed long matches the sign rule
+      val packed = sums.zipWithIndex.foldLeft(0L) { case (acc, (s, j)) =>
+        if (s >= 0) acc | (1L << j) else acc
+      }
+      sums.zipWithIndex.forall { case (s, j) =>
+        (((packed >> j) & 1L) == 1L) == (s >= 0)
+      }
+    }
+}
