@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{VecDot, VecNorm, WinnowFingerprints}
+import graft.expressions.{SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo("graft.expressions.WinnowFingerprints", "winnow_fingerprints"),
       (children: Seq[Expression]) => WinnowFingerprints(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.expressions.SimHash64", "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo("graft.expressions.WordNgrams", "word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children(0), children(1))))
   }
 }

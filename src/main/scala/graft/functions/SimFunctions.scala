@@ -21,37 +21,9 @@ object SimFunctions {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleCol, s => xxhash64(s, i))))
 
-  /** LSH band hashes for a MinHash signature: b bands of r consecutive
-    * signature entries, each band collapsed to one 64-bit hash. Two docs
-    * land in the same (band, hash) bucket iff their signatures agree on
-    * all r rows of that band — P(bucket | jaccard s) = 1-(1-s^r)^b.
-    * With r=2, b=64 a pair at s=0.5 is caught with p ≈ 1-1e-8.
-    */
-  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => {
-        val members = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
-        xxhash64(members: _*)
-      })
-
   /** Set Jaccard over two (already-distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
-
-  /** Per-shingle 64-bit hashes for SimHash (hash once, fold bits later
-    * via an explode + 64-way grouped sum — see Dedup.simHashSignatures).
-    */
-  def shingleHash(shingle: Column): Column = xxhash64(shingle)
-
-  /** Fold 64 per-bit sign sums (columns b0..b63, each the count of
-    * +1/-1 votes for that bit across a doc's shingle hashes) into the
-    * 64-bit SimHash value.
-    */
-  def simHashFromBitSums(bitSum: Int => Column): Column =
-    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(
-        when(bitSum(j) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-    }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -64,15 +64,9 @@ class DedupSpec extends AnyFunSuite {
     val text = (0 until 60).map(i => s"w${i % 25}").mkString(" ")
     val mutated = text.replace("w3", "zzz") // a few shingles change
     val df = Seq((1L, text), (2L, text), (3L, mutated)).toDF("doc_id", "text")
-    // same pipeline as simHashSignatures but over an in-memory frame
-    val h = df.select(col("doc_id"), explode(shingles(tokenize(col("text")), 3)).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
-    }
-    val sig = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simHashFromBitSums(j => col(s"b$j")).as("simhash"))
+    val sig = df
+      .select(col("doc_id"),
+        call_udf("simhash64", shingles(tokenize(col("text")), 3)).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(1L) == sig(2L))
     val ham = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
