@@ -194,8 +194,8 @@ object Relational {
       |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin
 
   /** O-A1 + exact distinct count: per-type cardinality of users. At 100 TB
-    * this is the expensive exact form (two-level shuffle); the approximate
-    * HLL form is MLQueries.approxDistinct (no oracle — sketch differs).
+    * this is the expensive exact form (two-level shuffle); the
+    * sketch-based form is q20_approx_distinct.
     */
   def q11CountDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -342,6 +342,60 @@ object Relational {
       |SELECT pos, doc_id, lang, vec_id, label
       |FROM l JOIN r USING (pos) ORDER BY pos""".stripMargin
 
+  /** Approximate distinct count (HLL++ sketch, rsd=5%): the 100 TB form
+    * of q11 — the sketch merges map-side, so the shuffle carries one
+    * ~1.5 KB sketch per group instead of every distinct key. Rows-only
+    * oracle (DuckDB's approx sketch differs); the ExactVsApprox check
+    * lives in QueriesSpec (relative error bound).
+    */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization: a new session starts after a >30-minute
+    * silence per user — lag + running conditional sum, the standard
+    * windowed form (one shuffle on user_id; within-partition streaming).
+    * Emits per-session row counts and time span.
+    */
+  def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val q21Sql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM lagged
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |       max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -362,6 +416,8 @@ object Relational {
     "q17_non_empty" -> (q17NonEmpty _),
     "q18_pivot_status" -> (q18PivotStatus _),
     "q19_positional_join" -> (q19PositionalJoin _),
+    "q20_approx_distinct" -> (q20ApproxDistinct _),
+    "q21_sessionize" -> (q21Sessionize _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -384,5 +440,6 @@ object Relational {
     "q17_non_empty" -> q17Sql,
     "q18_pivot_status" -> q18Sql,
     "q19_positional_join" -> q19Sql,
+    "q21_sessionize" -> q21Sql,
   )
 }

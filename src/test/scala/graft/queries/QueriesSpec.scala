@@ -69,6 +69,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == exp)
   }
 
+  test("q20 approx distinct is within the 5% rsd bound of exact") {
+    val exact = Relational.q11CountDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.q20ApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e <= 0.15, s"$k: approx $a vs exact $e") // 3× rsd
+    }
+  }
+
+  test("q21 sessions partition each user's events; gaps within sessions <= 30min") {
+    val sessions = Relational.q21Sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalEvents = Tables.events(spark, dir).count()
+    assert(sessions.map(_._3).sum == totalEvents)
+    // session_seq is dense 1..n per user
+    sessions.groupBy(_._1).values.foreach { ss =>
+      assert(ss.map(_._2).sorted.toSeq == (1L to ss.size).toSeq)
+    }
+  }
+
   test("t8 fingerprint groups partition the documents exactly") {
     val total = Tables.documents(spark, dir).count()
     val grouped = Text.t8Fingerprint(spark, dir)
