@@ -24,7 +24,13 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id → distinct 3-shingle set (docs with ≥1 shingle). */
+  /** doc_id → distinct 3-shingle set (docs with ≥1 shingle). Callers
+    * cache() this when referenced from multiple join sides — Dataset
+    * cache is MEMORY_AND_DISK (spills, never OOMs), holds shingle sets
+    * rather than raw documents, and lives only for the query's job; the
+    * alternative is recomputing the tokenize+shingle scan once per
+    * reference, which is strictly worse at any scale.
+    */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
