@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One native codegen expression: a single O(n) pass per row (the
   * rolling hash reuses the previous window's value), no intermediate
-  * arrays. k=8, w=4 fixed — small enough to fingerprint short fixture
-  * docs, large enough to be selective.
+  * arrays. k=24, w=8 fixed (guarantee threshold w+k-1 = 31 shared
+  * bytes) — see the K/W constants below for the tuning rationale.
   */
 case class WinnowFingerprints(child: Expression)
     extends UnaryExpression {

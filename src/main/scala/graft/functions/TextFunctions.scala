@@ -111,8 +111,11 @@ object TextFunctions {
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", ""))
     val sw = typedLit(stopWords)
     val nStop = size(filter(toks, t => array_contains(sw, lower(t))))
-    val lengthOk = when(nTok >= 50 && nTok <= 10000, 1.0).otherwise(
-      when(nTok >= 10, 0.5).otherwise(0.0))
+    // partial credit only NEAR the band — an unbounded fallback would
+    // hand 0.5 to arbitrarily long junk documents
+    val lengthOk = when(nTok >= 50 && nTok <= 10000, 1.0)
+      .when((nTok >= 10 && nTok < 50) || (nTok > 10000 && nTok <= 20000), 0.5)
+      .otherwise(0.0)
     val alphaRatio = when(nChars > 0, alphaChars.cast("double") / nChars).otherwise(0.0)
     val stopRatio = when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0)
     val stopOk = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.0)

@@ -161,7 +161,9 @@ object Dedup {
     * (identical docs → identical signatures; planted near-dups found).
     */
   def d3SimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simHashSignatures(s, dir)
+    // cache: referenced on both sides of the self-join — without it the
+    // tokenize+shingle+simhash scan runs twice
+    val sig = simHashSignatures(s, dir).cache()
       .select(col("doc_id"), col("simhash"),
         posexplode(simHashChunks(col("simhash"), 4)).as(Seq("ci", "cv")))
     val cand = sig.as("a").join(sig.as("b"),
@@ -215,7 +217,7 @@ object Dedup {
     * each doc's Rabin rolling-hash winnowed fingerprint set (native
     * codegen expression, one O(n) pass per row), inverted-index join on
     * shared fingerprints, pairs sharing ≥ 5. Any shared substring of
-    * ≥ 11 bytes guarantees a shared fingerprint, so near-identical docs
+    * ≥ 31 bytes guarantees a shared fingerprint, so near-identical docs
     * surface without all-pairs comparison — same scale shape as d1.
     * Rows-only (the wrapping int64 rolling hash has no DuckDB
     * counterpart); DedupSpec pins the fingerprint guarantees.
@@ -227,6 +229,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(expr("winnow_fingerprints(text)")).as("fps"))
       .filter(size(col("fps")) > 0)
+      .cache() // both sides of the inverted-index self-join read this
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val a = inv.select(col("doc_id").as("id1"), col("fp"))
     val b = inv.select(col("doc_id").as("id2"), col("fp"))

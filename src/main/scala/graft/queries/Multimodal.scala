@@ -78,7 +78,8 @@ object Multimodal {
         // per-partition decoder setup would go here (once, not per row)
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // null payload (null source text) → empty media, zero features
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           Row(id, r.getString(2), fakeDecodeFeatures(payload).toSeq)
         }
       }(enc)

@@ -21,31 +21,13 @@ object Text {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** SQL-literal list of the stop words, apostrophes doubled. */
-  private val stopWordsSql: String =
-    stopWords.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
-
   /** O-T2..T10: the regex normalization chain (data_preparation.py:34-42). */
   def t1CleanChain(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), cleanChain(col("text")).as("clean_text"))
 
   val t1Sql: String =
-    """SELECT doc_id,
-      |  regexp_replace(
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), 'http\S+', '', 'g'),
-      |              '<.*?>', '', 'g'),
-      |            '[^ 0-9a-z]', ' ', 'g'),
-      |          '\b(\d+\d)\b', '', 'g'),
-      |        'http|https|www', '', 'g'),
-      |      '\b[a-z]\b', '', 'g'),
-      |    ' +', ' ', 'g') AS clean_text
-      |FROM documents""".stripMargin
+    "SELECT doc_id,\n  " + OracleSql.cleanChain + " AS clean_text\nFROM documents"
 
   /** O-P6: word count by single-space split (data_preparation.py:89) +
     * O-P5 numeric threshold (:90, n_words > 50 keeps an article).
@@ -67,25 +49,8 @@ object Text {
       .select(col("doc_id"), cleanText(col("text")).as("clean"))
 
   val t3Sql: String =
-    s"""SELECT doc_id,
-       |  array_to_string(
-       |    list_filter(
-       |      string_split_regex(trim(regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace(
-       |              regexp_replace(
-       |                regexp_replace(
-       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
-       |                  '<.*?>', '', 'g'),
-       |                '[^ 0-9a-z]', ' ', 'g'),
-       |              '\\b(\\d+\\d)\\b', '', 'g'),
-       |            'http|https|www', '', 'g'),
-       |          '\\b[a-z]\\b', '', 'g'),
-       |        ' +', ' ', 'g')), '\\s+'),
-       |      t -> len(t) > 2 AND NOT list_contains($stopWordsSql, t)),
-       |    ' ') AS clean
-       |FROM documents""".stripMargin
+    "SELECT doc_id,\n  array_to_string(" + OracleSql.cleanTokens +
+      ", ' ') AS clean\nFROM documents"
 
   /** O-P1: substring predicate (bbc_news_dag.py:32 keeps URLs containing
     * 'www.bbc.com/news/'). Pushed into the parquet scan as a Contains filter.

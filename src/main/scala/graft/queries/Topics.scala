@@ -68,38 +68,19 @@ object Topics {
       .orderBy(col("term"))
   }
 
-  val m1Sql: String = {
-    // kept iff doc_freq >= 10 AND doc_freq <= 0.9 * n_docs-with-tokens
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_filter(
-       |      string_split_regex(trim(regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace(
-       |              regexp_replace(
-       |                regexp_replace(
-       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
-       |                  '<.*?>', '', 'g'),
-       |                '[^ 0-9a-z]', ' ', 'g'),
-       |              '\\b(\\d+\\d)\\b', '', 'g'),
-       |            'http|https|www', '', 'g'),
-       |          '\\b[a-z]\\b', '', 'g'),
-       |        ' +', ' ', 'g')), '\\s+'),
-       |      t -> len(t) > 2 AND NOT list_contains(${stopWordsSqlList}, t))) AS toks
-       |  FROM documents
-       |), flat AS (
-       |  SELECT unnest(toks) AS term FROM toks
-       |), df AS (
-       |  SELECT term, count(*) AS doc_freq FROM flat GROUP BY 1
-       |), n AS (SELECT count(*) AS n_docs FROM toks)
-       |SELECT term, doc_freq FROM df, n
-       |WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs
-       |ORDER BY term""".stripMargin
-  }
-
-  private def stopWordsSqlList: String =
-    stopWords.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+  val m1Sql: String =
+    // kept iff doc_freq >= MinDF AND doc_freq <= MaxDF * n_docs-with-tokens
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, list_distinct(" + OracleSql.cleanTokens + ") AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT unnest(toks) AS term FROM toks\n" +
+      "), df AS (\n" +
+      "  SELECT term, count(*) AS doc_freq FROM flat GROUP BY 1\n" +
+      "), n AS (SELECT count(*) AS n_docs FROM toks)\n" +
+      s"SELECT term, doc_freq FROM df, n\n" +
+      s"WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs\n" +
+      "ORDER BY term"
 
   /** M2 (O-M5/M6/O-A7/O-A3): dominant-topic distribution — train LDA,
     * infer per-doc topic mixtures, argmax each doc's vector, value_counts
@@ -199,37 +180,22 @@ object Topics {
   }
 
   val m6Sql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_filter(
-       |      string_split_regex(trim(regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace(
-       |              regexp_replace(
-       |                regexp_replace(
-       |                  regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), 'http\\S+', '', 'g'),
-       |                  '<.*?>', '', 'g'),
-       |                '[^ 0-9a-z]', ' ', 'g'),
-       |              '\\b(\\d+\\d)\\b', '', 'g'),
-       |            'http|https|www', '', 'g'),
-       |          '\\b[a-z]\\b', '', 'g'),
-       |        ' +', ' ', 'g')), '\\s+'),
-       |      t -> len(t) > 2 AND NOT list_contains(${stopWordsSqlList}, t)) AS toks
-       |  FROM documents
-       |), flat AS (
-       |  SELECT doc_id, unnest(toks) AS term FROM toks
-       |), dfreq AS (
-       |  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM flat GROUP BY 1
-       |), n AS (SELECT count(*) AS n_docs FROM toks
-       |), vocab AS (
-       |  SELECT term FROM dfreq, n
-       |  WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs
-       |)
-       |SELECT f.doc_id, count(DISTINCT f.term) AS n_terms, count(*) AS n_tokens
-       |FROM flat f JOIN vocab v USING (term)
-       |GROUP BY f.doc_id
-       |ORDER BY f.doc_id""".stripMargin
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT doc_id, unnest(toks) AS term FROM toks\n" +
+      "), dfreq AS (\n" +
+      "  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM flat GROUP BY 1\n" +
+      "), n AS (SELECT count(*) AS n_docs FROM toks\n" +
+      "), vocab AS (\n" +
+      "  SELECT term FROM dfreq, n\n" +
+      s"  WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs\n" +
+      ")\n" +
+      "SELECT f.doc_id, count(DISTINCT f.term) AS n_terms, count(*) AS n_tokens\n" +
+      "FROM flat f JOIN vocab v USING (term)\n" +
+      "GROUP BY f.doc_id\n" +
+      "ORDER BY f.doc_id"
 
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),

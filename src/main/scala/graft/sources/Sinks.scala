@@ -34,8 +34,13 @@ object Sinks {
   def appendUnique(spark: SparkSession, df: DataFrame, path: String,
       key: String): Long = {
     val deduped = df.dropDuplicates(key)
+    // existence via the Hadoop FS API — java.io.File is wrong for any
+    // URI-qualified path (file:/, hdfs://, s3a://) and would silently
+    // skip the uniqueness check
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(hPath)) {
         val existingKeys = spark.read.parquet(path).select(col(key))
         deduped.join(existingKeys, Seq(key), "left_anti")
       } else deduped

@@ -53,6 +53,38 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got.toSet == expectedKeys)
   }
 
+  test("bounded dedup drops duplicates arriving within the watermark horizon") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    // batch 1: keys 1..5; batch 2: keys 3..8, all within an hour → every
+    // duplicate is inside the 48h horizon and must be dropped
+    val b1 = (1L to 5L).map(k => (k, ts(k.toInt)))
+    val b2 = (3L to 8L).map(k => (k, ts(30 + k.toInt)))
+    val dir = java.nio.file.Files.createTempDirectory("stream_wm").toString
+    b1.toDF("key", "ts").coalesce(1).write.parquet(s"$dir/stage1")
+    b2.toDF("key", "ts").coalesce(1).write.parquet(s"$dir/stage2")
+    val src = java.nio.file.Files.createTempDirectory("stream_wm_flat").toString
+    var i = 0
+    for (st <- Seq("stage1", "stage2")) {
+      val f = new java.io.File(s"$dir/$st").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(src, f"part_$i%02d.parquet"))
+      i += 1
+    }
+    val schema = b1.toDF("key", "ts").schema
+    val q = StreamDedup.dedupStreamBounded(spark, src, schema, "key", "ts")
+      .writeStream.format("memory").queryName("bounded_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT key FROM bounded_out").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.toSet.size, "duplicate emitted inside horizon")
+    assert(got.toSet == (1L to 8L).toSet)
+  }
+
   test("streamed daily tumbling counts equal batch date_trunc counts (O-W1)") {
     val tmp = java.nio.file.Files.createTempDirectory("stream_w1").toString
     val events = graft.Tables.events(spark, graft.TestSpark.sfDir)
