@@ -396,6 +396,42 @@ object Relational {
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** As-of join (backward): for every click, the most recent purchase by
+    * the same user at-or-before the click's timestamp. Spark has no
+    * native ASOF JOIN; the scalable composition is the union-tag-window
+    * pattern — tag build rows, union with probe rows, one window per key
+    * ordered by (ts, tag) carrying the last build timestamp forward, then
+    * keep probe rows. ONE shuffle on the key (same as any keyed window),
+    * no range-join explosion, no per-row probe. DuckDB verifies with its
+    * native ASOF JOIN.
+    */
+  def q22AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("is_build"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("is_build"))
+    // build rows sort before probe rows at equal ts (is_build desc), so
+    // an equal-timestamp purchase is visible to the click ("at or before")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_build").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_ts",
+        last(when(col("is_build") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_build") === 0)
+      .select(col("user_id"), col("ts"), col("last_purchase_ts"))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
+  val q22Sql: String =
+    """SELECT c.user_id, c.ts, p.ts AS last_purchase_ts
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.user_id, c.ts""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -418,6 +454,7 @@ object Relational {
     "q19_positional_join" -> (q19PositionalJoin _),
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_sessionize" -> (q21Sessionize _),
+    "q22_asof_join" -> (q22AsofJoin _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -441,5 +478,6 @@ object Relational {
     "q18_pivot_status" -> q18Sql,
     "q19_positional_join" -> q19Sql,
     "q21_sessionize" -> q21Sql,
+    "q22_asof_join" -> q22Sql,
   )
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the queries are
+  * designed around (scan pushdown, broadcast dims, partial top-k
+  * aggregation, bucketed shuffle elimination) asserted against the
+  * actual executed plans, so a refactor that silently degrades a plan
+  * fails CI rather than a future 100× run.
+  */
+class PlansSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3 pushes filters and prunes columns into the parquet scan") {
+    val plan = executedPlan(Relational.q3FilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"), "filter not pushed")
+    // pruned read schema: only the 5 referenced columns, not all 16
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:dou"),
+      "column pruning lost")
+  }
+
+  test("q16 join chain broadcasts all three dims and shuffles only the agg") {
+    val plan = executedPlan(Relational.q16JoinChain(spark, dir))
+    // AQE's executed-plan string renders initial+final plans, so count ≥3
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, "expected 3 broadcast joins")
+    assert(!plan.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q2 top-K plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(Relational.q2TopKByDate(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
+  test("s1 aggregates top-k partially (map-side) before the shuffle") {
+    val plan = executedPlan(Similarity.s1CosineTopK(spark, dir))
+    assert(plan.contains("partial_topkaggregator"), "no partial top-k aggregation")
+  }
+
+  test("q9 latest-per-key uses partial max_by aggregation, not a window") {
+    val plan = executedPlan(Relational.q9LatestPerKey(spark, dir))
+    assert(plan.contains("partial_max_by"), "no map-side combine for keyed dedup")
+    assert(!plan.contains("Window"), "keyed dedup degraded to a window")
+  }
+
+  test("bucketed co-located join eliminates the shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assume(wh != null)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val plan = executedPlan(joined)
+    // both sides read pre-bucketed: the join needs no Exchange at all
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join still shuffles the probe side")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "bucketed join still shuffles the build side")
+    assert(joined.count() > 0)
+  }
+}
