@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Sentiment.sentimentUdf
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
@@ -45,13 +45,15 @@ object Analytics {
       .agg(avg(col("s.polarity")).as("polarity"),
         avg(col("s.subjectivity")).as("subjectivity"))
     val w = Window.orderBy(col("day")).rowsBetween(-9, 0)
+    def rolling(c: Column) = // pandas rolling(10): first 9 rows null
+      when(count(lit(1)).over(w) < 10, lit(null))
+        .otherwise(round(avg(c).over(w), 6))
     daily
-      .withColumn("rolling_polarity",
-        when(count(lit(1)).over(w) < 10, lit(null))
-          .otherwise(round(avg(col("polarity")).over(w), 6)))
+      .withColumn("rolling_polarity", rolling(col("polarity")))
+      .withColumn("rolling_subjectivity", rolling(col("subjectivity")))
       .select(col("day"), round(col("polarity"), 6).as("polarity"),
         round(col("subjectivity"), 6).as("subjectivity"),
-        col("rolling_polarity"))
+        col("rolling_polarity"), col("rolling_subjectivity"))
       .orderBy(col("day"))
   }
 
