@@ -432,6 +432,33 @@ object Relational {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.user_id, c.ts""".stripMargin
 
+  /** Range join: per user, count ordered event pairs within a 5-minute
+    * band. The equi-key (user_id) drives the join strategy — a hash join
+    * on the key with the time band as a post-join filter — so the plan
+    * is key-partitioned, never a cartesian/broadcast-nested-loop; the
+    * quadratic term is bounded per key by the band width.
+    */
+  def q23RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+    val a = ev.select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+    val b = ev.select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"))
+    a.join(b, Seq("user_id"))
+      .filter(col("id1") < col("id2") &&
+        unix_micros(col("ts2")) >= unix_micros(col("ts1")) &&
+        unix_micros(col("ts2")) - unix_micros(col("ts1")) <= 300L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val q23Sql: String =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300 * 1000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -455,6 +482,7 @@ object Relational {
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_sessionize" -> (q21Sessionize _),
     "q22_asof_join" -> (q22AsofJoin _),
+    "q23_range_join" -> (q23RangeJoin _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -479,5 +507,6 @@ object Relational {
     "q19_positional_join" -> q19Sql,
     "q21_sessionize" -> q21Sql,
     "q22_asof_join" -> q22Sql,
+    "q23_range_join" -> q23Sql,
   )
 }
