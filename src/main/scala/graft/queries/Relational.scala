@@ -459,6 +459,41 @@ object Relational {
       | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300 * 1000000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  /** Exact interpolated percentiles per group (median + p90). Exact
+    * percentile needs the full sorted value set per group — the
+    * expensive form; at 100 TB swap for approx_percentile (t-digest
+    * sketch, map-side mergeable) when ±ε is acceptable.
+    */
+  def q24Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy(col("event_type"))
+
+  val q24Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CUBE over (event_type, day): all four grouping combinations in one
+    * pass — Catalyst expands the grouping sets before the single
+    * partial+final aggregation, so the shuffle still map-side combines.
+    */
+  def q25Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val q25Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -483,6 +518,8 @@ object Relational {
     "q21_sessionize" -> (q21Sessionize _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_range_join" -> (q23RangeJoin _),
+    "q24_percentiles" -> (q24Percentiles _),
+    "q25_cube" -> (q25Cube _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -508,5 +545,7 @@ object Relational {
     "q21_sessionize" -> q21Sql,
     "q22_asof_join" -> q22Sql,
     "q23_range_join" -> q23Sql,
+    "q24_percentiles" -> q24Sql,
+    "q25_cube" -> q25Sql,
   )
 }

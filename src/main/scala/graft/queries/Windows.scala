@@ -138,6 +138,30 @@ object Windows {
       |  round(epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_sec
       |FROM events""".stripMargin
 
+  /** Ranking-function family: ntile quartiles + cumulative distribution
+    * + dense_rank per key — one shuffle on the key, streams within
+    * groups (same scale shape as any per-key window).
+    */
+  def w7RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 10)
+      .select(col("event_type"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).as("dr"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val w7Sql: String =
+    """SELECT event_type, event_id,
+      |  ntile(4) OVER w AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  dense_rank() OVER w AS dr
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -145,6 +169,7 @@ object Windows {
     "w4_top3_per_group" -> (w4Top3PerGroup _),
     "w5_running_sum" -> (w5RunningSum _),
     "w6_lag_delta" -> (w6LagDelta _),
+    "w7_rank_family" -> (w7RankFamily _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -154,5 +179,6 @@ object Windows {
     "w4_top3_per_group" -> w4Sql,
     "w5_running_sum" -> w5Sql,
     "w6_lag_delta" -> w6Sql,
+    "w7_rank_family" -> w7Sql,
   )
 }
