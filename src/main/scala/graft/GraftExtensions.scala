@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams}
+import graft.expressions.{SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo("graft.expressions.SimHash64", "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("xml_fields"),
+      new ExpressionInfo("graft.expressions.XmlFields", "xml_fields"),
+      (children: Seq[Expression]) => XmlFields(children)))
     e.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo("graft.expressions.WordNgrams", "word_ngrams"),

@@ -1,0 +1,222 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Field spec for [[XmlFields]] — parsed once at plan time from the
+  * foldable string-literal arguments. Forms:
+  *   - `tag`       → text content of the FIRST element named `tag`
+  *   - `tag@attr`  → value of attribute `attr` on the first `tag` element
+  *   - `tag#id`    → text of the first `tag` element whose id attribute
+  *                   equals `id` (the //tag[@id='…'] shape)
+  *   - `tag[]`     → ARRAY of the text contents of every `tag` element,
+  *                   in document order
+  */
+final class XmlSpec(val tag: String, val attr: String, val idVal: String,
+                    val all: Boolean) extends Serializable
+
+/** `xml_fields(doc, spec, spec, …)` — extract MANY fields from a
+  * well-formed XML/XHTML string in ONE scan of the document, returning a
+  * struct `c0, c1, …` (string per spec; array<string> for `tag[]`).
+  *
+  * Replaces N independent Hive `xpath_*` calls, each of which re-parses
+  * the whole document per row per reference (measured 36 ms/row → x1+x2
+  * = 667 s at sf0.1 in round 2; this scan is ~1 µs/row). The optimizer
+  * may still duplicate the expression across a Filter/Project boundary
+  * (alias substitution on predicate pushdown), but per-operator
+  * subexpression elimination bounds the cost at one scan per operator —
+  * vs one DOM parse per FIELD per operator for xpath_*.
+  *
+  * Scale: map-only scalar expression inside whole-stage codegen; a crawl
+  * archive parses embarrassingly parallel with no shuffle.
+  *
+  * Reference behavior: bbc_news_dag.py:28-34 (BeautifulSoup loc/lastmod),
+  * ArticlesSpider.py:18-33 (CSS/XPath headline, datetime, paragraphs).
+  */
+case class XmlFields(children: Seq[Expression]) extends Expression {
+
+  @transient private lazy val specs: Array[XmlSpec] =
+    children.tail.map { c =>
+      XmlFields.parseSpec(c.eval(null).asInstanceOf[UTF8String].toString)
+    }.toArray
+
+  override def dataType: DataType = StructType(specs.zipWithIndex.map {
+    case (sp, i) =>
+      StructField(s"c$i", if (sp.all) ArrayType(StringType, containsNull = false)
+                          else StringType, nullable = false)
+  })
+
+  override def nullable: Boolean = children.head.nullable
+  override def prettyName: String = "xml_fields"
+  override lazy val deterministic: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.size < 2)
+      TypeCheckResult.TypeCheckFailure("xml_fields needs a doc and ≥1 spec")
+    else if (children.head.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("xml_fields doc must be STRING")
+    else if (!children.tail.forall(c => c.foldable && c.dataType == StringType))
+      TypeCheckResult.TypeCheckFailure(
+        "xml_fields specs must be string literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val doc = children.head.eval(input)
+    if (doc == null) null
+    else XmlFields.compute(doc.asInstanceOf[UTF8String].toString, specs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specsRef = ctx.addReferenceObj("xmlSpecs", specs,
+      "graft.expressions.XmlSpec[]")
+    val child = children.head.genCode(ctx)
+    ev.copy(code = code"""
+      ${child.code}
+      boolean ${ev.isNull} = ${child.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.XmlFields.compute(
+          ${child.value}.toString(), $specsRef);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object XmlFields {
+
+  def parseSpec(s: String): XmlSpec = {
+    if (s.endsWith("[]")) new XmlSpec(s.dropRight(2), null, null, true)
+    else if (s.contains("@")) {
+      val Array(t, a) = s.split("@", 2); new XmlSpec(t, a, null, false)
+    } else if (s.contains("#")) {
+      val Array(t, id) = s.split("#", 2); new XmlSpec(t, null, id, false)
+    } else new XmlSpec(s, null, null, false)
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == ':'
+
+  /** Decode the five predefined XML entities (only touched when '&'
+    * occurs — the common no-entity path is a no-op).
+    */
+  private def unescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  /** Attribute lookup inside a start tag's body (between the tag name and
+    * '>'). Handles single/double quotes; returns null if absent.
+    */
+  private def attrValue(tagBody: String, attr: String): String = {
+    var from = 0
+    while (true) {
+      val at = tagBody.indexOf(attr, from)
+      if (at < 0) return null
+      // must be a standalone attribute name followed by =
+      val before = at == 0 || !isNameChar(tagBody.charAt(at - 1))
+      var j = at + attr.length
+      while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
+      if (before && j < tagBody.length && tagBody.charAt(j) == '=') {
+        j += 1
+        while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
+        if (j < tagBody.length && (tagBody.charAt(j) == '"' || tagBody.charAt(j) == '\'')) {
+          val q = tagBody.charAt(j)
+          val end = tagBody.indexOf(q, j + 1)
+          if (end > 0) return unescape(tagBody.substring(j + 1, end))
+        }
+        return null
+      }
+      from = at + attr.length
+    }
+    null
+  }
+
+  /** One forward scan over the document; fills every spec. Shared by
+    * interpreted eval and generated code.
+    */
+  def compute(doc: String, specs: Array[XmlSpec]): InternalRow = {
+    val n = doc.length
+    val single = new Array[UTF8String](specs.length)
+    val multi = new Array[ArrayBuffer[UTF8String]](specs.length)
+    var k = 0
+    while (k < specs.length) {
+      if (specs(k).all) multi(k) = new ArrayBuffer[UTF8String]()
+      k += 1
+    }
+    var i = 0
+    while (i < n) {
+      val lt = doc.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (lt + 1 >= n) i = n
+      else {
+        val c1 = doc.charAt(lt + 1)
+        if (c1 == '/' || c1 == '!' || c1 == '?') {
+          // closing tag, comment/doctype, or PI — skip to its '>'
+          val gt = doc.indexOf('>', lt + 1)
+          i = if (gt < 0) n else gt + 1
+        } else {
+          var j = lt + 1
+          while (j < n && isNameChar(doc.charAt(j))) j += 1
+          val tag = doc.substring(lt + 1, j)
+          val gt = doc.indexOf('>', j)
+          if (gt < 0) i = n
+          else {
+            val selfClosing = doc.charAt(gt - 1) == '/'
+            // text content = up to the next '<' (leaf-element semantics,
+            // matching the sitemap/article field shapes)
+            lazy val text: String = {
+              if (selfClosing) ""
+              else {
+                val next = doc.indexOf('<', gt + 1)
+                if (next < 0) doc.substring(gt + 1)
+                else doc.substring(gt + 1, next)
+              }
+            }
+            lazy val tagBody = doc.substring(j, gt)
+            var s = 0
+            while (s < specs.length) {
+              val sp = specs(s)
+              if (sp.tag == tag) {
+                if (sp.all) multi(s) += UTF8String.fromString(unescape(text))
+                else if (single(s) == null) {
+                  if (sp.attr != null) {
+                    val v = attrValue(tagBody, sp.attr)
+                    if (v != null) single(s) = UTF8String.fromString(v)
+                  } else if (sp.idVal != null) {
+                    if (sp.idVal == attrValue(tagBody, "id"))
+                      single(s) = UTF8String.fromString(unescape(text))
+                  } else single(s) = UTF8String.fromString(unescape(text))
+                }
+              }
+              s += 1
+            }
+            i = gt + 1
+          }
+        }
+      }
+    }
+    val out = new Array[Any](specs.length)
+    k = 0
+    while (k < specs.length) {
+      out(k) =
+        if (specs(k).all) new GenericArrayData(multi(k).toArray[Any])
+        // xpath_string parity: absent field → empty string, not null
+        else if (single(k) == null) UTF8String.EMPTY_UTF8
+        else single(k)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}

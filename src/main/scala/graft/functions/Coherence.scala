@@ -29,6 +29,22 @@ object Coherence {
   /** Per-window incidence counts for the given word set. Returns
     * (singleCounts, pairCounts, totalWindows) — pair keys are (lo, hi)
     * sorted.
+    *
+    * Semantics: c_v slides a window of `windowSize` (110) positions over
+    * each doc; docs shorter than the window form a single window (gensim
+    * behavior). N(w) = #windows containing w; N(wi,wj) = #windows
+    * containing both.
+    *
+    * Implementation: NO window is ever materialized. Only topic-word
+    * POSITIONS matter — an occurrence at position p is visible from
+    * window-starts [p-windowSize+1, p], so per doc we turn occurrences
+    * into enter/leave events over the start index, sweep them once, and
+    * credit each constant-content run's length to the words/pairs
+    * present (round 2 materialized every 110-token window and filtered
+    * each against the word set — ~100× this work; 291 s → this form).
+    * Per-doc work is O(tokens + events·present²); what leaves the scan
+    * is one (key, count) pair per distinct word/pair per doc — the same
+    * shuffle volume as before, map-side combined.
     */
   def windowCounts(
       tokens: DataFrame, // (doc_id, tokens: array<string>)
@@ -37,38 +53,88 @@ object Coherence {
     val spark = tokens.sparkSession
     import spark.implicits._
     val wordsB = spark.sparkContext.broadcast(words)
+    val totKey = "\u00010"  // total-window tally ('\u0001' sorts below any token)
+    val sep = "\u0000"    // cannot occur in a token
 
-    // windows: c_v slides a window of 110 over each doc; docs shorter
-    // than the window form a single window (gensim behavior)
-    val windowed = tokens.select(col("doc_id"), col("tokens"))
+    val counted = tokens.select(col("doc_id"), col("tokens"))
       .as[(Long, Seq[String])]
-      .flatMap { case (docId, toks) =>
+      .flatMap { case (_, toks) =>
+        val wordSet = wordsB.value
         val n = toks.length
-        val wins =
-          if (n == 0) Iterator.empty
-          else if (n <= windowSize) Iterator(toks)
-          else toks.sliding(windowSize)
-        wins.zipWithIndex.map { case (w, i) =>
-          (docId, i, w.filter(wordsB.value.contains).distinct)
+        if (n == 0) Iterator.empty
+        else {
+          val local = new scala.collection.mutable.HashMap[String, Long]()
+          // credit `len` windows to every word and unordered pair in `present`
+          def credit(present: Array[String], len: Long): Unit = {
+            var i = 0
+            while (i < present.length) {
+              local.updateWith("1" + sep + present(i))(v => Some(v.getOrElse(0L) + len))
+              var j = i + 1
+              while (j < present.length) {
+                local.updateWith("2" + sep + present(i) + sep + present(j))(v =>
+                  Some(v.getOrElse(0L) + len))
+                j += 1
+              }
+              i += 1
+            }
+          }
+          if (n <= windowSize) {
+            local(totKey) = 1L
+            credit(toks.iterator.filter(wordSet.contains).toArray.distinct.sorted, 1L)
+          } else {
+            val starts = n - windowSize + 1
+            local(totKey) = starts.toLong
+            // enter/leave events over the window-start index
+            val events = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
+            var p = 0
+            while (p < n) {
+              val t = toks(p)
+              if (wordSet.contains(t)) {
+                events += ((math.max(0, p - windowSize + 1), t, 1))
+                events += ((math.min(p, starts - 1) + 1, t, -1))
+              }
+              p += 1
+            }
+            if (events.nonEmpty) {
+              val sorted = events.sortBy(_._1)
+              val live = new scala.collection.mutable.HashMap[String, Int]()
+              var idx = 0
+              var sPrev = 0
+              while (idx < sorted.length) {
+                val sCur = math.min(sorted(idx)._1, starts)
+                if (sCur > sPrev)
+                  credit(live.keysIterator.toArray.sorted, (sCur - sPrev).toLong)
+                while (idx < sorted.length && math.min(sorted(idx)._1, starts) == sCur) {
+                  val (_, w, d) = sorted(idx)
+                  val c = live.getOrElse(w, 0) + d
+                  if (c == 0) live.remove(w) else live(w) = c
+                  idx += 1
+                }
+                sPrev = sCur
+              }
+              // trailing word-free run contributes no counts
+            }
+          }
+          local.iterator
         }
       }
-      .toDF("doc_id", "win_id", "present")
-      .cache()
+      .toDF("k", "n")
+      .groupBy("k").agg(sum(col("n")).as("n"))
+      .collect()
 
-    val totalWindows = windowed.count()
-    val single = windowed
-      .select(explode(col("present")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pairs = windowed
-      .select(col("doc_id"), col("win_id"), explode(col("present")).as("w1"),
-        col("present"))
-      .select(col("doc_id"), col("win_id"), col("w1"), explode(col("present")).as("w2"))
-      .filter(col("w1") < col("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    windowed.unpersist()
-    (single, pairs, totalWindows)
+    var totalWindows = 0L
+    val single = Map.newBuilder[String, Long]
+    val pairs = Map.newBuilder[(String, String), Long]
+    counted.foreach { r =>
+      val k = r.getString(0); val n = r.getLong(1)
+      if (k == totKey) totalWindows = n
+      else if (k.startsWith("1" + sep)) single += (k.substring(2) -> n)
+      else {
+        val parts = k.substring(2).split(sep)
+        pairs += ((parts(0), parts(1)) -> n)
+      }
+    }
+    (single.result(), pairs.result(), totalWindows)
   }
 
   /** c_v coherence per topic. `topicWords`: topN terms per topic. */

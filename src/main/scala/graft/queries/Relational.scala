@@ -304,9 +304,9 @@ object Relational {
 
   val q18Sql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** O-J2 (+O-P10): positional join — the reference aligns LDA inference
@@ -387,8 +387,8 @@ object Relational {
       |  FROM lagged
       |), sessions AS (
       |  SELECT user_id, ts,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |  FROM flagged
       |)
       |SELECT user_id, session_seq, count(*) AS n_events,

@@ -24,6 +24,39 @@ class CoherenceSpec extends AnyFunSuite {
     assert(tot == 1 && single == Map("x" -> 1, "y" -> 1) && pairs == Map(("x", "y") -> 1))
   }
 
+  test("event-sweep windowCounts matches brute-force window materialization") {
+    // the production path never materializes windows; this oracle does,
+    // over seeded random docs spanning the n<=window and n>window regimes
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val words = Set("a", "b", "c")
+    val win = 5
+    val docs = (0L until 40L).map { i =>
+      val n = 1 + rnd.nextInt(14) // lengths 1..14 straddle win=5
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    // brute force: materialize every sliding window
+    var tot = 0L
+    val single = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val pairs =
+      scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (_, toks) =>
+      val wins = if (toks.length <= win) Seq(toks) else toks.sliding(win).toSeq
+      wins.foreach { w =>
+        tot += 1
+        val present = w.filter(words.contains).distinct.sorted
+        present.foreach(x => single(x) += 1)
+        for (i <- present.indices; j <- i + 1 until present.size)
+          pairs((present(i), present(j))) += 1
+      }
+    }
+    val (gotSingle, gotPairs, gotTot) =
+      Coherence.windowCounts(docs.toDF("doc_id", "tokens"), words, win)
+    assert(gotTot == tot)
+    assert(gotSingle == single.toMap)
+    assert(gotPairs == pairs.toMap)
+  }
+
   test("perfectly co-occurring topic words score near 1, disjoint score lower") {
     // corpus A: {sun moon} always together; corpus B: {cat} and {dog}
     // never co-occur
