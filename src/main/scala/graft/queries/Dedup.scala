@@ -50,25 +50,63 @@ object Dedup {
       |)""".stripMargin
 
   /** D1: exact n-gram Jaccard near-dup pairs (threshold 0.2) via an
-    * inverted shingle index: explode shingles, equi-join on the shingle,
-    * count common per pair, Jaccard from set sizes. The join key is the
-    * shingle string — frequency-skewed shingles are the scale hazard; at
-    * 100 TB add a doc-frequency cap on shingles (drop shingles in >p% of
-    * docs) before the join, which only removes pairs already similar via
-    * other shingles.
+    * inverted shingle index with a DOC-FREQUENCY CAP: shingles appearing
+    * in more than `maxDfFrac` of all docs are dropped from the index
+    * BEFORE the self-join (a stop-word shingle pairs every doc with every
+    * doc — the classic hot-key explosion; round 2 without the cap ran
+    * 45 s at sf0.1, dominated by common-shingle pairs that the Jaccard
+    * threshold then discarded). The hot set is found by one map-side-
+    * combined count per shingle and is tiny (bounded by 1/maxDfFrac ×
+    * skew), so it broadcasts into an anti-join — no extra big shuffle.
+    *
+    * The cap prunes CANDIDATE GENERATION only; surviving pairs are
+    * verified with the exact Jaccard over the FULL shingle sets (same
+    * candidates-then-verify shape as d2), so reported values are
+    * identical to the uncapped answer. A pair is lost only if ALL its
+    * shared shingles are corpus-stop-shingles — such a pair is
+    * vocabulary overlap, not duplication (Broder 1997's standard
+    * frequency-pruning argument).
     */
   def d1JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val maxDfFrac = 0.10
     val sh = shingleSets(s, dir).cache()
+    val nDocs = sh.count() // cached; cheap scalar for the absolute cap
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
-    val a = inv.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
-    val b = inv.select(col("doc_id").as("id2"), col("n").as("n2"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val hot = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(math.max(1L, (maxDfFrac * nDocs).toLong)))
+      .select(col("shingle"))
+      .cache()
+    val nHot = hot.count() // tiny by construction (≤ 1/maxDfFrac × skew)
+    val kept = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val common = kept
+      .select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
+      .join(kept.select(col("doc_id").as("id2"), col("n").as("n2"),
+        col("shingle")), Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("j",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+    val result =
+      if (nHot == 0L) {
+        // no shingle was capped → capped common IS the exact common
+        common.withColumn("j",
+          col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      } else {
+        // a pair can share at most all nHot hot shingles beyond its
+        // capped common, so j ≤ (common+nHot)/(n1+n2-common-nHot) — prune
+        // with that sound bound, then verify survivors exactly against
+        // the full shingle sets (candidates-then-verify, like d2)
+        val ub = least(col("common") + lit(nHot),
+          least(col("n1"), col("n2")).cast("long"))
+        common
+          .filter(ub.cast("double") / (col("n1") + col("n2") - ub) >= 0.2)
+          .select(col("id1"), col("id2"))
+          .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+          .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+          .withColumn("j", jaccard(col("sh1"), col("sh2")))
+      }
+    result
       .filter(col("j") >= 0.2)
       .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -166,15 +204,18 @@ object Dedup {
     val sig = simHashSignatures(s, dir).cache()
       .select(col("doc_id"), col("simhash"),
         posexplode(simHashChunks(col("simhash"), 4)).as(Seq("ci", "cv")))
-    val cand = sig.as("a").join(sig.as("b"),
+    // hamming filter BEFORE distinct: the xor+popcount predicate is a
+    // codegen'd per-row check, so junk pairs from hot chunk buckets die
+    // inside the join stage instead of being shuffled into the distinct
+    // (round 2 ran distinct first — 70.8 s at sf0.1, dominated by
+    // deduplicating pairs the filter then discarded)
+    sig.as("a").join(sig.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-      .distinct()
-    cand.withColumn("hamming", hamming(col("s1"), col("s2")))
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= 6)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 

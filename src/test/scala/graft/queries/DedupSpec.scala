@@ -40,6 +40,37 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6) }
   }
 
+  test("d1 hot-shingle cap branch stays exact when a shingle exceeds the df cap") {
+    // synthetic corpus where one shingle ("hot hot hot") is in EVERY doc
+    // (df = 100% > 10% cap → nHot > 0 → the bounded-verify branch runs);
+    // docs 0/1 are near-identical, the rest are disjoint apart from the
+    // hot shingle
+    val mkDoc = (i: Int, words: Seq[String]) =>
+      (i.toLong, ("hot hot hot " + words.mkString(" ")))
+    val docs = Seq(
+      mkDoc(0, (0 until 30).map(k => s"a$k")),
+      mkDoc(1, (0 until 30).map(k => if (k == 17) "zzz" else s"a$k")),
+    ) ++ (2 until 20).map(i => mkDoc(i, (0 until 30).map(k => s"u${i}_$k")))
+    val tmp = java.nio.file.Files.createTempDirectory("d1hot").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d1JaccardPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over the SAME synthetic corpus
+    val sets = docs.map { case (id, t) =>
+      (id, t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val exp = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= 0.2
+    } yield (i1, i2) -> j).toMap
+    assert(exp.contains((0L, 1L)), "fixture must plant a qualifying pair")
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6) }
+  }
+
   test("d2 minhash-lsh finds exactly the pairs >= 0.5 on the fixture") {
     val got = Dedup.d2MinHashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
