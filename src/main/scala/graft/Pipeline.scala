@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** The t4 process stage over raw articles (doc_id, text, …):
-    * dropna → n_words → keep > minWords → clean+POS+lemmatize →
-    * n_words_clean → sentiment (E3's per-article scores, fused here so
-    * one pass produces the analytics-ready table).
+  /** The t4 process stage over raw articles: dropna → n_words → keep >
+    * minWords → clean+POS+lemmatize → n_words_clean → sentiment (E3's
+    * per-article scores, fused here so one pass produces the
+    * analytics-ready table). `carryCols` are the identifying columns
+    * carried through unchanged — doc_id for the synthetic fixture,
+    * url/date/menu_submenu/title/subtitle for the reference-shaped BBC
+    * corpus (the columns data_preparation.py:95-101 keeps after its
+    * drop(columns=[images, topic_name, …])).
     */
-  def processArticles(raw: DataFrame, minWords: Int = 50): DataFrame =
+  def processArticles(raw: DataFrame, minWords: Int = 50,
+      carryCols: Seq[String] = Seq("doc_id")): DataFrame =
     raw.na.drop("any")
       .withColumn("n_words", wordCount(col("text")))
       .filter(col("n_words") > minWords)
@@ -34,27 +39,40 @@ object Pipeline {
       .withColumn("article_clean", array_join(col("toks"), " "))
       .withColumn("n_words_clean", size(col("toks")))
       .withColumn("s", sentimentUdf(col("article_clean")))
-      .select(col("doc_id"), col("text"), col("n_words"),
+      .select(carryCols.map(col) ++ Seq(col("text"), col("n_words"),
         col("article_clean"), col("n_words_clean"),
         round(col("s.polarity"), 6).as("polarity"),
-        round(col("s.subjectivity"), 6).as("subjectivity"))
+        round(col("s.subjectivity"), 6).as("subjectivity")): _*)
 
-  /** One incremental ingest run. Returns (newLinks, newArticles) — the
-    * reference's XCom doc counts.
+  /** One incremental ingest over caller-supplied link and article
+    * frames — the reference DAG's t2→t4 with the Mongo unique index
+    * replaced by appendUnique's anti-join. Returns (newLinks,
+    * newArticles), the reference's XCom doc counts.
+    */
+  def ingest(
+      spark: SparkSession,
+      links: DataFrame, linkKey: String,
+      articles: DataFrame, articleKey: String,
+      linksPath: String, articlesPath: String,
+      process: DataFrame => DataFrame): (Long, Long) = {
+    val newLinks = Sinks.appendUnique(spark, links, linksPath, linkKey)
+    val newArticles =
+      Sinks.appendUnique(spark, process(articles), articlesPath, articleKey)
+    (newLinks, newArticles)
+  }
+
+  /** The fixture-table ingest run (links from the synthesized sitemap,
+    * articles from `documents`).
     */
   def ingestRun(
       spark: SparkSession,
       sfDir: String,
       linksPath: String,
       articlesPath: String,
-      feedFilter: DataFrame => DataFrame = identity): (Long, Long) = {
-    // stage 2 (t2): sitemap parse → news-URL links
-    val links = feedFilter(queries.Extraction.x1SitemapParse(spark, sfDir))
-    val newLinks = Sinks.appendUnique(spark, links, linksPath, "loc")
-    // stage 3+4 (t3/t4): "crawl" the docs behind the new links, process
-    val docs = feedFilter(Tables.documents(spark, sfDir))
-    val processed = processArticles(docs)
-    val newArticles = Sinks.appendUnique(spark, processed, articlesPath, "doc_id")
-    (newLinks, newArticles)
-  }
+      feedFilter: DataFrame => DataFrame = identity): (Long, Long) =
+    ingest(spark,
+      feedFilter(queries.Extraction.x1SitemapParse(spark, sfDir)), "loc",
+      feedFilter(Tables.documents(spark, sfDir)), "doc_id",
+      linksPath, articlesPath,
+      processArticles(_))
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md §B: the reference-shaped corpora under
+  * src/test/resources/bbc/ — real BBC URL/lastmod/article shapes
+  * (items.py:10-22, ArticlesSpider.py:18-33, bbc_news_dag.py:34) —
+  * driven through the same operators the synthetic fixtures exercise,
+  * plus the golden-output sentiment distribution checks promised in
+  * SURVEY §5.2.
+  */
+class BbcCorpusSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def res(name: String): String =
+    getClass.getResource(s"/bbc/$name").getPath
+
+  private val rawSchema = StructType(Seq(
+    StructField("url", StringType), StructField("date", StringType),
+    StructField("link", StringType), StructField("menu_submenu", StringType),
+    StructField("title", StringType), StructField("subtitle", StringType),
+    StructField("authors", ArrayType(StringType)),
+    StructField("text", StringType),
+    StructField("topic_name", ArrayType(StringType)),
+    StructField("topic_url", ArrayType(StringType)),
+    StructField("images", ArrayType(StringType))))
+
+  private def links: DataFrame =
+    spark.read.schema("lastmod STRING, url STRING").json(res("links.jsonl"))
+
+  private def raw: DataFrame =
+    spark.read.schema(rawSchema).json(res("articles_raw.jsonl"))
+
+  /** data_preparation.py:95-101's column drop + date parse, ahead of the
+    * shared process stage.
+    */
+  private def shaped: DataFrame =
+    raw.drop("images", "topic_name", "topic_url", "link", "authors")
+      .withColumn("date",
+        date_format(to_timestamp(col("date")), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  private def processed: DataFrame =
+    Pipeline.processArticles(shaped, 50,
+      Seq("url", "date", "menu_submenu", "title", "subtitle"))
+
+  test("O-P1+O-P2+O-D2: links ingest is incremental over real sitemap rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("bbclinks").toString + "/links"
+    val news = links.filter(col("url").contains("www.bbc.com/news/"))
+    // run 1: pre-cutoff backlog only (O-P2 range predicate)
+    val n1 = sources.Sinks.appendUnique(spark,
+      news.filter(col("lastmod") < "2022-08-28T00:00:00Z"), tmp, "url")
+    // run 2: the full feed — only the delta may append (O-D2 cross-run)
+    val n2 = sources.Sinks.appendUnique(spark, news, tmp, "url")
+    val stored = spark.read.parquet(tmp)
+    assert(n1 == 4, s"pre-cutoff backlog was $n1")
+    val distinctNews = news.select("url").distinct().count()
+    assert(n1 + n2 == distinctNews, s"$n1+$n2 != $distinctNews")
+    assert(stored.count() == distinctNews)
+    // the fixture plants exact-duplicate rows and non-news URLs
+    assert(links.count() > distinctNews)
+  }
+
+  test("O-P7: menu_submenu derivation from real BBC URLs matches the spider") {
+    // ArticlesSpider.py:24 — strip the /news/ prefix, split on '-', drop
+    // the trailing article id, re-join
+    val path = regexp_replace(col("url"), "^https://www\\.bbc\\.com/news/", "")
+    val parts = split(path, "-")
+    val derived = array_join(
+      slice(parts, lit(1), greatest(size(parts) - 1, lit(0))), "-")
+    val mismatches = raw
+      .select(col("url"), col("menu_submenu"), derived.as("derived"))
+      .filter(col("menu_submenu") =!= col("derived"))
+      .collect()
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    // pins the golden-CSV shapes explicitly
+    val got = raw.select(col("url"), col("menu_submenu")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://www.bbc.com/news/uk-england-bristol-62547754") ==
+      "uk-england-bristol")
+    assert(got("https://www.bbc.com/news/world-europe-62710530") == "world-europe")
+    assert(got("https://www.bbc.com/news/uk-62710553") == "uk")
+  }
+
+  test("O-P3: title guard keeps only non-null, non-empty titles") {
+    val kept = raw.filter(col("title").isNotNull && col("title") =!= "")
+    assert(raw.count() == 16)
+    assert(kept.count() == 13) // 2 null titles + 1 empty planted
+  }
+
+  test("process stage output matches the committed articles_processed golden") {
+    val goldenSchema = StructType(Seq(
+      StructField("url", StringType), StructField("date", StringType),
+      StructField("menu_submenu", StringType), StructField("title", StringType),
+      StructField("subtitle", StringType), StructField("text", StringType),
+      StructField("n_words", IntegerType),
+      StructField("article_clean", StringType),
+      StructField("n_words_clean", IntegerType),
+      StructField("polarity", DoubleType), StructField("subjectivity", DoubleType)))
+    val golden = spark.read.schema(goldenSchema)
+      .json(res("articles_processed.jsonl"))
+    val got = processed.collect().map(_.toSeq).toSet
+    val exp = golden
+      .select(processed.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSet
+    assert(exp.size == 11)
+    assert(got == exp)
+  }
+
+  test("E1 over the BBC corpus: two overlapping ingests append only the delta") {
+    val tmp = java.nio.file.Files.createTempDirectory("bbcingest").toString
+    val news = links.filter(col("url").contains("www.bbc.com/news/"))
+    val process = (df: DataFrame) => Pipeline.processArticles(df, 50,
+      Seq("url", "date", "menu_submenu", "title", "subtitle"))
+    val firstHalf = (df: DataFrame) => df.filter(col("url") < "https://www.bbc.com/news/u")
+    val (l1, a1) = Pipeline.ingest(spark, firstHalf(news), "url",
+      firstHalf(shaped), "url", s"$tmp/links", s"$tmp/articles", process)
+    val (l2, a2) = Pipeline.ingest(spark, news, "url",
+      shaped, "url", s"$tmp/links", s"$tmp/articles", process)
+    assert(l1 > 0 && a1 > 0 && l2 > 0 && a2 > 0)
+    val arts = spark.read.parquet(s"$tmp/articles")
+    assert(arts.count() == a1 + a2)
+    assert(arts.count() == arts.select("url").distinct().count())
+    assert(arts.count() == 11) // the keeper rows (see articles_raw.jsonl)
+    val linksStored = spark.read.parquet(s"$tmp/links")
+    assert(linksStored.count() == l1 + l2)
+  }
+
+  test("golden sentiment fixture obeys the BASELINE bounds and shape") {
+    // 30 rows copied verbatim from the reference's
+    // data/articles_sentiments.csv (BASELINE.md: polarity ∈ [-0.9, 1.0]
+    // mean 0.0654; subjectivity ∈ [0, 1] mean 0.3966 over 20,350 rows)
+    val golden = spark.read.option("header", "true")
+      .schema("date STRING, polarity DOUBLE, subjectivity DOUBLE, title STRING, url STRING")
+      .csv(res("articles_sentiments.csv"))
+    assert(golden.count() == 30)
+    val r = golden.agg(
+      min("polarity"), max("polarity"), avg("polarity"),
+      min("subjectivity"), max("subjectivity"), avg("subjectivity")).head
+    assert(r.getDouble(0) >= -0.9 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(4) <= 1.0)
+    // the 30-row slice sits near the corpus-wide means
+    assert(math.abs(r.getDouble(2) - 0.0654) < 0.1, s"polarity mean ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(5) - 0.3966) < 0.15, s"subjectivity mean ${r.getDouble(5)}")
+  }
+
+  test("engine sentiment distribution on the BBC corpus tracks the golden stats") {
+    // The lexicon is hand-authored (SURVEY §5.2), so exact TextBlob
+    // scores are out of reach; what must hold on a reference-shaped
+    // corpus: the golden CSV's hard bounds exactly, both polarity signs
+    // present (news mixes good and bad days), and the means inside a
+    // documented tolerance band around the golden means (±0.35 polarity
+    // around 0.0654; subjectivity in [0.2, 0.8] around 0.3966 — wider
+    // because our lexicon's subjectivity entries skew high).
+    val scores = processed.select("polarity", "subjectivity").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(scores.length == 11)
+    assert(scores.forall { case (p, s) =>
+      p >= -0.9 && p <= 1.0 && s >= 0.0 && s <= 1.0 })
+    assert(scores.exists(_._1 > 0) && scores.exists(_._1 < 0), "sign mix")
+    val meanP = scores.map(_._1).sum / scores.length
+    val meanS = scores.map(_._2).sum / scores.length
+    assert(math.abs(meanP - 0.0654) < 0.35, s"polarity mean $meanP")
+    assert(meanS > 0.2 && meanS < 0.8, s"subjectivity mean $meanS")
+  }
+
+  test("O-J1: topic labels dim joins broadcast against dominant topics") {
+    val labels = spark.read.option("header", "true")
+      .schema("topic_num INT, topic_label STRING")
+      .csv(res("topic_labels.csv"))
+    assert(labels.count() == 12)
+    import spark.implicits._
+    val docs = Seq((101L, 5), (102L, 11), (103L, 0)).toDF("doc_id", "dominant_topic")
+    val joined = docs.join(broadcast(labels),
+      docs("dominant_topic") === labels("topic_num"), "left")
+    val got = joined.select("doc_id", "topic_label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(101L -> "russia-ukraine", 102L -> "entertainmeent",
+      103L -> "local"))
+  }
+}
