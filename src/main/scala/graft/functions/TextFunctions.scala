@@ -131,7 +131,7 @@ object TextFunctions {
     * high-frequency function-word sets. Deterministic argmax, returns
     * "und" when nothing matches (training-data pipeline op).
     */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that",
       "for", "on", "with", "as", "was", "at", "by", "an", "be", "this",
       "which", "or", "from", "but", "not", "are", "have", "has"),

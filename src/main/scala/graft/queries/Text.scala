@@ -148,18 +148,50 @@ object Text {
     """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
       |FROM documents""".stripMargin
 
-  /** Quality score histogram (training-data filtering). The score itself is
-    * deterministic double arithmetic; bucketing to a histogram keeps the
-    * oracle compare on exact group keys. Rows-only oracle (the aggregate
-    * lambda is not portably expressible in DuckDB SQL with identical
-    * float-op ordering).
+  /** Quality score histogram (training-data filtering). Value-checked:
+    * every component is either exact integer arithmetic (counts, an
+    * integer token-length fold) or a SINGLE double division, so the
+    * DuckDB oracle reproduces the float ops bit-for-bit as long as the
+    * sum order matches (lengthOk + alphaRatio + stopOk + tokLenOk,
+    * left-associated, all ::DOUBLE).
     */
   def t10QualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
 
-  /** Language-ID distribution (training-data pipeline op). Rows-only oracle
-    * (profile-argmax with struct tie-break is not cleanly DuckDB-portable).
+  val t10Sql: String = {
+    val sw = OracleSql.stopWordsList
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(t) AS n_tok,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+       |    len(list_filter(t, x -> list_contains($sw, lower(x)))) AS n_stop,
+       |    list_sum(list_transform(t, x -> length(x))) AS tok_len_sum
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  round((
+       |    (CASE WHEN n_tok >= 50 AND n_tok <= 10000 THEN 1.0
+       |          WHEN (n_tok >= 10 AND n_tok < 50) OR (n_tok > 10000 AND n_tok <= 20000) THEN 0.5
+       |          ELSE 0.0 END)::DOUBLE
+       |    + (CASE WHEN n_chars > 0 THEN alpha_chars::DOUBLE / n_chars ELSE 0.0 END)::DOUBLE
+       |    + (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok >= 0.05
+       |                 AND n_stop::DOUBLE / n_tok <= 0.6 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       |    + (CASE WHEN n_tok > 0 AND tok_len_sum::DOUBLE / n_tok >= 3
+       |                 AND tok_len_sum::DOUBLE / n_tok <= 10 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       |  ) / 4.0, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  /** Language-ID distribution (training-data pipeline op). Value-checked:
+    * the profile argmax with its struct tie-break (score DESC, then lang
+    * DESC — sort_array on struct compares fields in order) maps to a
+    * row_number window over unioned per-language scores.
     */
   def t11LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -170,6 +202,34 @@ object Text {
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
+
+  val t11Sql: String = {
+    def profList(lang: String): String =
+      graft.functions.TextFunctions.langProfiles(lang)
+        .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val perLang = Seq("de", "en", "es", "fr").map { lang =>
+      s"""  SELECT doc_id, '$lang' AS lang,
+         |    len(list_filter(t, x -> list_contains(${profList(lang)}, x)))::DOUBLE
+         |      / greatest(len(t), 1) AS score
+         |  FROM toks""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+       |  FROM documents
+       |), scored AS (
+       |$perLang
+       |), ranked AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scored
+       |), best AS (
+       |  SELECT CASE WHEN score >= 0.05 THEN lang ELSE 'und' END AS lang_pred
+       |  FROM ranked WHERE rn = 1
+       |)
+       |SELECT lang_pred, count(*) AS n FROM best
+       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
 
   /** O-T12 + O-T15 (+ the full O-T2..T16 chain): the reference's complete
     * clean()+lemmatize() pipeline (data_preparation.py:91-94) — regex
@@ -212,5 +272,7 @@ object Text {
     "t7_paragraph_join" -> t7Sql,
     "t8_fingerprint" -> t8Sql,
     "t9_token_count" -> t9Sql,
+    "t10_quality_score" -> t10Sql,
+    "t11_lang_id" -> t11Sql,
   )
 }

@@ -25,14 +25,42 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Existing-sink key read for the anti-join, pruned to the partitions
+    * the incoming batch can collide with. The `IN (batch's partition
+    * values)` predicate is a partition filter, so the scan touches only
+    * those directories — at a 100 TB sink with years of ingest dates, a
+    * daily run reads one or two partitions' key columns instead of the
+    * whole history.
+    */
+  private[graft] def existingKeys(spark: SparkSession, path: String,
+      key: String, partitionCol: Option[String],
+      partitionValues: Seq[Any]): DataFrame = {
+    val existing = spark.read.parquet(path)
+    partitionCol match {
+      case Some(pc) =>
+        existing.filter(col(pc).isin(partitionValues: _*)).select(col(key))
+      case None => existing.select(col(key))
+    }
+  }
+
   /** S7: append only rows whose key is absent from the existing sink;
     * duplicates within the incoming batch keep the first by a
     * deterministic tie-break (min of all other columns is not defined —
     * use dropDuplicates, matching the reference's first-write-wins).
     * Returns the number of rows actually written.
+    *
+    * `partitionCol`: optional ingest-date-style layout column. The sink
+    * is written partitionBy(partitionCol) and the anti-join's
+    * existing-keys read prunes to the incoming batch's partition values.
+    * CONTRACT: the partition column must be functionally dependent on
+    * the key (a re-fed row carries the same date — true of sitemap
+    * lastmod, crawl date, event time), otherwise a duplicate living in a
+    * non-scanned partition would be re-appended. The batch's distinct
+    * partition values are collected to the driver — bounded by the feed's
+    * date range (a daily run has 1-2), never row-scale.
     */
   def appendUnique(spark: SparkSession, df: DataFrame, path: String,
-      key: String): Long = {
+      key: String, partitionCol: Option[String] = None): Long = {
     val deduped = df.dropDuplicates(key)
     // existence via the Hadoop FS API — java.io.File is wrong for any
     // URI-qualified path (file:/, hdfs://, s3a://) and would silently
@@ -41,12 +69,18 @@ object Sinks {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (fs.exists(hPath)) {
-        val existingKeys = spark.read.parquet(path).select(col(key))
-        deduped.join(existingKeys, Seq(key), "left_anti")
+        val pVals = partitionCol.toSeq.flatMap { pc =>
+          deduped.select(col(pc)).distinct().collect().map(_.get(0))
+        }
+        deduped.join(existingKeys(spark, path, key, partitionCol, pVals),
+          Seq(key), "left_anti")
       } else deduped
     val out = fresh.cache()
     val n = out.count()
-    if (n > 0) append(out, path)
+    if (n > 0) {
+      val w = out.write.mode(SaveMode.Append)
+      partitionCol.fold(w)(pc => w.partitionBy(pc)).parquet(path)
+    }
     out.unpersist()
     n
   }

@@ -44,4 +44,32 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(got == exp)
   }
+
+  test("date-partitioned appendUnique prunes the existing-keys read") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("partsink").toString + "/links"
+    val day1 = Seq(("u1", "2022-08-27"), ("u2", "2022-08-27"), ("u3", "2022-08-28"))
+      .toDF("url", "ingest_date")
+    val day2 = Seq(("u3", "2022-08-28"), ("u4", "2022-08-29"), ("u5", "2022-08-29"))
+      .toDF("url", "ingest_date")
+    val n1 = sources.Sinks.appendUnique(spark, day1, tmp, "url", Some("ingest_date"))
+    val n2 = sources.Sinks.appendUnique(spark, day2, tmp, "url", Some("ingest_date"))
+    assert(n1 == 3 && n2 == 2, s"$n1/$n2") // u3 deduped across runs
+    // hive-style partition directories on disk
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("ingest_date="))
+    assert(dirs.toSet == Set("ingest_date=2022-08-27", "ingest_date=2022-08-28",
+      "ingest_date=2022-08-29"))
+    // the anti-join's key read carries a partition filter and scans ONLY
+    // the batch's partitions (1 of 3), never the whole key history
+    val keys = sources.Sinks.existingKeys(spark, tmp, "url",
+      Some("ingest_date"), Seq("2022-08-28"))
+    keys.collect()
+    val scan = keys.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the existing-keys plan"))
+    assert(scan.partitionFilters.nonEmpty, "partition filter missing")
+    assert(scan.relation.location.inputFiles.length > 1, "fixture must span partitions")
+    assert(scan.metrics("numFiles").value == 1,
+      s"scan read ${scan.metrics("numFiles").value} files — pruning lost")
+  }
 }
