@@ -171,6 +171,52 @@ object Topics {
     }.toDF("topic", "c_v").orderBy(col("topic"))
   }
 
+  /** M7 (O-M9): the pyLDAvis relevance payload — the DATA behind the
+    * reference's topic-term relevance plot (topic_modelling.ipynb cells
+    * 17-20; pyLDAvis' saliency/relevance, Sievert & Shirley 2014):
+    * per topic, the topN terms ranked by
+    * relevance = λ·log(φ_kw) + (1−λ)·log(φ_kw / p_w) at pyLDAvis'
+    * default λ=0.6, with φ from the fitted topic-term matrix and p_w the
+    * corpus term probability. The JS visualization itself stays out of
+    * scope (presentation); HtmlReport.saveHtml renders this table as the
+    * S11 artifact. Rows-only (model-derived).
+    *
+    * Scale: the corpus pass is one vocab-bounded term count; the
+    * topic-term matrix is driver-local in MLlib by construction (k × V
+    * doubles), so the ranking loop touches model-sized data only.
+    */
+  def m7Ldavis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lambda = 0.6
+    val topN = 10
+    val c = corpus(s, dir).cache()
+    val cv = fitVectorizer(c)
+    val lda = fitLda(cv.transform(c))
+    val vocab = cv.vocabulary
+    // corpus term frequency restricted to the vocabulary (broadcast join
+    // against the vocab dim; collect is vocab-bounded, never row-scale)
+    val vocabDf = vocab.toSeq.toDF("term")
+    val counts = c.select(explode(col("tokens")).as("term"))
+      .join(broadcast(vocabDf), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.values.sum).toDouble
+    val phi = lda.topicsMatrix // V × k, columns are term distributions
+    val rows = (0 until lda.getK).flatMap { k =>
+      val rel = vocab.indices.map { w =>
+        val p = phi(w, k)
+        val pw = counts.getOrElse(vocab(w), 1L) / total
+        (w, lambda * math.log(p) + (1 - lambda) * math.log(p / pw))
+      }
+      rel.sortBy(-_._2).take(topN).zipWithIndex.map { case ((w, r), i) =>
+        (k, i + 1, vocab(w),
+          BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    rows.toDF("topic", "rank", "term", "relevance")
+      .orderBy(col("topic"), col("rank"))
+  }
+
   /** M6 (O-A6): doc2bow — per-document bag-of-words statistics off the
     * CountVectorizer sparse vector (ipynb line 323: dictionary.doc2bow
     * per doc). n_terms = distinct vocabulary terms present, n_tokens =
@@ -214,6 +260,7 @@ object Topics {
     "m4_lda_sweep" -> (m4LdaSweep _),
     "m5_coherence" -> (m5Coherence _),
     "m6_doc2bow" -> (m6Doc2bow _),
+    "m7_ldavis" -> (m7Ldavis _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

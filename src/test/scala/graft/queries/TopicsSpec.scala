@@ -102,6 +102,28 @@ class TopicsSpec extends AnyFunSuite {
     coh.foreach(c => assert(c > 0.5, s"toy-corpus coherence $c"))
   }
 
+  test("ldavis payload ranks topN terms per topic by relevance (O-M9)") {
+    val df = Topics.m7Ldavis(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val k = rows.map(_._1).distinct.length
+    assert(k == 12, s"expected 12 topics, got $k")
+    rows.groupBy(_._1).foreach { case (topic, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"topic $topic ranks")
+      // relevance strictly ordered by rank and always finite
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"topic $topic not sorted by relevance")
+      rs.foreach(r => assert(!r._4.isNaN && !r._4.isInfinite))
+    }
+    // S11: the payload renders as the reference's HTML artifact
+    val path = java.nio.file.Files.createTempDirectory("ldavis")
+      .resolve("ldaplot.html").toString
+    graft.sources.HtmlReport.saveHtml(df, path, "LDA topics")
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(html.contains("<th>relevance</th>") && html.contains("<td>1</td>"))
+  }
+
   test("model save/load round-trips describeTopics (S10)") {
     val c = Topics.corpus(spark, dir).cache()
     val v = Topics.fitVectorizer(c).transform(c).cache()
