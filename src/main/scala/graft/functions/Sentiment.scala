@@ -46,7 +46,7 @@ object Sentiment {
     finally src.close()
   }
 
-  private val negators = Set("not", "never", "no", "nothing", "neither", "nor", "cannot")
+  val negators: Set[String] = Set("not", "never", "no", "nothing", "neither", "nor", "cannot")
 
   private def isNegator(tok: String): Boolean =
     negators.contains(tok) || tok.endsWith("n't")
