@@ -132,4 +132,53 @@ object PosLemma {
         if (keep(tag)) Some(lemmatize(t, tag)) else None
       }
     }.apply(_)
+
+  /** DuckDB oracle twin of posFilterLemmatize over a token-list SQL
+    * expression — generated from the SAME word sets and rule tables as
+    * the UDF, so the two cannot drift. The tagger's check order is
+    * preserved exactly (closed classes → adverb → digits → verb
+    * suffixes → adjective suffixes → comparative/superlative → noun
+    * default); dropped tags (DT/IN/CC/PRP/MD/VB/CD/VBG/VBD) map to NULL
+    * and are filtered, kept tags route to the matching detachment rules.
+    */
+  def oracleSql(toks: String): String = {
+    def l(ws: Set[String]) =
+      ws.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+    val closed = l(determiners ++ prepositions ++ conjunctions ++
+      pronouns ++ auxiliaries ++ commonVerbs)
+    val adv = l(adverbsIrregular)
+    // tryRules for J/R tags: ("est" -> "", "er" -> ""), guard len > suf+1
+    val jrLemma =
+      """CASE WHEN t LIKE '%est' AND length(t) > 4 THEN left(t, length(t)-3)
+        |     WHEN t LIKE '%er' AND length(t) > 3 THEN left(t, length(t)-2)
+        |     ELSE t END""".stripMargin
+    // noun rules with the lexical-ending guards
+    val nounLemma =
+      """CASE WHEN length(t) <= 3 OR t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is' THEN t
+        |     WHEN t LIKE '%ches' AND length(t) > 5 THEN left(t, length(t)-4) || 'ch'
+        |     WHEN t LIKE '%shes' AND length(t) > 5 THEN left(t, length(t)-4) || 'sh'
+        |     WHEN t LIKE '%ses' AND length(t) > 4 THEN left(t, length(t)-3) || 's'
+        |     WHEN t LIKE '%xes' AND length(t) > 4 THEN left(t, length(t)-3) || 'x'
+        |     WHEN t LIKE '%zes' AND length(t) > 4 THEN left(t, length(t)-3) || 'z'
+        |     WHEN t LIKE '%ves' AND length(t) > 4 THEN left(t, length(t)-3) || 'f'
+        |     WHEN t LIKE '%ies' AND length(t) > 4 THEN left(t, length(t)-3) || 'y'
+        |     WHEN t LIKE '%men' AND length(t) > 4 THEN left(t, length(t)-3) || 'man'
+        |     WHEN t LIKE '%s' AND length(t) > 2 THEN left(t, length(t)-1)
+        |     ELSE t END""".stripMargin
+    s"""list_filter(list_transform($toks, t ->
+       |  CASE
+       |    WHEN list_contains($closed, t) THEN NULL
+       |    WHEN list_contains($adv, t) OR t LIKE '%ly' THEN $jrLemma
+       |    WHEN regexp_matches(t, '^[0-9]+$$') THEN NULL
+       |    WHEN t LIKE '%ing' AND length(t) > 5 THEN NULL
+       |    WHEN t LIKE '%ed' AND length(t) > 4 THEN NULL
+       |    WHEN t LIKE '%able' OR t LIKE '%ible' OR t LIKE '%ful' OR t LIKE '%ous'
+       |         OR t LIKE '%ive' OR t LIKE '%ic' OR t LIKE '%al' OR t LIKE '%ish'
+       |      THEN $jrLemma
+       |    WHEN t LIKE '%er' AND length(t) > 4 AND t NOT LIKE '%eer' THEN $jrLemma
+       |    WHEN t LIKE '%est' AND length(t) > 5 THEN $jrLemma
+       |    ELSE $nounLemma
+       |  END), x -> x IS NOT NULL)""".stripMargin
+  }
 }

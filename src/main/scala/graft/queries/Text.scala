@@ -234,9 +234,10 @@ object Text {
   /** O-T12 + O-T15 (+ the full O-T2..T16 chain): the reference's complete
     * clean()+lemmatize() pipeline (data_preparation.py:91-94) — regex
     * chain → tokenize → stop/length filter → POS content filter →
-    * lemmatize → re-join, plus the n_words_clean derivation. Rows-only
-    * oracle (rule-based tagger/lemmatizer are custom UDFs);
-    * PosLemmaSpec pins exact pairs.
+    * lemmatize → re-join, plus the n_words_clean derivation.
+    * Value-checked: the rule-based tagger/lemmatizer is deterministic
+    * string algebra, so PosLemma.oracleSql generates its DuckDB twin
+    * from the same word sets; PosLemmaSpec additionally pins exact pairs.
     */
   def t12PosLemma(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -274,5 +275,14 @@ object Text {
     "t9_token_count" -> t9Sql,
     "t10_quality_score" -> t10Sql,
     "t11_lang_id" -> t11Sql,
+    "t12_pos_lemma" -> t12Sql,
   )
+
+  lazy val t12Sql: String =
+    "WITH toks AS (\n  SELECT doc_id, " + OracleSql.cleanTokens +
+      " AS ct\n  FROM documents\n), lem AS (\n  SELECT doc_id,\n  " +
+      graft.functions.PosLemma.oracleSql("ct") + " AS ws\n  FROM toks\n)\n" +
+      """SELECT doc_id, array_to_string(ws, ' ') AS article_clean,
+        |  len(ws)::INT AS n_words_clean
+        |FROM lem ORDER BY doc_id""".stripMargin
 }
