@@ -77,8 +77,11 @@ object Similarity {
     * its nearest centroid cell (broadcast centroids, map-only); each
     * query probes its 4 nearest cells and scores ONLY vectors in those
     * cells — at scale this reads nprobe/ncells of the corpus instead of
-    * all of it, which is the whole point of IVF. Approximate by design →
-    * rows-only oracle; SimilaritySpec pins recall vs the exact s1 answer.
+    * all of it, which is the whole point of IVF. Approximate as a NN
+    * answer but fully DETERMINISTIC as a computation (fixed centroids,
+    * rounded scores, (score desc, id asc) tie-breaks), so the oracle is
+    * a faithful SQL twin of the same algorithm; SimilaritySpec
+    * additionally pins recall vs the exact s1 answer.
     */
   def s2IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val NCELL = 16; val NPROBE = 4
@@ -118,6 +121,44 @@ object Similarity {
       .orderBy(col("id1"), col("rank"))
   }
 
+  val s2Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |sims AS (
+       |  SELECT a.vec_id, a.nrm, c.cent_id,
+       |         round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6) AS cs
+       |  FROM n a CROSS JOIN cents c
+       |),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims) WHERE rn = 1
+       |),
+       |corpus AS (SELECT s.vec_id AS id2, n.v AS v2, n.nrm AS n2, s.cell
+       |           FROM cells s JOIN n ON n.vec_id = s.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS id1, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims WHERE vec_id < $NQ) WHERE rn <= 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.id1, c.id2,
+       |    round(list_dot_product(q.v, c.v2) / (q.nrm * c.n2), 6) AS cos
+       |  FROM probes p JOIN corpus c USING (cell)
+       |  JOIN n q ON q.vec_id = p.id1
+       |  WHERE p.id1 <> c.id2
+       |),
+       |ranked AS (
+       |  SELECT id1, id2, cos,
+       |         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM cand
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY id1, rank""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -125,5 +166,6 @@ object Similarity {
 
   val oracle: ListMap[String, String] = ListMap(
     "s1_cosine_topk" -> s1Sql,
+    "s2_ivf_topk" -> s2Sql,
   )
 }
