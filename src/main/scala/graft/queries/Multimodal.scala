@@ -67,8 +67,13 @@ object Multimodal {
   /** MM1: partition-wise batch feature extraction over binary payloads —
     * mapPartitions so a real decoder would initialize once per partition
     * (the Scala analog of mapInPandas' batch shape), then features
-    * aggregated per format. Rows-only oracle (stub decoder);
-    * MultimodalSpec pins the histogram math and batch behavior.
+    * aggregated per format. Value-checked: the stub decoder's byte
+    * histogram is reproducible in SQL via codepoints because the fixture
+    * text is pure ASCII (max codepoint 121, so UTF-8 bytes ==
+    * codepoints — verified at sf0.01/sf0.1; a non-ASCII corpus would
+    * need the oracle dropped, not the operator changed).
+    * MultimodalSpec additionally pins the histogram math and batch
+    * behavior.
     */
   def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -108,6 +113,26 @@ object Multimodal {
         (col("frame_idx") * 100).as("offset"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  val mm1Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |    list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1)) // 32) AS bs,
+      |    greatest(1.0::DOUBLE, length(text)::DOUBLE) AS n
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, format,
+      |    list_transform(range(0, 8), b -> len(list_filter(bs, o -> o = b))::DOUBLE / n) AS fs
+      |  FROM f
+      |), energy AS (
+      |  SELECT doc_id, format,
+      |    round(list_reduce(list_transform(fs, x -> x * x), (a, x) -> a + x), 6) AS energy
+      |  FROM feats
+      |)
+      |SELECT format, count(*) AS n_media, round(avg(energy), 6) AS avg_energy
+      |FROM energy GROUP BY format ORDER BY format""".stripMargin
+
   val mm2Sql: String =
     """SELECT doc_id AS media_id, frame_idx, frame_idx * 100 AS offset
       |FROM (
@@ -123,6 +148,7 @@ object Multimodal {
   )
 
   val oracle: ListMap[String, String] = ListMap(
+    "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample" -> mm2Sql,
   )
 }
