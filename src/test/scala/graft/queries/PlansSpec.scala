@@ -53,6 +53,22 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "keyed dedup degraded to a window")
   }
 
+  test("d1's hot-shingle cap applies as a broadcast anti-join, not a shuffle") {
+    val plan = executedPlan(Dedup.d1JaccardPairs(spark, dir))
+    assert(plan.contains("LeftAnti"), "hot-shingle cap lost its anti-join")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined ||
+      plan.contains("BroadcastHashJoin LeftAnti") ||
+      ("LeftAnti".r.findAllIn(plan).nonEmpty &&
+        !plan.contains("SortMergeJoin LeftAnti")),
+      "anti-join degraded to a shuffle join")
+  }
+
+  test("x2 extraction runs on xml_fields, never per-field xpath") {
+    val plan = executedPlan(Extraction.x2HtmlExtract(spark, dir))
+    assert(plan.contains("xml_fields"), "single-scan extraction expression missing")
+    assert(!plan.contains("xpath"), "per-field xpath re-parse crept back in")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
