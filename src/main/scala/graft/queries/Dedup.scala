@@ -260,10 +260,14 @@ object Dedup {
     * shared fingerprints, pairs sharing ≥ 5. Any shared substring of
     * ≥ 31 bytes guarantees a shared fingerprint, so near-identical docs
     * surface without all-pairs comparison — same scale shape as d1.
-    * Rows-only (the wrapping int64 rolling hash has no DuckDB
-    * counterpart); DedupSpec pins the fingerprint guarantees.
-    * Threshold: ≥ 5 shared 24-byte-gram fingerprints ≈ five shared
-    * ~4-word runs — plagiarism-level overlap, not vocabulary overlap.
+    * Value-checked: the wrapping int64 Rabin hash is emulated in DuckDB
+    * with HUGEINT arithmetic mod 2^64 re-signed to BIGINT (window mins
+    * compare SIGNED values, exactly like JVM Long ordering), valid
+    * because the fixture text is pure ASCII (bytes == codepoints — same
+    * caveat as mm1). DedupSpec additionally pins the substring
+    * guarantee. Threshold: ≥ 5 shared 24-byte-gram fingerprints ≈ five
+    * shared ~4-word runs — plagiarism-level overlap, not vocabulary
+    * overlap.
     */
   def d5WinnowPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = Tables.documents(s, dir)
@@ -282,6 +286,42 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** The winnow twin: per-position k-gram polynomial hashes mod 2^64
+    * (HUGEINT), re-signed to BIGINT, window-of-8 minima, distinct —
+    * the consecutive-dedup step of the Scala scan is elided because
+    * list_distinct subsumes it.
+    */
+  val d5Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) >= 24
+      |), grams AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_transform(range(1, n - 24 + 2), i ->
+      |        list_reduce(
+      |          list_transform(range(i, i + 24), j -> ord(substr(text, j, 1))::HUGEINT),
+      |          (a, b) -> (a * 257 + b) % 18446744073709551616::HUGEINT)),
+      |      h -> (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |                 THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT) AS hs,
+      |    n - 24 + 1 AS ng
+      |  FROM docs
+      |), fps AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN ng <= 8 THEN [list_min(hs)]
+      |         ELSE list_transform(range(1, ng - 8 + 2), i -> list_min(hs[i:i+7]))
+      |    END) AS f
+      |  FROM grams
+      |), inv AS (
+      |  SELECT doc_id, unnest(f) AS fp FROM fps
+      |), pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id1, id2, shared FROM pairs WHERE shared >= 5
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -294,5 +334,6 @@ object Dedup {
     "d1_jaccard_pairs" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
     "d4_embedding_dups" -> d4Sql,
+    "d5_winnow_pairs" -> d5Sql,
   )
 }
