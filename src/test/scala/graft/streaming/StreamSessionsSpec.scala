@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming sessionization (flatMapGroupsWithState) vs hand-computed
+  * gap sessions: eager closes on in-stream gaps, timeout closes once
+  * the watermark passes last+gap, open sessions withheld.
+  */
+class StreamSessionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed sessions equal batch gap-sessionization for closed sessions") {
+    val base = java.sql.Timestamp.valueOf("2024-06-01 08:00:00")
+    def ts(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    // user 1: two sessions (0,10,20 | 120,125); user 2: one session (5,15)
+    val batch1 = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(20)),
+      (1L, ts(120)), (1L, ts(125)), (2L, ts(5)), (2L, ts(15)))
+      .toDF("user_id", "ts")
+    // sentinel: a far-future event advances the watermark past every
+    // last+gap above, timing the open sessions out
+    val batch2 = Seq((999L, ts(60L * 24 * 10))).toDF("user_id", "ts")
+
+    val dir = java.nio.file.Files.createTempDirectory("sess_src").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sess_tmp").toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    writeOne(batch1, "part_00.parquet")
+    writeOne(batch2, "part_01.parquet")
+
+    val q = StreamSessions.sessionize(spark, dir, batch1.schema)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT user_id, n_events, span_us FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hand-computed 30-min-gap sessions over batch1 (all closed by the
+    // sentinel); 999's own session stays open → withheld
+    val expected = Set(
+      (1L, 3L, 20L * 60000000L), // 0,10,20
+      (1L, 2L, 5L * 60000000L),  // 120,125
+      (2L, 2L, 10L * 60000000L)) // 5,15
+    assert(got == expected, s"got $got")
+  }
+}
