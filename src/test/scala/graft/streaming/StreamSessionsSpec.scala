@@ -52,4 +52,46 @@ class StreamSessionsSpec extends AnyFunSuite {
       (2L, 2L, 10L * 60000000L)) // 5,15
     assert(got == expected, s"got $got")
   }
+
+  test("streamed sessions over the events fixture equal batch q21") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("ts"))
+    // split into two time-ordered micro-batches + a watermark sentinel
+    val cut = events.orderBy(col("ts")).limit(events.count().toInt / 2)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = Seq((999999L,
+      new java.sql.Timestamp(maxTs.getTime + 10L * 86400000L))).toDF("user_id", "ts")
+
+    val dir = java.nio.file.Files.createTempDirectory("sess_ev").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sess_ev_tmp").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    writeOne(events.filter(col("ts") <= cut), "part_00.parquet")
+    writeOne(events.filter(col("ts") > cut), "part_01.parquet")
+    writeOne(sentinel, "part_02.parquet")
+
+    val q = StreamSessions.sessionize(spark, dir, sentinel.schema)
+      .writeStream.format("memory").queryName("sess_ev_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    def multiset(rows: Array[(Long, Long, Long)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    val got = multiset(spark.sql(
+      "SELECT user_id, n_events, span_us FROM sess_ev_out WHERE user_id < 999999")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    val exp = multiset(graft.queries.Relational
+      .q21Sessionize(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("n_events"), col("span_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(got == exp)
+  }
 }
