@@ -159,9 +159,86 @@ object Similarity {
        |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY id1, rank""".stripMargin
 
+  /** S3: IVF with TRAINED centroids — the production form of s2's
+    * placeholder quantizer. MLlib KMeans(k=16, seed=42) learns the
+    * coarse cells (the standard IVF training step, distributed
+    * Lloyd's); corpus assignment uses the model's cluster column
+    * (map-only, broadcast centroids inside the model); each query
+    * probes its 4 nearest centroids and exactly reranks candidates.
+    * Rows-only oracle (iterative trainer); SimilaritySpec pins
+    * recall@5 vs the exact s1 answer — trained cells partition the
+    * space better than s2's first-16 placeholder, so recall is
+    * asserted at a higher floor.
+    *
+    * Scale: training samples/aggregates per-partition (MLlib KMeans is
+    * the standard distributed path); everything after is the same
+    * probe-and-rerank shape as s2 — nprobe/ncells of the corpus
+    * scored per query instead of all of it.
+    */
+  def s3IvfKmeans(s: SparkSession, dir: String): DataFrame =
+    ivfKmeans(s, dir, 4)
+
+  /** The parameterized form: `nprobe` of the 16 cells are probed.
+    * nprobe = ncells probes everything → identical to the exhaustive s1
+    * answer (the spec pins exactly that, plus recall monotonicity in
+    * nprobe — the fixture embeddings are near-random, so an absolute
+    * recall floor would assert noise; monotone-to-exact is the
+    * data-independent correctness property of IVF).
+    */
+  def ivfKmeans(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val NCELL = 16; val NPROBE = nprobe
+    import org.apache.spark.ml.linalg.Vectors
+    // spherical k-means: train/assign on UNIT vectors so euclidean cells
+    // order identically to cosine — the correct IVF quantizer for a
+    // cosine search metric
+    val toUnitVecUdf = udf { (v: Seq[Double], n: Double) =>
+      Vectors.dense(v.map(x => x / math.max(n, 1e-12)).toArray)
+    }
+    val all = vecs(s, dir)
+      .withColumn("fv", toUnitVecUdf(col("v"), col("nrm"))).cache()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(NCELL).setSeed(42).setMaxIter(10).setFeaturesCol("fv")
+      .setPredictionCol("cell")
+      .fit(all)
+    val assigned = km.transform(all)
+    val corpus = assigned.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"), col("cell"))
+    // query → its NPROBE nearest cells by centroid cosine
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centsDf = s.createDataFrame(cents).toDF("cell", "cv")
+      .withColumn("cn", l2Norm(col("cv")))
+    val qside = assigned.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    // on unit vectors, euclidean-nearest centroid == cosine-nearest, so
+    // probing by cosine matches the assignment metric exactly
+    val probes = qside.join(broadcast(centsDf), lit(true))
+      .select(col("id1"),
+        round(dot(col("v1"), col("cv")) / (col("n1") * col("cn")), 6).as("cs"),
+        col("cell"))
+      .groupBy(col("id1"))
+      .agg(TopK.topK(NPROBE)(col("cs"), col("cell").cast("long")).as("pc"))
+      .select(col("id1"), explode(col("pc.id")).as("cellL"))
+      .select(col("id1"), col("cellL").cast("int").as("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .join(broadcast(qside), Seq("id1"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .distinct()
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
+    "s3_ivf_kmeans" -> (s3IvfKmeans _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

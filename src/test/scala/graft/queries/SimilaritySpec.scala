@@ -60,6 +60,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 $recall")
   }
 
+  test("s3 kmeans-ivf: exact scores, recall monotone in nprobe, exact at full probe") {
+    val exact = bruteTopK(5, 20)
+    val exactPairs = exact.flatMap { case (q, tops) => tops.map(t => (q, t._1)) }.toSet
+    def recallAt(nprobe: Int): (Double, Array[(Long, Long, Double)]) = {
+      val got = Similarity.ivfKmeans(spark, dir, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val gotPairs = got.map(g => (g._1, g._2)).toSet
+      (exactPairs.intersect(gotPairs).size.toDouble / exactPairs.size, got)
+    }
+    val (r2, got2) = recallAt(2)
+    val (r8, _) = recallAt(8)
+    val (r16, got16) = recallAt(16)
+    // any returned pair in the exact top-5 carries the exact score
+    got2.foreach { case (id1, id2, cos) =>
+      exact(id1).find(_._1 == id2).foreach { case (_, ecos) =>
+        assert(math.abs(cos - ecos) < 2e-6)
+      }
+    }
+    assert(r2 > 0.0, "probing 2 cells found nothing")
+    assert(r2 <= r8 + 1e-9 && r8 <= r16 + 1e-9, s"recall not monotone: $r2 $r8 $r16")
+    // probing every cell IS the exhaustive search — must equal s1 exactly
+    assert(r16 == 1.0, s"full probe recall $r16")
+    got16.foreach { case (id1, id2, cos) =>
+      val idx = exact(id1).indexWhere(_._1 == id2)
+      assert(idx >= 0 && math.abs(cos - exact(id1)(idx)._2) < 2e-6)
+    }
+  }
+
   test("TopKAggregator equals global sort-take on random input under any split") {
     val rng = new scala.util.Random(3)
     val data = Seq.fill(500)(ScoredId(rng.nextInt(50) / 10.0, rng.nextInt(1000).toLong))
