@@ -57,6 +57,30 @@ object GraftProperties extends Properties("graft") {
       agg.finish(merged) == items.sorted(ord).take(k)
     }
 
+  property("xml_fields round-trips random leaf documents") = {
+    val valGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+      .map(_.mkString.trim)
+    forAll(valGen, valGen, Gen.nonEmptyListOf(valGen)) { (a, b, ps) =>
+      val doc = s"<root><alpha>$a</alpha><beta q=\"$b\">x</beta>" +
+        ps.map(p => s"<p>$p</p>").mkString + "</root>"
+      val specs = Array("alpha", "beta@q", "p[]").map(expressions.XmlFields.parseSpec)
+      val row = expressions.XmlFields.compute(doc, specs)
+      val gotPs = row.getArray(2)
+      row.getUTF8String(0).toString == a &&
+        row.getUTF8String(1).toString == b &&
+        gotPs.numElements() == ps.length &&
+        ps.indices.forall(i => gotPs.getUTF8String(i).toString == ps(i))
+    }
+  }
+
+  property("xml_fields never throws on arbitrary junk input") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('<', '>', '/', '"', '\'', '&', '=', ' '))).map(_.mkString)) { junk =>
+      val specs = Array("a", "b@c", "d[]").map(expressions.XmlFields.parseSpec)
+      val row = expressions.XmlFields.compute(junk, specs)
+      row != null && row.numFields == 3
+    }
+
   property("simhash-style bit fold round-trips sign sums") =
     forAll(Gen.listOfN(64, Gen.oneOf(-3L, -1L, 1L, 3L))) { sums =>
       // reconstructing bits from the packed long matches the sign rule
