@@ -196,10 +196,17 @@ object Similarity {
     }
     val all = vecs(s, dir)
       .withColumn("fv", toUnitVecUdf(col("v"), col("nrm"))).cache()
+    // quantizer training on a bounded sample (the standard IVF practice:
+    // faiss trains on ~256×ncells vectors) with random init — k-means||
+    // init plus full-corpus Lloyd steps cost ~15 scheduled jobs for a
+    // model whose only role is cell boundaries
+    val trainSample = all.select(col("fv"))
+      .sample(withReplacement = false, 0.999999, seed = 42)
+      .limit(256 * NCELL)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(NCELL).setSeed(42).setMaxIter(10).setFeaturesCol("fv")
-      .setPredictionCol("cell")
-      .fit(all)
+      .setK(NCELL).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample)
     val assigned = km.transform(all)
     val corpus = assigned.select(col("vec_id").as("id2"), col("v").as("v2"),
       col("nrm").as("n2"), col("cell"))
