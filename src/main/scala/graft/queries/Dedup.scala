@@ -322,12 +322,50 @@ object Dedup {
       |SELECT id1, id2, shared FROM pairs WHERE shared >= 5
       |ORDER BY id1, id2""".stripMargin
 
+  /** D6: benchmark decontamination — flag training documents sharing any
+    * word 4-gram with a held-out benchmark split (here doc_id % 97 == 0
+    * stands in for the eval set). The benchmark side is DISTINCT n-grams
+    * of a tiny corpus (real eval sets are a few thousand docs), so it
+    * broadcasts; the training side then streams map-only through a
+    * broadcast semi-join — the corpus is never shuffled, and the only
+    * shuffle is the final distinct over matched doc ids. This is the
+    * standard n-gram-overlap decontamination pass (GPT-3 appendix C shape)
+    * expressed as a join, not a per-doc scan of the benchmark.
+    */
+  def d6Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(shingles(tokenize(col("text")), 4)).as("g"))
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
+  val d6Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)]) AS g
+      |  FROM toks WHERE len(t) >= 4
+      |), bench AS (
+      |  SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0
+      |)
+      |SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (g)
+      |WHERE gr.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
     "d3_simhash_pairs" -> (d3SimHashPairs _),
     "d4_embedding_dups" -> (d4EmbeddingDups _),
     "d5_winnow_pairs" -> (d5WinnowPairs _),
+    "d6_decontaminate" -> (d6Decontaminate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -335,5 +373,6 @@ object Dedup {
     "d2_minhash_pairs" -> d2Sql,
     "d4_embedding_dups" -> d4Sql,
     "d5_winnow_pairs" -> d5Sql,
+    "d6_decontaminate" -> d6Sql,
   )
 }

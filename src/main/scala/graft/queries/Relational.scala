@@ -494,6 +494,31 @@ object Relational {
       |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Deterministic stratified sampling (training-data rebalancing):
+    * keep documents where an md5-derived bucket of (doc_id, lang) falls
+    * under a per-stratum rate — here the over-represented 'en' stratum is
+    * downsampled to 20%, all others kept. Hash sampling, not RNG
+    * sampling, is the 100 TB shape: the decision is a pure function of
+    * the row, so it is reproducible across retries/speculative tasks,
+    * stable under repartitioning, and needs no sampling state — a
+    * map-only filter evaluated inside the scan.
+    */
+  def q26StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), col("lang"))), 1, 8),
+      16, 10).cast("long") % 1000
+    Tables.documents(s, dir)
+      .filter(bucket < when(col("lang") === "en", 200).otherwise(1000))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR || lang), 1, 8))::UBIGINT % 1000
+      |      < CASE WHEN lang = 'en' THEN 200 ELSE 1000 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -520,6 +545,7 @@ object Relational {
     "q23_range_join" -> (q23RangeJoin _),
     "q24_percentiles" -> (q24Percentiles _),
     "q25_cube" -> (q25Cube _),
+    "q26_stratified_sample" -> (q26StratifiedSample _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -547,5 +573,6 @@ object Relational {
     "q23_range_join" -> q23Sql,
     "q24_percentiles" -> q24Sql,
     "q25_cube" -> q25Sql,
+    "q26_stratified_sample" -> q26Sql,
   )
 }

@@ -242,14 +242,40 @@ object Similarity {
       .orderBy(col("id1"), col("rank"))
   }
 
+  /** S4: per-label embedding centroids, relationally — posexplode to
+    * (label, dim, value), then one grouped avg. Both aggregation phases
+    * map-side combine, so the shuffle carries (label × dim) partial
+    * (sum, count) pairs — a few KB regardless of corpus size; the
+    * vectors themselves never shuffle. This is the building block for
+    * cluster-based data curation (per-cluster means / diversity
+    * filtering) at 100 TB.
+    */
+  def s4LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "e")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("e").cast("double")), 6).as("mean_val"))
+      .orderBy(col("label"), col("pos"))
+
+  val s4Sql: String =
+    """SELECT label, pos, round(avg(e::DOUBLE), 6) AS mean_val
+      |FROM (
+      |  SELECT label, unnest(embedding) AS e,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
     "s3_ivf_kmeans" -> (s3IvfKmeans _),
+    "s4_label_centroid" -> (s4LabelCentroid _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "s1_cosine_topk" -> s1Sql,
     "s2_ivf_topk" -> s2Sql,
+    "s4_label_centroid" -> s4Sql,
   )
 }

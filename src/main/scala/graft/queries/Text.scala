@@ -248,6 +248,111 @@ object Text {
         size(col("toks")).as("n_words_clean"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction (training-data scrubbing): email → phone → IP regex
+    * passes, chained in that order so the broader phone pattern can never
+    * eat an address already collapsed to a placeholder. The fixture text
+    * carries no PII (no digits at all), so a deterministic contact line
+    * derived from doc_id is appended first; the redaction chain itself is
+    * the operator under test. Map-only, one whole-stage-codegen pass —
+    * at 100 TB this is a streaming scan with zero shuffle.
+    */
+  def t13PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-0"), (col("doc_id") % 100).cast("string"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(contact,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+        "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), redacted.as("redacted"))
+  }
+
+  val t13Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        substr(text,1,40) || ' contact user' || doc_id::VARCHAR
+      |          || '@example.com or +1-555-0' || (doc_id % 100)::VARCHAR
+      |          || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.1',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM documents""".stripMargin
+
+  /** Repetition metrics (Gopher-style quality rules, Rae et al. 2021
+    * §A1.1): most-frequent-token fraction and duplicate-word fraction per
+    * document. Relational formulation — explode to (doc, token), count,
+    * re-aggregate — so both groupBys map-side combine and the shuffle
+    * carries (doc, token, count) triples, never the text. The HOF
+    * alternative (sort + scan inside one row) would multi-reference the
+    * token array and hit the expression-reuse recompute trap.
+    */
+  def t14Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6)
+          .as("dup_word_frac"))
+      .orderBy(col("doc_id"))
+
+  val t14Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+      |  FROM documents
+      |), wc AS (
+      |  SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac,
+      |  round(1.0::DOUBLE - count(*)::DOUBLE / sum(c), 6) AS dup_word_frac
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing (contiguous-fill): assign docs to fixed token-budget
+    * bins for LLM batch assembly — bin = floor(preceding-cumsum / budget)
+    * within each source, ordered by doc_id. Partitioning the window by
+    * `source` is the scale story: each stream packs independently, so the
+    * window never forces a single global partition and a 1000-executor
+    * run packs all sources in parallel (the un-partitioned variant is
+    * exactly the WindowExec "moving all data to a single partition" trap).
+    */
+  def t15SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("ntok"))
+      .withColumn("bin",
+        floor((sum(col("ntok")).over(w) - col("ntok")) / lit(512.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val t15Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, ntok,
+      |  CAST(floor((CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) - ntok) / 512.0::DOUBLE)
+      |       AS BIGINT) AS bin
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -261,6 +366,9 @@ object Text {
     "t10_quality_score" -> (t10QualityScore _),
     "t11_lang_id" -> (t11LangId _),
     "t12_pos_lemma" -> (t12PosLemma _),
+    "t13_pii_redact" -> (t13PiiRedact _),
+    "t14_repetition" -> (t14Repetition _),
+    "t15_seq_pack" -> (t15SeqPack _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -276,6 +384,9 @@ object Text {
     "t10_quality_score" -> t10Sql,
     "t11_lang_id" -> t11Sql,
     "t12_pos_lemma" -> t12Sql,
+    "t13_pii_redact" -> t13Sql,
+    "t14_repetition" -> t14Sql,
+    "t15_seq_pack" -> t15Sql,
   )
 
   lazy val t12Sql: String =
