@@ -266,16 +266,57 @@ object Similarity {
       |)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** S5: scalar quantization to uint8 — per-dimension min/max over the
+    * corpus, then q = min(255, floor((v - mn) · 256 / (mx - mn))). The
+    * stats side is one map-side-combined aggregation to 64 rows which
+    * broadcasts back onto the flat stream, so quantization is two
+    * map-only passes plus a KB-sized broadcast — the 4× index-shrink
+    * (float32 → uint8) step of a disk-resident ANN build. floor (not
+    * round) keeps the arithmetic away from half-ulp ties, so the DuckDB
+    * oracle reproduces every cell exactly.
+    */
+  def s5Quantize(s: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "e")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("e"))
+    val stats = flat.groupBy(col("pos"))
+      .agg(min(col("e")).cast("double").as("mn"),
+        max(col("e")).cast("double").as("mx"))
+    flat.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        least(lit(255.0),
+          floor((col("e").cast("double") - col("mn")) * lit(256.0)
+            / (col("mx") - col("mn")))).cast("int").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  val s5Sql: String =
+    """WITH flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding) AS e
+      |  FROM embeddings
+      |), stats AS (
+      |  SELECT pos, min(e)::DOUBLE AS mn, max(e)::DOUBLE AS mx
+      |  FROM flat GROUP BY pos
+      |)
+      |SELECT vec_id, pos,
+      |  CAST(least(255.0::DOUBLE,
+      |    floor((f.e::DOUBLE - s.mn) * 256.0::DOUBLE / (s.mx - s.mn))) AS INT) AS q
+      |FROM flat f JOIN stats s USING (pos)
+      |ORDER BY vec_id, pos""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
     "s3_ivf_kmeans" -> (s3IvfKmeans _),
     "s4_label_centroid" -> (s4LabelCentroid _),
+    "s5_quantize" -> (s5Quantize _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "s1_cosine_topk" -> s1Sql,
     "s2_ivf_topk" -> s2Sql,
     "s4_label_centroid" -> s4Sql,
+    "s5_quantize" -> s5Sql,
   )
 }

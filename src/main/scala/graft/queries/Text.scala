@@ -353,6 +353,41 @@ object Text {
       |       AS BIGINT) AS bin
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Document chunking (context-window packing prep): split each doc into
+    * 128-token chunks on a 96-token stride (32-token overlap so no
+    * boundary context is lost — the standard pretraining chunker shape).
+    * explode(sequence(...)) generates chunk ids inside codegen and the
+    * per-chunk slices are bounded (≤128 tokens), so memory per row is
+    * constant; map-only, no shuffle — each doc chunks where it lives.
+    */
+  def t16Chunk(s: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = slice(col("t"), col("chunk_id") * 96 + 1, lit(128))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / 96.0).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(chunkTokens, " ").as("chunk"),
+        size(chunkTokens).as("n_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val t16Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), ch AS (
+      |  SELECT doc_id, unnest(range(0, (len(t) - 1) // 96 + 1)) AS chunk_id, t
+      |  FROM toks WHERE len(t) > 0
+      |)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(t[chunk_id*96 + 1 : chunk_id*96 + 128], ' ') AS chunk,
+      |  len(t[chunk_id*96 + 1 : chunk_id*96 + 128]) AS n_tok
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -369,6 +404,7 @@ object Text {
     "t13_pii_redact" -> (t13PiiRedact _),
     "t14_repetition" -> (t14Repetition _),
     "t15_seq_pack" -> (t15SeqPack _),
+    "t16_chunk" -> (t16Chunk _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -387,6 +423,7 @@ object Text {
     "t13_pii_redact" -> t13Sql,
     "t14_repetition" -> t14Sql,
     "t15_seq_pack" -> t15Sql,
+    "t16_chunk" -> t16Sql,
   )
 
   lazy val t12Sql: String =

@@ -253,6 +253,38 @@ object Topics {
       "GROUP BY f.doc_id\n" +
       "ORDER BY f.doc_id"
 
+  /** M8: BPE merge-candidate counting — the corpus-wide adjacent-pair
+    * frequency scan that drives each byte-pair-encoding merge step,
+    * word-level here. transform(sequence(1, n-1)) builds the pair list
+    * inside codegen (element_at is O(1) on arrays), explode + groupBy
+    * count map-side combines, and the top-100 is TakeOrderedAndProject —
+    * each partition forwards ≤100 rows, so the driver never sees more
+    * than partitions × 100 candidates no matter the corpus size.
+    */
+  def m8BpePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokenize(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "),
+          element_at(col("t"), i + 1)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(100)
+
+  val m8Sql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
+      |  FROM toks WHERE len(t) >= 2
+      |)
+      |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 100""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -261,10 +293,12 @@ object Topics {
     "m5_coherence" -> (m5Coherence _),
     "m6_doc2bow" -> (m6Doc2bow _),
     "m7_ldavis" -> (m7Ldavis _),
+    "m8_bpe_pairs" -> (m8BpePairs _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "m1_vocabulary" -> m1Sql,
     "m6_doc2bow" -> m6Sql,
+    "m8_bpe_pairs" -> m8Sql,
   )
 }

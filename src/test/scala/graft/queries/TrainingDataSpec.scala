@@ -99,6 +99,62 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(flagged.forall(_ % 97 != 0))
   }
 
+  test("t16 chunks reconstruct every doc with exact 32-token overlap") {
+    val chunks = Text.t16Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs.find(_._1 == id).get._2.trim.split("\\s+").filter(_.nonEmpty)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id chunk ids")
+      sorted.foreach { case (_, cid, chunk, ntok) =>
+        val expect = toks.slice(cid * 96, cid * 96 + 128)
+        assert(chunk == expect.mkString(" "), s"doc $id chunk $cid")
+        assert(ntok == expect.length)
+      }
+      // stride < size ⇒ consecutive chunks share exactly 32 tokens
+      sorted.sliding(2).foreach {
+        case Array((_, _, a, na), (_, _, b, _)) if na == 128 =>
+          assert(a.split(" ").drop(96).sameElements(b.split(" ").take(32)))
+        case _ =>
+      }
+    }
+    assert(chunks.map(_._1).distinct.length == docs.count(_._2.trim.nonEmpty))
+  }
+
+  test("m8 BPE pair counts match brute-force adjacent-pair counting") {
+    val out = Topics.m8BpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text, _, _) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2)
+        .foreach(p => counts(p.mkString(" ")) = counts.getOrElse(p.mkString(" "), 0L) + 1)
+    }
+    val expected = counts.toArray.sortBy { case (p, n) => (-n, p) }.take(100)
+    assert(out.toSeq == expected.toSeq)
+  }
+
+  test("s5 quantization is exact per cell and inverts within one step") {
+    val out = Similarity.s5Quantize(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = embs.head._2.length
+    val mn = (0 until dims).map(d => embs.map(_._2(d).toDouble).min)
+    val mx = (0 until dims).map(d => embs.map(_._2(d).toDouble).max)
+    embs.foreach { case (id, v) =>
+      (0 until dims).foreach { d =>
+        val q = math.min(255.0, math.floor((v(d) - mn(d)) * 256.0 / (mx(d) - mn(d)))).toInt
+        assert(out((id, d + 1)) == q, s"vec $id dim $d")
+        assert(q >= 0 && q <= 255)
+        // dequantized midpoint lands within one quantization step
+        val deq = mn(d) + (q + 0.5) * (mx(d) - mn(d)) / 256.0
+        assert(math.abs(deq - v(d)) <= (mx(d) - mn(d)) / 256.0)
+      }
+    }
+  }
+
   test("s4 label centroids match brute-force per-dimension means") {
     val out = Similarity.s4LabelCentroid(spark, dir).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
