@@ -69,6 +69,36 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("xpath"), "per-field xpath re-parse crept back in")
   }
 
+  test("d6 probes the benchmark grams via broadcast semi-join") {
+    val plan = executedPlan(Dedup.d6Decontaminate(spark, dir))
+    assert(plan.contains("LeftSemi"), "decontamination lost its semi-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "benchmark probe degraded to a corpus shuffle")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side not broadcast")
+  }
+
+  test("s5 broadcasts the 64-row stats back onto the flat stream") {
+    val plan = executedPlan(Similarity.s5Quantize(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "stats join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "stats join shuffles the corpus")
+  }
+
+  test("m8 top-100 pairs is a partial-agg + TakeOrderedAndProject plan") {
+    val plan = executedPlan(Topics.m8BpePairs(spark, dir))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "pair counting lost its map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 degraded to a global sort")
+  }
+
+  test("t15 packing windows are partitioned by source, never a single partition") {
+    val plan = executedPlan(Text.t15SeqPack(spark, dir))
+    assert("Window .*source".r.findFirstIn(plan).isDefined
+      || plan.contains("partitionBy"), plan.take(800))
+    assert(plan.contains("hashpartitioning(source"),
+      "pack window lost its per-source partitioning")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
