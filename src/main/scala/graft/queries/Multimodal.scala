@@ -113,6 +113,41 @@ object Multimodal {
         (col("frame_idx") * 100).as("offset"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** MM3: resize planning — aspect-preserving target dimensions fitting a
+    * 224×224 budget, from metadata alone (integer arithmetic, so the
+    * oracle is exact). A real resize kernel consumes (payload, tw, th)
+    * inside the mm1 mapPartitions batch shape; planning dims relationally
+    * first means the pixel pass touches each payload exactly once and
+    * payloads still never shuffle. out_bytes = tw·th·3 is the stubbed
+    * RGB decode size a batch scheduler would pack buffers by.
+    */
+  def mm3ResizePlan(s: SparkSession, dir: String): DataFrame = {
+    val w = greatest(col("meta.width").cast("long"), lit(1L))
+    val h = greatest(col("meta.height").cast("long"), lit(1L))
+    val side = greatest(w, h)
+    val tw = greatest(floor(w * 224 / side), lit(1L))
+    val th = greatest(floor(h * 224 / side), lit(1L))
+    mediaTable(s, dir)
+      .filter(col("meta.format") =!= "wav")
+      .select(col("media_id"), w.as("w"), h.as("h"),
+        tw.as("target_w"), th.as("target_h"),
+        (tw * th * 3).as("out_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val mm3Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    greatest(n_chars % 640, 1) AS w, greatest(n_chars % 480, 1) AS h
+      |  FROM documents WHERE doc_id % 3 <> 2
+      |)
+      |SELECT media_id, w, h,
+      |  greatest(w * 224 // greatest(w, h), 1) AS target_w,
+      |  greatest(h * 224 // greatest(w, h), 1) AS target_h,
+      |  greatest(w * 224 // greatest(w, h), 1)
+      |    * greatest(h * 224 // greatest(w, h), 1) * 3 AS out_bytes
+      |FROM m ORDER BY media_id""".stripMargin
+
   val mm1Sql: String =
     """WITH f AS (
       |  SELECT doc_id,
@@ -145,10 +180,12 @@ object Multimodal {
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_resize_plan" -> (mm3ResizePlan _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample" -> mm2Sql,
+    "mm3_resize_plan" -> mm3Sql,
   )
 }

@@ -49,4 +49,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
     rows.foreach { case (_, idx, off) => assert(off == idx * 100) }
   }
+
+  test("mm3 resize targets preserve aspect ratio within the 224 budget") {
+    val rows = Multimodal.mm3ResizePlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, tw, th, bytes) =>
+      assert(tw >= 1 && tw <= 224 && th >= 1 && th <= 224, s"media $id bounds")
+      // exact integer-math recompute (aspect-preserving fit, min side 1)
+      val side = math.max(w, h)
+      assert(tw == math.max(1L, w * 224 / side), s"media $id target_w")
+      assert(th == math.max(1L, h * 224 / side), s"media $id target_h")
+      assert(bytes == tw * th * 3)
+    }
+  }
 }
