@@ -519,6 +519,22 @@ object Relational {
       |      < CASE WHEN lang = 'en' THEN 200 ELSE 1000 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Salted skew-spread aggregation, value-checked: the two-phase
+    * (key, salt) partial count re-aggregated by bare key must equal the
+    * plain GROUP BY count exactly — associative partials lose nothing.
+    * The operator exists for keys hot enough that even map-side combine
+    * leaves one reducer with the whole key (operators/Salted scaladoc);
+    * this query pins its correctness against the unsalted oracle.
+    */
+  def q27SaltedCount(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salted
+      .saltedCount(Tables.events(s, dir), col("event_type"), salts = 16)
+      .orderBy(col("key"))
+
+  val q27Sql: String =
+    """SELECT event_type AS key, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY key""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -546,6 +562,7 @@ object Relational {
     "q24_percentiles" -> (q24Percentiles _),
     "q25_cube" -> (q25Cube _),
     "q26_stratified_sample" -> (q26StratifiedSample _),
+    "q27_salted_count" -> (q27SaltedCount _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -574,5 +591,6 @@ object Relational {
     "q24_percentiles" -> q24Sql,
     "q25_cube" -> q25Sql,
     "q26_stratified_sample" -> q26Sql,
+    "q27_salted_count" -> q27Sql,
   )
 }
