@@ -194,9 +194,13 @@ object Dedup {
 
   /** D3: SimHash near-dup pairs within hamming distance 6, via the
     * 4-chunk pigeonhole banding join (hamming ≤ 3 pairs are guaranteed
-    * candidates; 4-6 probabilistically). Rows-only oracle — xxhash64 has
-    * no DuckDB counterpart; correctness is covered by DedupSpec
-    * (identical docs → identical signatures; planted near-dups found).
+    * candidates; 4-6 probabilistically). Value-checked: the native
+    * expression's FNV-1a-64 is pure mod-2^64 integer algebra, so the
+    * oracle replays the whole pipeline — per-shingle hash, 64 vote sums,
+    * chunk banding, hamming — in HUGEINT SQL, bit-for-bit (the fixture
+    * is ASCII, so codepoints == UTF-8 bytes; same caveat as mm1).
+    * DedupSpec additionally pins signature determinism and planted-dup
+    * recall.
     */
   def d3SimHashPairs(s: SparkSession, dir: String): DataFrame = {
     // cache: referenced on both sides of the self-join — without it the
@@ -344,6 +348,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB twin of the native simhash64 expression + banding join.
+    * FNV-1a's xor-low-byte/multiply fold runs in HUGEINT mod 2^64; bit j
+    * is extracted with `// 2^j % 2` (powers of two are exact doubles, so
+    * CAST(power(2,j)) is exact); chunk values and hamming are rebuilt
+    * from the per-doc bit list. Verified equal to the Spark output
+    * pair-for-pair at sf0.01.
+    */
+  val d3Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_transform(s, g -> list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1))::HUGEINT)),
+      |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hl
+      |  FROM sh
+      |), bits AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), j ->
+      |      CASE WHEN list_sum(list_transform(hl, h ->
+      |        CASE WHEN (h // CAST(power(2::DOUBLE, j) AS HUGEINT)) % 2 = 1
+      |             THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) AS b
+      |  FROM hs
+      |), chunks AS (
+      |  SELECT doc_id, b, ci,
+      |    list_sum(list_transform(range(0, 16), j ->
+      |      b[ci*16 + j + 1] * CAST(power(2::DOUBLE, j) AS BIGINT)))::BIGINT AS cv
+      |  FROM bits, (SELECT unnest(range(0, 4)) AS ci)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |    list_sum(list_transform(range(1, 65), k ->
+      |      CASE WHEN a.b[k] <> b.b[k] THEN 1 ELSE 0 END))::INT AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      |)
+      |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 6
+      |ORDER BY id1, id2""".stripMargin
+
   val d6Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -371,6 +421,7 @@ object Dedup {
   val oracle: ListMap[String, String] = ListMap(
     "d1_jaccard_pairs" -> d1Sql,
     "d2_minhash_pairs" -> d2Sql,
+    "d3_simhash_pairs" -> d3Sql,
     "d4_embedding_dups" -> d4Sql,
     "d5_winnow_pairs" -> d5Sql,
     "d6_decontaminate" -> d6Sql,
