@@ -85,6 +85,23 @@ object Sinks {
     n
   }
 
+  /** Range-sharded write: the standard layout for a 100 TB corpus that
+    * downstream consumers read by key range (doc-id shards for training
+    * runs, time shards for backfills). `repartitionByRange` samples the
+    * key to build balanced range boundaries (one Exchange), and
+    * `sortWithinPartitions` orders rows inside each shard WITHOUT a
+    * global sort — every output file covers a disjoint, internally
+    * sorted key range, so a reader can binary-search files from
+    * min/max footer stats and parquet row-group pruning works within
+    * each file. A plain `orderBy().write` would funnel the final merge;
+    * this shape never does.
+    */
+  def writeRangeSharded(df: DataFrame, path: String, key: String,
+      shards: Int): Unit =
+    df.repartitionByRange(shards, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** S8: header CSV with explicit field ordering. */
   def writeCsv(df: DataFrame, path: String, fieldsToExport: Seq[String]): Unit =
     df.select(fieldsToExport.map(col): _*)

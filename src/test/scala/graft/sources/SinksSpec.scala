@@ -61,4 +61,32 @@ class SinksSpec extends AnyFunSuite {
       .map(r => (r.getLong(0).toInt, r.getString(1))).toSet
     assert(got == exp)
   }
+
+  test("writeRangeSharded produces disjoint, internally sorted key ranges") {
+    val path = tmp("shard")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    Sinks.writeRangeSharded(docs, path, "doc_id", shards = 4)
+    // the plan must be range partitioning + non-global sort, no funnel
+    val planned = docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), "no range exchange")
+    assert("Sort \\[doc_id[^\\]]*\\], false".r.findFirstIn(plan).isDefined,
+      "sort became global (funnel) or vanished")
+    // every file covers a disjoint range and is internally sorted
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 2, "expected multiple shards")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"$f not sorted")
+      (ids.min, ids.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "overlapping shard ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
 }
