@@ -81,6 +81,59 @@ object GraftProperties extends Properties("graft") {
       row != null && row.numFields == 3
     }
 
+  property("fnv1a64 matches the published reference vectors") = Prop {
+    // draft-eastlake-fnv test vectors (64-bit FNV-1a)
+    expressions.SimHash64.fnv1a64("".getBytes) == 0xcbf29ce484222325L &&
+    expressions.SimHash64.fnv1a64("a".getBytes) == 0xaf63dc4c8601ec8cL &&
+    expressions.SimHash64.fnv1a64("foobar".getBytes) == 0x85944171f73967e8L
+  }
+
+  property("t16 chunk grid (128/96) covers every token; full chunks overlap by 32") =
+    forAll(Gen.choose(1, 5000)) { n =>
+      val starts = (0 to (n - 1) / 96).map(_ * 96)
+      val covered = Array.fill(n)(false)
+      starts.foreach(s => (s until math.min(s + 128, n)).foreach(covered(_) = true))
+      val overlapsOk = starts.sliding(2).forall {
+        case Seq(a, b) =>
+          val aEnd = math.min(a + 128, n)
+          aEnd <= b || aEnd - b == math.min(32, n - b)
+        case _ => true
+      }
+      starts.last < n && covered.forall(identity) && overlapsOk
+    }
+
+  property("t15 pack bins are contiguous from 0 and never split a fitting prefix") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 400))) { ntoks =>
+      val bins = ntoks.scanLeft(0L)(_ + _).zip(ntoks)
+        .map { case (before, _) => before / 512 }
+      val contiguous = bins.head == 0L &&
+        bins.sliding(2).forall { case Seq(a, b) => b == a || b == a + 1; case _ => true }
+      // any doc whose tokens fit wholly under the next bin boundary
+      // shares its bin with the previous doc (greedy fill, no waste)
+      val noWaste = ntoks.scanLeft(0L)(_ + _).zip(ntoks).zip(bins).forall {
+        case ((before, nt), b) => (before + nt - 1) / 512 != b || (before / 512) == b
+      }
+      contiguous && noWaste
+    }
+
+  property("PII chain leaves no residual email/phone/IP in arbitrary text") = {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val emailG = Gen.zip(word, word).map { case (l, d) => s"$l@$d.com" }
+    val ipG = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    val phoneG = Gen.choose(0, 99).map(n => s"+1-555-01$n")
+    forAll(Gen.listOf(word), emailG, ipG, phoneG) { (ws, em, ip, ph) =>
+      val text = (ws :+ em :+ ip :+ ph).mkString(" ")
+      val red = text
+        .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+        .replaceAll("\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+        .replaceAll("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+      !red.contains("@") &&
+        "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b".r.findFirstIn(red).isEmpty &&
+        "\\+?[0-9][0-9()\\- ]{6,}[0-9]".r.findFirstIn(red).isEmpty &&
+        ws.forall(red.contains)
+    }
+  }
+
   property("simhash-style bit fold round-trips sign sums") =
     forAll(Gen.listOfN(64, Gen.oneOf(-3L, -1L, 1L, 3L))) { sums =>
       // reconstructing bits from the packed long matches the sign rule
