@@ -51,6 +51,25 @@ object Topics {
       .setFeaturesCol("features")
       .fit(vectorized)
 
+  /** Train-once model registry, keyed by corpus dir. The reference
+    * trains its LDA once and every downstream stage loads the saved
+    * model (S10, `notebooks/lda_12.model*`); the m2/m3/m5/m7 queries
+    * mirror that by fitting the k=12 model (and the vectorizer) once per
+    * corpus and reusing it — at 100 TB a pipeline never retrains per
+    * query. Models are driver-local and small (V×k doubles); the fit is
+    * seeded, so a cache hit returns bit-identical results to a refit.
+    */
+  private val cvCache =
+    scala.collection.concurrent.TrieMap.empty[String, CountVectorizerModel]
+  private val ldaCache =
+    scala.collection.concurrent.TrieMap.empty[String, LDAModel]
+
+  def sharedVectorizer(c: DataFrame, dir: String): CountVectorizerModel =
+    cvCache.getOrElseUpdate(dir, fitVectorizer(c))
+
+  def sharedLda(vectorized: DataFrame, dir: String): LDAModel =
+    ldaCache.getOrElseUpdate(dir, fitLda(vectorized))
+
   /** M1 (O-A4/A5): the pruned vocabulary as rows — term + document
     * frequency, for every term the CountVectorizer(minDF=10, maxDF=0.9)
     * build keeps (gensim filter_extremes(no_below=10, no_above=0.9) +
@@ -60,7 +79,7 @@ object Topics {
   def m1Vocabulary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir).cache()
-    val model = fitVectorizer(c)
+    val model = sharedVectorizer(c, dir)
     val vocab = model.vocabulary.toSeq.toDF("term")
     val df = c.select(explode(array_distinct(col("tokens"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
@@ -89,9 +108,9 @@ object Topics {
     */
   def m2DominantTopics(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
+    val cv = sharedVectorizer(c, dir)
     val vectorized = cv.transform(c)
-    val lda = fitLda(vectorized)
+    val lda = sharedLda(vectorized, dir)
     val inferred = lda.transform(vectorized)
     val argmaxUdf = udf { v: MlVector => v.argmax }
     inferred
@@ -108,8 +127,8 @@ object Topics {
   def m3TopicKeywords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
-    val lda = fitLda(cv.transform(c))
+    val cv = sharedVectorizer(c, dir)
+    val lda = sharedLda(cv.transform(c), dir)
     val vocab = cv.vocabulary
     val termsUdf = udf { idx: Seq[Int] => idx.map(vocab(_)) }
     val labels = (0 until K).map(i => (i, s"label_$i")).toDF("topic_num", "topic_label")
@@ -162,8 +181,8 @@ object Topics {
   def m5Coherence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
-    val lda = fitLda(cv.transform(c))
+    val cv = sharedVectorizer(c, dir)
+    val lda = sharedLda(cv.transform(c), dir)
     val words = topTopicWords(lda, cv.vocabulary, 10)
     val coh = graft.functions.Coherence.cv(c.select(col("doc_id"), col("tokens")), words)
     coh.zipWithIndex.map { case (score, topic) =>
@@ -190,8 +209,8 @@ object Topics {
     val lambda = 0.6
     val topN = 10
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
-    val lda = fitLda(cv.transform(c))
+    val cv = sharedVectorizer(c, dir)
+    val lda = sharedLda(cv.transform(c), dir)
     val vocab = cv.vocabulary
     // corpus term frequency restricted to the vocabulary (broadcast join
     // against the vocab dim; collect is vocab-bounded, never row-scale)
@@ -225,7 +244,7 @@ object Topics {
     */
   def m6Doc2bow(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
+    val cv = sharedVectorizer(c, dir)
     val nnzUdf = udf { vec: MlVector => vec.numNonzeros }
     val totUdf = udf { vec: MlVector => vec.toArray.sum.toLong }
     cv.transform(c)
