@@ -304,6 +304,52 @@ object Topics {
       |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 100""".stripMargin
 
+  /** M9: vocabulary coverage / OOV rate — per document, the fraction of
+    * raw cleaned tokens (pre stop-word/length filtering) that fall
+    * outside the minDF/maxDF modeling vocabulary. The standard tokenizer-
+    * coverage metric of a pretraining corpus: high OOV flags documents
+    * the model effectively can't see. The vocabulary (tiny) broadcasts;
+    * the token stream is map-only into a per-doc count — the same
+    * shape as d6's benchmark probe. Value-checked against the m1 CTE.
+    */
+  def m9OovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val cv = sharedVectorizer(c, dir)
+    val vocabDf = cv.vocabulary.toSeq.toDF("term").withColumn("in_v", lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokenize(cleanChain(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(vocabDf), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("in_v").isNull, 1.0).otherwise(0.0))
+          / count(lit(1)), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m9Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, list_distinct(" + OracleSql.cleanTokens + ") AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT unnest(toks) AS term FROM toks\n" +
+      "), df AS (\n" +
+      "  SELECT term, count(*) AS doc_freq FROM flat GROUP BY 1\n" +
+      "), n AS (SELECT count(*) AS n_docs FROM toks),\n" +
+      "vocab AS (\n" +
+      s"  SELECT term FROM df, n WHERE doc_freq >= $MinDF AND doc_freq <= $MaxDF * n_docs\n" +
+      "), dtok AS (\n" +
+      "  SELECT doc_id, unnest(list_filter(string_split_regex(trim(" +
+      OracleSql.cleanChain + "), '\\s+'), x -> x <> '')) AS term\n" +
+      "  FROM documents\n)\n" +
+      """SELECT doc_id, count(*) AS n_tok,
+        |  count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS n_oov,
+        |  round(count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))::DOUBLE
+        |        / count(*), 6) AS oov_rate
+        |FROM dtok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -313,11 +359,13 @@ object Topics {
     "m6_doc2bow" -> (m6Doc2bow _),
     "m7_ldavis" -> (m7Ldavis _),
     "m8_bpe_pairs" -> (m8BpePairs _),
+    "m9_oov_rate" -> (m9OovRate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "m1_vocabulary" -> m1Sql,
     "m6_doc2bow" -> m6Sql,
     "m8_bpe_pairs" -> m8Sql,
+    "m9_oov_rate" -> m9Sql,
   )
 }

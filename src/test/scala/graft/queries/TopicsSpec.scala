@@ -124,6 +124,25 @@ class TopicsSpec extends AnyFunSuite {
     assert(html.contains("<th>relevance</th>") && html.contains("<td>1</td>"))
   }
 
+  test("m9 OOV rate matches brute-force counting against the m1 vocabulary") {
+    val vocab = Topics.m1Vocabulary(spark, dir).collect().map(_.getString(0)).toSet
+    val out = Topics.m9OovRate(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.cleanChain(col("text")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, cleaned) =>
+      val toks = cleaned.trim.split("\\s+").filter(_.nonEmpty)
+      val oov = toks.count(!vocab.contains(_))
+      val (nTok, nOov, rate) = out(id)
+      assert(nTok == toks.length, s"doc $id n_tok")
+      assert(nOov == oov, s"doc $id n_oov")
+      assert(math.abs(rate - oov.toDouble / toks.length) < 5e-7, s"doc $id rate")
+    }
+    assert(out.size == docs.length)
+  }
+
   test("model save/load round-trips describeTopics (S10)") {
     val c = Topics.corpus(spark, dir).cache()
     val v = Topics.fitVectorizer(c).transform(c).cache()
