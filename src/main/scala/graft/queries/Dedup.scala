@@ -409,6 +409,69 @@ object Dedup {
       |SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (g)
       |WHERE gr.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
 
+  /** D7: duplicate clusters — connected components over the d2 near-dup
+    * pair graph, labelling every member with its component's minimum
+    * doc_id (the cluster's canonical survivor). Pair lists only say
+    * "A≈B, B≈C"; dedup has to DROP the whole {A,B,C} group, which is
+    * transitive closure. Implemented as iterative min-label propagation:
+    * each round joins (src,dst) edges with current labels, takes the
+    * neighborhood min, and re-labels — every round is one keyed shuffle
+    * of (id,label) pairs, converging in ≤ component-diameter rounds
+    * (near-dup clusters are shallow; the fixture converges in 2). The
+    * driver sees only the per-round changed-count scalar. At 100 TB the
+    * same loop is run with the large-star/small-star optimization
+    * (Kiveris et al., SoCC'14) which squashes diameters in O(log n)
+    * rounds and checkpoints lineage every few iterations.
+    */
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2")).cache()
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 32) {
+      val prev = labels
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+        .withColumnRenamed("dst", "id")
+      val updated = prev.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+          col("label").as("old_label"))
+        .cache()
+      changed = updated.filter(col("new_label") < col("old_label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label")).cache()
+      prev.unpersist()
+      iters += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE twin: the same exact-pair base as d2's oracle, closed
+    * transitively (reach = undirected reachability, min reached id =
+    * cluster label).
+    */
+  val d7Sql: String = {
+    val core = d2Sql.substring(0, d2Sql.lastIndexOf("ORDER BY"))
+    s"""WITH RECURSIVE base AS (
+       |$core
+       |), edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM base
+       |  UNION ALL
+       |  SELECT id2, id1 FROM base
+       |), reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -416,6 +479,7 @@ object Dedup {
     "d4_embedding_dups" -> (d4EmbeddingDups _),
     "d5_winnow_pairs" -> (d5WinnowPairs _),
     "d6_decontaminate" -> (d6Decontaminate _),
+    "d7_dup_clusters" -> (d7DupClusters _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -425,5 +489,6 @@ object Dedup {
     "d4_embedding_dups" -> d4Sql,
     "d5_winnow_pairs" -> d5Sql,
     "d6_decontaminate" -> d6Sql,
+    "d7_dup_clusters" -> d7Sql,
   )
 }

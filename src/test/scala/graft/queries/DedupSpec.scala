@@ -141,4 +141,28 @@ class DedupSpec extends AnyFunSuite {
     if (strong.nonEmpty)
       assert(rows.map(_._1).toSet.intersect(strong).nonEmpty)
   }
+
+  test("d7 clusters equal brute-force union-find over the d2 pair graph") {
+    val pairs = Dedup.d2MinHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.d7DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(out == expected)
+    // every cluster label is its own member and the component minimum
+    out.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label)
+    }
+  }
 }
