@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
@@ -503,15 +503,22 @@ object Relational {
     * stable under repartitioning, and needs no sampling state — a
     * map-only filter evaluated inside the scan.
     */
-  def q26StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+  /** The q26 keep predicate as a reusable Column — a pure row function,
+    * so it applies identically to a batch scan and a streaming source
+    * (StreamFilterSpec proves the equivalence).
+    */
+  def stratifiedKeep(docId: Column, lang: Column): Column = {
     val bucket = conv(
-      substring(md5(concat(col("doc_id").cast("string"), col("lang"))), 1, 8),
+      substring(md5(concat(docId.cast("string"), lang)), 1, 8),
       16, 10).cast("long") % 1000
+    bucket < when(lang === "en", 200).otherwise(1000)
+  }
+
+  def q26StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(bucket < when(col("lang") === "en", 200).otherwise(1000))
+      .filter(stratifiedKeep(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
-  }
 
   val q26Sql: String =
     """SELECT doc_id, lang FROM documents
