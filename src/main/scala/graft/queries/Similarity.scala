@@ -266,6 +266,89 @@ object Similarity {
       |)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** S6: sign-LSH ANN (random-hyperplane LSH, Charikar 2002) — the
+    * bucket-join ANN family, complementing s2/s3's IVF cells. Each
+    * vector gets an NBITS-bit signature (sign of its dot product with
+    * NBITS fixed ±1 Rademacher hyperplanes, derived deterministically
+    * from FNV-1a so the oracle replays them as literals); queries probe
+    * their own bucket plus all 1-bit-flip neighbors (multi-probe LSH) via
+    * an EQUI-join on the probe signature — at 100 TB this is a plain
+    * keyed shuffle on a 1-byte key, never a similarity-predicate join —
+    * and candidates rerank exactly. Deterministic as a computation
+    * (fixed hyperplanes, rounded scores, (score desc, id asc) ties), so
+    * fully value-checked.
+    */
+  def s6LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val NBITS = 8
+    val sigExpr = (0 until NBITS).map(i =>
+      when(dot(col("v"), typedLit(lshHyperplane(i))) >= 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    // cache materializes sig — 9 downstream references would otherwise
+    // re-inline (and recompute) the 8 dot products per reference
+    val all = vecs(s, dir).withColumn("sig", sigExpr).cache()
+    val corpus = all.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"), col("sig").as("sig2"))
+    val probeCols = col("sig") +:
+      (0 until NBITS).map(b => col("sig").bitwiseXOR(lit(1 << b)))
+    val qside = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
+        explode(array(probeCols: _*)).as("probe"))
+    corpus.join(broadcast(qside), col("sig2") === col("probe"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .distinct()
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  /** ±1 hyperplane i, deterministic from FNV-1a — shared by the Spark
+    * plan and (as inlined literals) the SQL oracle.
+    */
+  private[queries] def lshHyperplane(i: Int): Seq[Double] =
+    Seq.tabulate(64) { j =>
+      if ((graft.expressions.SimHash64.fnv1a64(s"$i:$j".getBytes("UTF-8")) & 1L) == 1L)
+        1.0 else -1.0
+    }
+
+  val s6Sql: String = {
+    val sigSum = (0 until 8).map { i =>
+      val h = lshHyperplane(i).map(v => if (v > 0) "1" else "-1")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product(v, $h) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val probeList = ("sig" +: (0 until 8).map(b => s"xor(sig, ${1 << b})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |sigs AS (
+       |  SELECT vec_id, v, nrm,
+       |    $sigSum AS sig
+       |  FROM n
+       |),
+       |qprobes AS (
+       |  SELECT vec_id AS id1, v AS v1, nrm AS n1, unnest($probeList) AS probe
+       |  FROM sigs WHERE vec_id < $NQ
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.id1, c.vec_id AS id2,
+       |    round(list_dot_product(q.v1, c.v) / (q.n1 * c.nrm), 6) AS cos
+       |  FROM qprobes q JOIN sigs c ON c.sig = q.probe
+       |  WHERE q.id1 <> c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT id1, id2, cos,
+       |         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM cand
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY id1, rank""".stripMargin
+  }
+
   /** S5: scalar quantization to uint8 — per-dimension min/max over the
     * corpus, then q = min(255, floor((v - mn) · 256 / (mx - mn))). The
     * stats side is one map-side-combined aggregation to 64 rows which
@@ -311,6 +394,7 @@ object Similarity {
     "s3_ivf_kmeans" -> (s3IvfKmeans _),
     "s4_label_centroid" -> (s4LabelCentroid _),
     "s5_quantize" -> (s5Quantize _),
+    "s6_lsh_topk" -> (s6LshTopK _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -318,5 +402,6 @@ object Similarity {
     "s2_ivf_topk" -> s2Sql,
     "s4_label_centroid" -> s4Sql,
     "s5_quantize" -> s5Sql,
+    "s6_lsh_topk" -> s6Sql,
   )
 }

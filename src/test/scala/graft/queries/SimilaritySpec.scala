@@ -60,6 +60,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 $recall")
   }
 
+  test("s6 lsh scores are exact for returned pairs; multi-probe finds neighbors") {
+    val exact = bruteTopK(5, 20)
+    val got = Similarity.s6LshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id1, id2, cos) =>
+      exact(id1).find(_._1 == id2).foreach { case (_, ecos) =>
+        assert(math.abs(cos - ecos) < 2e-6)
+      }
+    }
+    // per query, ranks are 1..n and scores non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val scores = rows.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    val exactPairs = exact.flatMap { case (q, tops) => tops.map(t => (q, t._1)) }.toSet
+    val gotPairs = got.map(g => (g._1, g._2)).toSet
+    val recall = exactPairs.intersect(gotPairs).size.toDouble / exactPairs.size
+    // 9-of-256-bucket multiprobe on near-random vectors: modest recall by
+    // design (0.64 measured at sf0.01); assert it finds a real fraction
+    assert(recall >= 0.2, s"recall@5 $recall")
+  }
+
   test("s3 kmeans-ivf: exact scores, recall monotone in nprobe, exact at full probe") {
     val exact = bruteTopK(5, 20)
     val exactPairs = exact.flatMap { case (q, tops) => tops.map(t => (q, t._1)) }.toSet
