@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.queries.{Dedup, Relational, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full training-data curation flow, composed from the individual
+  * operators the library ships — the end-to-end path a 100 TB corpus
+  * takes from raw documents to packed training chunks:
+  *
+  *   ingest → quality gate → stratified rebalancing → exact dedup →
+  *   near-dup cluster drop → benchmark decontamination → chunking →
+  *   range-sharded write
+  *
+  * Every stage is one of the oracle-checked queries' operators applied
+  * in sequence, so correctness is inherited; this object adds the
+  * composition and the per-stage row accounting a curation run reports.
+  *
+  * Scale shape of the composition: the first three stages are map-only
+  * filters that FUSE into the scan (one pass, no shuffle); exact dedup
+  * shuffles 32-byte digests; the near-dup and decontamination stages
+  * semi/anti-join against id sets that are tiny relative to the corpus
+  * (duplicate-cluster members, contaminated ids) and broadcast; chunking
+  * is map-only explode; the final write is one range exchange. No stage
+  * ever shuffles document text except the digest-keyed exact dedup.
+  */
+object TrainingPipeline {
+
+  /** Runs curation over `dir`'s documents; returns the final chunk
+    * DataFrame and the per-stage row counts, and optionally writes the
+    * chunks range-sharded by doc_id.
+    */
+  def curate(s: SparkSession, dir: String,
+      outPath: Option[String] = None,
+      minQuality: Double = 0.25,
+      shards: Int = 8): (DataFrame, Seq[(String, Long)]) = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // each stage boundary CHECKPOINTS (localCheckpoint: materialize +
+    // truncate lineage). Truncation, not just caching, is load-bearing
+    // twice over: a later stage never recomputes an earlier one's joins,
+    // and the logical plan stays flat — seven nested stage lineages
+    // otherwise grow the per-action plan walk (Catalyst analysis, plan
+    // descriptions) super-linearly. A cluster run would use
+    // reliable checkpoints on DFS; local[] uses executor storage.
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val mat = df.localCheckpoint(true)
+      counts += name -> mat.count()
+      mat
+    }
+
+    val docs = stage("ingest", Tables.documents(s, dir))
+
+    // map-only gates — Catalyst fuses all three into the scan pass
+    val gated = stage("quality_gate",
+      docs.filter(qualityScore(col("text")) >= minQuality))
+    val sampled = stage("stratified_sample",
+      gated.filter(Relational.stratifiedKeep(col("doc_id"), col("lang"))))
+
+    // exact dedup: min doc_id survives per content digest
+    val keepers = sampled
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = stage("exact_dedup",
+      sampled.join(keepers, Seq("doc_id"), "left_semi"))
+
+    // near-dup clusters: keep only each cluster's canonical member.
+    // cluster ids are a tiny fraction of the corpus → broadcast the
+    // non-canonical member list into an anti-join
+    val dupDrop = Dedup.d7DupClusters(s, dir)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val deduped = stage("near_dup_drop",
+      exact.join(broadcast(dupDrop), Seq("doc_id"), "left_anti"))
+
+    // benchmark decontamination: drop flagged ids (same broadcast shape)
+    val contaminated = Dedup.d6Decontaminate(s, dir)
+    val clean = stage("decontaminate",
+      deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+
+    // chunk the survivors 128/96 (same grid as t16)
+    val chunkTokens = slice(col("t"), col("chunk_id") * 96 + 1, lit(128))
+    val chunks = stage("chunk",
+      clean.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("source"), col("t"),
+          explode(sequence(lit(0),
+            floor((size(col("t")) - 1) / 96.0).cast("int"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), col("source"),
+          array_join(chunkTokens, " ").as("chunk"),
+          size(chunkTokens).as("n_tok")))
+
+    outPath.foreach(p =>
+      graft.sources.Sinks.writeRangeSharded(chunks, p, "doc_id", shards))
+    (chunks, counts.toSeq)
+  }
+}
