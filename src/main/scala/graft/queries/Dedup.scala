@@ -433,18 +433,19 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 32) {
-      val prev = labels
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
         .withColumnRenamed("dst", "id")
-      val updated = prev.join(nbrMin, Seq("id"), "left")
+      // localCheckpoint, not cache: truncating the lineage each round
+      // keeps the logical plan flat — a cached-only loop re-walks a
+      // plan that deepens every iteration on each action
+      val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
           col("label").as("old_label"))
-        .cache()
+        .localCheckpoint(true)
       changed = updated.filter(col("new_label") < col("old_label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label")).cache()
-      prev.unpersist()
+      labels = updated.select(col("id"), col("new_label").as("label"))
       iters += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
