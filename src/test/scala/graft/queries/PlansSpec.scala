@@ -99,6 +99,29 @@ class PlansSpec extends AnyFunSuite {
       "pack window lost its per-source partitioning")
   }
 
+  test("m9 probes the vocabulary via broadcast, never a corpus shuffle join") {
+    val plan = executedPlan(Topics.m9OovRate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "vocab join shuffles the token stream")
+  }
+
+  test("s6 lsh candidates come from a broadcast equi-join, never a cartesian") {
+    val plan = executedPlan(Similarity.s6LshTopK(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "probe join not broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH probe degraded to an all-pairs join")
+  }
+
+  test("q26 sampling and t16 chunking stay map-only (no hash exchange)") {
+    val p26 = executedPlan(Relational.q26StratifiedSample(spark, dir))
+    assert(!p26.contains("Exchange hashpartitioning"),
+      "hash-sample filter gained a shuffle")
+    val p16 = executedPlan(Text.t16Chunk(spark, dir))
+    assert(!p16.contains("Exchange hashpartitioning"),
+      "chunking gained a shuffle")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
