@@ -473,6 +473,75 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** D8: embedding near-dup at scale — the banded-LSH candidate path
+    * that d4's scaladoc promises (d4 is the exact-quadratic oracle
+    * baseline). Each vector gets a 16-bit hyperplane-sign signature
+    * (the s6 Rademacher hyperplanes); candidates are pairs agreeing on
+    * at least one of 4 × 4-bit bands (equi-join on (band, value) — the
+    * d2/d3 pigeonhole shape), then every candidate is verified with the
+    * EXACT cosine, so reported pairs are always true ≥0.4 pairs
+    * (LSH costs recall, never precision). At 100 TB: signatures are
+    * map-only, the band join shuffles 2-byte keys, and only candidate
+    * pairs ever touch full vectors.
+    */
+  def d8EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
+    val sigExpr = (0 until 16).map(i =>
+      when(dot(col("v"), typedLit(graft.queries.Similarity.lshHyperplane(i))) >= 0,
+        lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("sig", sigExpr)
+      .cache()
+    val bands = e.select(col("vec_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val d8Sql: String = {
+    val sigSum = (0 until 16).map { i =>
+      val h = graft.queries.Similarity.lshHyperplane(i)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product(v, $h) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |sigs AS (
+       |  SELECT vec_id, v, nrm,
+       |    $sigSum AS sig
+       |  FROM n
+       |),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (sig // CAST(power(2::DOUBLE, b*4) AS INT)) % 16 AS bv
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id1, c.id2,
+       |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |FROM cand c JOIN sigs x ON x.vec_id = c.id1 JOIN sigs y ON y.vec_id = c.id2
+       |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -481,6 +550,7 @@ object Dedup {
     "d5_winnow_pairs" -> (d5WinnowPairs _),
     "d6_decontaminate" -> (d6Decontaminate _),
     "d7_dup_clusters" -> (d7DupClusters _),
+    "d8_embedding_lsh" -> (d8EmbeddingLsh _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -491,5 +561,6 @@ object Dedup {
     "d5_winnow_pairs" -> d5Sql,
     "d6_decontaminate" -> d6Sql,
     "d7_dup_clusters" -> d7Sql,
+    "d8_embedding_lsh" -> d8Sql,
   )
 }

@@ -142,6 +142,22 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.map(_._1).toSet.intersect(strong).nonEmpty)
   }
 
+  test("d8 lsh pairs are a subset of d4 exact pairs with identical scores") {
+    val exact = Dedup.d4EmbeddingDups(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.d8EmbeddingLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // precision 1.0: every LSH pair is a true >=0.4 pair, same score
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"$pair not in exact answer")
+      assert(math.abs(exact(pair) - cos) < 1e-9)
+    }
+    // banding recall on this fixture is substantial, not token
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("d7 clusters equal brute-force union-find over the d2 pair graph") {
     val pairs = Dedup.d2MinHashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
