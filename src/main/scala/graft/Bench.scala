@@ -40,8 +40,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // release per-query cached intermediates so timings are independent
+      // Release per-query state so timings are independent. clearCache()
+      // alone is NOT enough: localCheckpoint pins RDD blocks that the
+      // Dataset cache manager never sees (round 3 measured m2 at 376.6 s
+      // in-suite vs 10.1 s in a fresh JVM — executor storage filled by
+      // earlier queries' checkpoint blocks). Unpersist every persistent
+      // RDD explicitly, then give the ContextCleaner a GC cycle so aged
+      // broadcasts are actually dropped, not just unreferenced.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

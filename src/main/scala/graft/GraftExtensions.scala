@@ -32,7 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHash64(children.head)))
     e.injectFunction((
       new FunctionIdentifier("xml_fields"),
-      new ExpressionInfo("graft.expressions.XmlFields", "xml_fields"),
+      new ExpressionInfo("graft.expressions.XmlFields", null, "xml_fields",
+        "xml_fields(doc, spec, ...) - extracts fields from an XML/HTML " +
+          "string in one scan; spec is 'tag', 'tag@attr', 'tag#id', or " +
+          "'tag[]' (all occurrences).",
+        "Text extraction is LEAF-ONLY: an element's text is read up to " +
+          "its next '<', so nested markup inside the element is not " +
+          "concatenated. Attribute lookup tokenizes the start tag into " +
+          "(name, value) pairs (quoted values are opaque). Designed for " +
+          "machine-generated sitemap/article markup, not arbitrary HTML."),
       (children: Seq[Expression]) => XmlFields(children)))
     e.injectFunction((
       new FunctionIdentifier("word_ngrams"),

@@ -3,6 +3,7 @@ package graft
 import graft.functions.TextFunctions._
 import graft.queries.{Dedup, Relational, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The full training-data curation flow, composed from the individual
@@ -43,10 +44,19 @@ object TrainingPipeline {
     // otherwise grow the per-action plan walk (Catalyst analysis, plan
     // descriptions) super-linearly. A cluster run would use
     // reliable checkpoints on DFS; local[] uses executor storage.
+    // Every stage consumes only its predecessor, so once the new
+    // checkpoint has materialized the previous stage's blocks are
+    // unpersisted — executor storage stays one-stage-deep across the
+    // run instead of growing to seven pinned copies of the corpus
+    // (TrainingPipelineSpec asserts the bound; only the returned chunk
+    // frame stays persisted for the caller).
+    var prevStage: Checkpoints.Checkpointed = null
     def stage(name: String, df: DataFrame): DataFrame = {
-      val mat = df.localCheckpoint(true)
-      counts += name -> mat.count()
-      mat
+      val cp = Checkpoints.eager(df)
+      counts += name -> cp.df.count()
+      if (prevStage != null) prevStage.release()
+      prevStage = cp
+      cp.df
     }
 
     val docs = stage("ingest", Tables.documents(s, dir))
@@ -65,11 +75,20 @@ object TrainingPipeline {
     val exact = stage("exact_dedup",
       sampled.join(keepers, Seq("doc_id"), "left_semi"))
 
-    // near-dup clusters: keep only each cluster's canonical member.
-    // cluster ids are a tiny fraction of the corpus → broadcast the
-    // non-canonical member list into an anti-join
-    val dupDrop = Dedup.d7DupClusters(s, dir)
-      .filter(col("cluster") =!= col("doc_id"))
+    // near-dup clusters: keep exactly one member per cluster. The
+    // canonical member is chosen AMONG THIS RUN'S SURVIVORS — the
+    // corpus-wide min doc_id may already have fallen to the quality
+    // gate or the stratified sample, and dropping the precomputed
+    // non-canonical set would then silently erase the whole cluster
+    // (no representative at all). Cluster members are a tiny fraction
+    // of the corpus → broadcast both the label join and the drop list.
+    val clusterLabels = Dedup.d7DupClusters(s, dir)
+    val members = exact.select(col("doc_id"))
+      .join(broadcast(clusterLabels), Seq("doc_id"))
+    val dupDrop = members
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
+      .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
     val deduped = stage("near_dup_drop",
       exact.join(broadcast(dupDrop), Seq("doc_id"), "left_anti"))

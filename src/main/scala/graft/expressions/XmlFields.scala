@@ -117,28 +117,41 @@ object XmlFields {
       .replace("&apos;", "'").replace("&amp;", "&")
 
   /** Attribute lookup inside a start tag's body (between the tag name and
-    * '>'). Handles single/double quotes; returns null if absent.
+    * '>'). A proper left-to-right (name, value) tokenizer — quoted VALUE
+    * spans are skipped wholesale, so a value that happens to contain
+    * `attr='...'` text can never satisfy the lookup (the substring-search
+    * formulation had exactly that false-positive edge). Handles
+    * single/double quotes, unquoted values, and bare (valueless)
+    * attributes; returns null if absent or valueless.
     */
   private def attrValue(tagBody: String, attr: String): String = {
-    var from = 0
-    while (true) {
-      val at = tagBody.indexOf(attr, from)
-      if (at < 0) return null
-      // must be a standalone attribute name followed by =
-      val before = at == 0 || !isNameChar(tagBody.charAt(at - 1))
-      var j = at + attr.length
-      while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
-      if (before && j < tagBody.length && tagBody.charAt(j) == '=') {
-        j += 1
-        while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
-        if (j < tagBody.length && (tagBody.charAt(j) == '"' || tagBody.charAt(j) == '\'')) {
-          val q = tagBody.charAt(j)
-          val end = tagBody.indexOf(q, j + 1)
-          if (end > 0) return unescape(tagBody.substring(j + 1, end))
-        }
-        return null
+    val n = tagBody.length
+    var i = 0
+    while (i < n) {
+      val c = tagBody.charAt(i)
+      if (Character.isWhitespace(c) || c == '/') i += 1
+      else if (!isNameChar(c)) i += 1 // stray char — resync
+      else {
+        val nameStart = i
+        while (i < n && isNameChar(tagBody.charAt(i))) i += 1
+        val name = tagBody.substring(nameStart, i)
+        while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+        if (i < n && tagBody.charAt(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+          if (i < n && (tagBody.charAt(i) == '"' || tagBody.charAt(i) == '\'')) {
+            val q = tagBody.charAt(i)
+            val end = tagBody.indexOf(q, i + 1)
+            val stop = if (end < 0) n else end
+            if (name == attr) return unescape(tagBody.substring(i + 1, stop))
+            i = stop + 1
+          } else {
+            val vs = i
+            while (i < n && !Character.isWhitespace(tagBody.charAt(i))) i += 1
+            if (name == attr) return unescape(tagBody.substring(vs, i))
+          }
+        } else if (name == attr) return null // bare attribute: no value
       }
-      from = at + attr.length
     }
     null
   }

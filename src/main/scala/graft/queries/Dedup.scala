@@ -61,12 +61,19 @@ object Dedup {
     *
     * The cap prunes CANDIDATE GENERATION only; surviving pairs are
     * verified with the exact Jaccard over the FULL shingle sets (same
-    * candidates-then-verify shape as d2), so reported values are
-    * identical to the uncapped answer. A pair is lost only if ALL its
-    * shared shingles are corpus-stop-shingles — such a pair is
-    * vocabulary overlap, not duplication (Broder 1997's standard
-    * frequency-pruning argument).
+    * candidates-then-verify shape as d2), so reported VALUES are always
+    * exact. SMALL documents (≤ [[D1SmallDoc]] shingles) keep their hot
+    * shingles in the index: a short near-identical pair can overlap on
+    * stop-shingles alone (two tweet-length dups made of common phrases),
+    * and without retention it would never reach the verify stage — the
+    * hot-key explosion stays bounded because only small docs re-join on
+    * hot keys. The residual (documented) approximation: a pair where one
+    * side is LARGE and every shared shingle is hot is still skipped —
+    * for j ≥ 0.2 such a pair must share > n/6 corpus-stop-shingles,
+    * which is vocabulary overlap, not duplication (Broder 1997's
+    * standard frequency-pruning argument).
     */
+  val D1SmallDoc = 10
   def d1JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val maxDfFrac = 0.10
     val sh = shingleSets(s, dir).cache()
@@ -79,7 +86,10 @@ object Dedup {
       .select(col("shingle"))
       .cache()
     val nHot = hot.count() // tiny by construction (≤ 1/maxDfFrac × skew)
-    val kept = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val kept = inv
+      .join(broadcast(hot.withColumn("is_hot", lit(1))), Seq("shingle"), "left")
+      .filter(col("is_hot").isNull || col("n") <= D1SmallDoc)
+      .drop("is_hot")
     val common = kept
       .select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
       .join(kept.select(col("doc_id").as("id2"), col("n").as("n2"),
@@ -223,22 +233,28 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** D4: embedding-cosine near-dup — pairs of vectors with cosine ≥ 0.4
-    * over `embeddings`. Exact all-pairs here (oracle-checkable; double
-    * folds match DuckDB bit-for-bit). At 100 TB exact quadratic search is
-    * off the table — the scale path swaps candidate generation for LSH
-    * banding over the sign-bit SimHash of the embedding (d3's pigeonhole
-    * machinery, hyperplane signs instead of shingle hashes) or the IVF
-    * cells of s2, then verifies candidates exactly as done here.
+  /** D4: embedding-cosine near-dup, exact — every ≥0.4-cosine pair whose
+    * SMALLER id falls in a fixed probe panel (vec_id < [[D4ProbeCap]]),
+    * against the whole corpus. The probe cap makes the exact path LINEAR
+    * in corpus size (panel × corpus with the ≤1000-row panel broadcast —
+    * a BroadcastNestedLoopJoin, never a corpus × corpus product), so
+    * this exact audit stays runnable at any scale; the UNBOUNDED
+    * near-dup operator is d8's banded LSH, and SimilaritySpec
+    * cross-checks d8 against the uncapped exact answer at test scale.
+    * The cap is ≥ the sf0.01 corpus, so the oracle comparison is still
+    * the full exact-quadratic answer there. Double folds match DuckDB
+    * bit-for-bit.
     */
+  val D4ProbeCap = 1000
   def d4EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val a = e.filter(col("vec_id") < D4ProbeCap)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    broadcast(a).join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= 0.4)
@@ -247,7 +263,7 @@ object Dedup {
   }
 
   val d4Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
@@ -255,7 +271,8 @@ object Dedup {
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |WHERE a.vec_id < $D4ProbeCap
+      |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
   /** D5: winnowing-fingerprint copy detection (Schleimer et al. 2003) —
@@ -409,45 +426,115 @@ object Dedup {
       |SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (g)
       |WHERE gr.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — labels every node of the undirected `pairs` graph with
+    * its component's minimum id. Pair lists only say "A≈B, B≈C"; dedup
+    * has to DROP the whole {A,B,C} group, which is transitive closure.
+    *
+    * Each round runs the two edge-rewriting steps:
+    *  - large-star(u): every neighbor v > u is re-pointed at
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): on edges oriented high→low, u and all its smaller
+    *    neighbors are re-pointed at the minimum neighbor.
+    * Both preserve connectivity exactly; the fixed point is a forest of
+    * depth-1 stars centered at each component's minimum, reached in
+    * O(log n) rounds even on pathological chains — vs component-DIAMETER
+    * rounds for plain min-label propagation (a 64-node chain: 6 rounds
+    * here, ~63 propagated; CCSpec pins this).
+    *
+    * Scale shape: a round shuffles only (node, node) id pairs (groupBy
+    * min + one co-partitioned join per step); every round's edge set is
+    * localCheckpoint'ed to truncate lineage and the PREVIOUS round's
+    * blocks are unpersisted as soon as the new one materializes, so
+    * executor storage stays O(1) in rounds (CCSpec asserts this). The
+    * driver sees only per-round counts. Throws rather than returning
+    * silently-unconverged labels if `maxRounds` is exhausted.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame =
+    ccRun(pairs, maxRounds)._1.df
+
+  /** Rounds the alternating algorithm needs on `pairs` — exposed for
+    * CCSpec's chain-fixture O(log n) bound; runs the same loop.
+    */
+  def ccRounds(pairs: DataFrame, maxRounds: Int = 32): Int = {
+    val (labels, rounds) = ccRun(pairs, maxRounds)
+    labels.release()
+    rounds
+  }
+
+  private def ccRun(pairs: DataFrame, maxRounds: Int)
+      : (graft.Checkpoints.Checkpointed, Int) = {
+    import graft.Checkpoints.eager
+    // undirected edges oriented high→low (smallStar's output orientation,
+    // so an already-converged star forest is detected in one round),
+    // self-loops dropped
+    val init = eager(pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val nodes = eager(init.df.select(col("u").as("id"))
+      .union(init.df.select(col("v").as("id"))).distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient high→low: every u's neighbors are all < u
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy("u").agg(min(col("v")).as("mn"))
+      val nbr = or.join(mins, Seq("u"))
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+      nbr.union(mins.select(col("u"), col("mn").as("v"))).distinct()
+    }
+
+    var edges = init
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      val next = eager(smallStar(largeStar(edges.df)))
+      // fixed point ⇔ identical edge sets (both are distinct'ed and
+      // identically oriented): cheap count compare first, exact set
+      // check only when counts agree. `next` is materialized, so the
+      // superseded round's blocks release immediately — storage stays
+      // O(1) in rounds (CCSpec asserts this).
+      stable = next.df.count() == edges.df.count() &&
+        next.df.except(edges.df).isEmpty
+      edges.release()
+      edges = next
+      rounds += 1
+    }
+    if (!stable) {
+      edges.release(); nodes.release()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+    }
+    // converged stars are oriented member→center(=component min);
+    // centers label themselves
+    val result = eager(nodes.df.join(
+        edges.df.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label")))
+    edges.release(); nodes.release()
+    (result, rounds)
+  }
+
   /** D7: duplicate clusters — connected components over the d2 near-dup
-    * pair graph, labelling every member with its component's minimum
-    * doc_id (the cluster's canonical survivor). Pair lists only say
-    * "A≈B, B≈C"; dedup has to DROP the whole {A,B,C} group, which is
-    * transitive closure. Implemented as iterative min-label propagation:
-    * each round joins (src,dst) edges with current labels, takes the
-    * neighborhood min, and re-labels — every round is one keyed shuffle
-    * of (id,label) pairs, converging in ≤ component-diameter rounds
-    * (near-dup clusters are shallow; the fixture converges in 2). The
-    * driver sees only the per-round changed-count scalar. At 100 TB the
-    * same loop is run with the large-star/small-star optimization
-    * (Kiveris et al., SoCC'14) which squashes diameters in O(log n)
-    * rounds and checkpoints lineage every few iterations.
+    * pair graph via [[connectedComponents]], labelling every member with
+    * its component's minimum doc_id (the cluster's canonical survivor).
     */
   def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2")).cache()
-    val edges = pairs
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 32) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-        .withColumnRenamed("dst", "id")
-      // localCheckpoint, not cache: truncating the lineage each round
-      // keeps the logical plan flat — a cached-only loop re-walks a
-      // plan that deepens every iteration on each action
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
-          col("label").as("old_label"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("new_label") < col("old_label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label"))
-      iters += 1
-    }
+    val labels = connectedComponents(pairs)
+    pairs.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
   }

@@ -312,20 +312,34 @@ object Relational {
   /** O-J2 (+O-P10): positional join — the reference aligns LDA inference
     * output with its source rows by pandas index (topic_modelling.ipynb
     * line 820 pd.concat(axis=1)). Spark has no implicit row order, so the
-    * positional form is row_number over an EXPLICIT deterministic
-    * ordering on both sides, then an equi-join on the ordinal (the
+    * positional form is a deterministic sort on each side followed by
+    * RDD `zipWithIndex` ordinals, then an equi-join on the ordinal (the
     * pattern to reach for when an ordinal is semantically real; for LDA
     * itself we avoid it entirely — transform appends in-row, see Topics).
-    * The ordinal shuffle is a single window per side over the sort key.
+    *
+    * zipWithIndex, NOT `row_number over an un-partitioned window`: the
+    * global window funnels every row through ONE task (the WindowExec
+    * trap t15's scaladoc documents — fine at sf0.1, a stall at 100×),
+    * while zipWithIndex is two fully parallel passes — a per-partition
+    * count job, then a map that offsets each partition's local index.
+    * The sort's range exchange makes partition order == global order,
+    * which zipWithIndex preserves. PlansSpec asserts no un-partitioned
+    * WindowExec survives in this plan.
     */
   def q19PositionalJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val left = Tables.documents(s, dir)
-      .withColumn("pos", row_number().over(Window.orderBy(col("doc_id"))))
-      .select(col("pos"), col("doc_id"), col("lang"))
-    val right = Tables.embeddings(s, dir)
-      .withColumn("pos", row_number().over(Window.orderBy(col("vec_id"))))
-      .select(col("pos"), col("vec_id"), col("label"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def withPos(df: org.apache.spark.sql.DataFrame, sortKey: String): DataFrame = {
+      val sorted = df.orderBy(col(sortKey))
+      val schema = StructType(StructField("pos", LongType, nullable = false)
+        +: sorted.schema.fields)
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq((i + 1L) +: r.toSeq)
+      }
+      s.createDataFrame(rdd, schema)
+    }
+    val left = withPos(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val right = withPos(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
     left.join(right, Seq("pos"))
       .select(col("pos"), col("doc_id"), col("lang"), col("vec_id"), col("label"))
       .orderBy(col("pos"))

@@ -16,9 +16,11 @@ class TrainingPipelineSpec extends AnyFunSuite {
   private val dir = TestSpark.sfDir
   private lazy val outDir =
     java.nio.file.Files.createTempDirectory("curate").toString + "/chunks"
-  private lazy val result = {
+  private lazy val (result, pinnedDuringCurate) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (chunks, counts) = TrainingPipeline.curate(spark, dir, Some(outDir), shards = 4)
-    (chunks.cache(), counts)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    ((chunks.cache(), counts), leaked.size)
   }
 
   test("curate stages drop monotonically and account for every row") {
@@ -38,23 +40,64 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(byStage("chunk") >= nChunkedDocs)
   }
 
-  test("curate survivors exclude contaminated ids and non-canonical dups") {
+  test("curate keeps exactly one representative per near-dup cluster") {
     val (chunks, _) = result
     val surviving = chunks.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     val contaminated = queries.Dedup.d6Decontaminate(spark, dir)
       .collect().map(_.getLong(0)).toSet
-    val nonCanonical = queries.Dedup.d7DupClusters(spark, dir)
-      .filter(col("cluster") =!= col("doc_id"))
-      .collect().map(_.getLong(0)).toSet
     assert(surviving.intersect(contaminated).isEmpty)
-    assert(surviving.intersect(nonCanonical).isEmpty)
+    // Re-derive the pre-near-dup survivor set with the same public
+    // operators the pipeline composes, then check the RE-CANONICALIZED
+    // semantics: the representative is min(doc_id) among the cluster
+    // members that reached this stage — NOT the corpus-wide min, which
+    // an earlier gate may have dropped (in which case the old
+    // precomputed-drop-list formulation erased the entire cluster).
+    val docs = Tables.documents(spark, dir)
+    val gated = docs.filter(qualityScore(col("text")) >= 0.25)
+    val sampled = gated.filter(
+      queries.Relational.stratifiedKeep(col("doc_id"), col("lang")))
+    val keepers = sampled
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactIds = sampled.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusterOf = queries.Dedup.d7DupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusterOf.groupBy(_._2).foreach { case (cluster, members) =>
+      val present = members.keySet.intersect(exactIds)
+      if (present.nonEmpty) {
+        val rep = present.min
+        val survivors = members.keySet.intersect(surviving)
+        assert(survivors.subsetOf(Set(rep)),
+          s"cluster $cluster kept non-representative members: $survivors")
+        // the representative itself survives unless a LATER stage
+        // (decontamination, empty-token chunking) legitimately drops it
+        if (!contaminated(rep)) {
+          val repTokens = docs.filter(col("doc_id") === rep)
+            .select(size(tokenize(col("text")))).collect().head.getInt(0)
+          if (repTokens > 0)
+            assert(surviving.contains(rep),
+              s"cluster $cluster lost its representative $rep")
+        }
+      }
+    }
     // chunks carry real content within the 128-token budget
     val sample = chunks.filter(col("chunk_id") === 0).limit(20).collect()
     sample.foreach { r =>
       assert(r.getAs[String]("chunk").nonEmpty)
       assert(r.getAs[Int]("n_tok") > 0 && r.getAs[Int]("n_tok") <= 128)
     }
+  }
+
+  test("curate stages release superseded checkpoints (storage stays bounded)") {
+    val (_, counts) = result // force the shared run
+    assert(counts.nonEmpty)
+    // a 7-stage run may leave only the final chunk frame's checkpoint
+    // plus the d7 label frame pinned — not one block set per stage
+    assert(pinnedDuringCurate <= 4,
+      s"$pinnedDuringCurate persistent RDDs pinned by curate — stage leak?")
   }
 
   test("curate writes readable range-sharded output") {

@@ -53,14 +53,15 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "keyed dedup degraded to a window")
   }
 
-  test("d1's hot-shingle cap applies as a broadcast anti-join, not a shuffle") {
+  test("d1's hot-shingle cap applies via a broadcast join, not a shuffle") {
+    // the hot set now joins as a broadcast LEFT join with an is_hot
+    // marker (small docs retain hot shingles); the cap must never cost
+    // a corpus-scale shuffle
     val plan = executedPlan(Dedup.d1JaccardPairs(spark, dir))
-    assert(plan.contains("LeftAnti"), "hot-shingle cap lost its anti-join")
-    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined ||
-      plan.contains("BroadcastHashJoin LeftAnti") ||
-      ("LeftAnti".r.findAllIn(plan).nonEmpty &&
-        !plan.contains("SortMergeJoin LeftAnti")),
-      "anti-join degraded to a shuffle join")
+    assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined,
+      "hot-shingle marker join is not a broadcast left join")
+    assert(!"SortMergeJoin.*LeftOuter".r.findFirstIn(plan).isDefined,
+      "hot-shingle cap degraded to a shuffle join")
   }
 
   test("x2 extraction runs on xml_fields, never per-field xpath") {
@@ -111,6 +112,14 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "LSH probe degraded to an all-pairs join")
+  }
+
+  test("q19 ordinals come from zipWithIndex, never a global window") {
+    // an un-partitioned row_number window funnels each side through ONE
+    // task; the zipWithIndex form has no WindowExec at all
+    val plan = executedPlan(Relational.q19PositionalJoin(spark, dir))
+    assert(!plan.contains("Window"),
+      "positional ordinal degraded to a single-partition window")
   }
 
   test("q26 sampling and t16 chunking stay map-only (no hash exchange)") {
