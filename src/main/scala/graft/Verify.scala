@@ -25,9 +25,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries cache intermediates (shingle sets, corpora); release them
-      // so later queries aren't squeezed by earlier generations
+      // queries cache intermediates (shingle sets, corpora) and pin
+      // localCheckpoint blocks (d7 labels) that clearCache never sees;
+      // release both so later queries aren't squeezed by earlier ones
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

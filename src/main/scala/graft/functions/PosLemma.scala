@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions.udf
   *  - tagging: closed-class word lists decide function words; suffix
   *    rules decide open-class tags; unknown defaults to NN (same default
   *    NLTK uses for unseen tokens).
-  *  - lemmatization: WordNet morphy's detachment rules without the
-  *    irregular-exception tables (so "went" stays "went" while NLTK
-  *    yields "go"). PosLemmaSpec pins exact in/out pairs.
+  *  - lemmatization: WordNet morphy's detachment rules plus a bundled
+  *    irregular-exception table (resources/graft/lemma-exceptions.tsv,
+  *    the *.exc shape: "went"→"go", "children"→"child"); the remaining
+  *    divergence is morphy's dictionary validation of every detachment,
+  *    impossible offline. PosLemmaSpec pins exact in/out pairs.
   *
   * The keep-list matches the reference exactly: NN/NNS/NNP/NNPS, JJ/JJR/
   * JJS, RB/RBR/RBS — nouns, adjectives, adverbs survive; everything
@@ -97,9 +99,33 @@ object PosLemma {
 
   def keep(tag: String): Boolean = keepTags.contains(tag)
 
-  /** WordNet-morphy detachment rules (no exception tables), POS-aware
-    * with the reference's tag-initial mapping (J→adj, V→verb, R→adv,
-    * default noun — data_preparation.py:65-72).
+  /** Irregular-inflection exception tables (WordNet *.exc shape,
+    * hand-authored high-frequency subset bundled as a resource),
+    * consulted BEFORE the detachment rules exactly like morphy.
+    */
+  private lazy val exceptions: Map[Char, Map[String, String]] = {
+    val in = getClass.getResourceAsStream("/graft/lemma-exceptions.tsv")
+    require(in != null, "lemma-exceptions.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val f = l.split("\t"); (f(0).head, f(1), f(2)) }
+      .toSeq.groupBy(_._1)
+      .map { case (pos, rows) =>
+        pos -> rows.map(r => r._2 -> r._3).toMap }
+    finally src.close()
+  }
+  private[functions] def nounExc: Map[String, String] = exceptions('n')
+  private[functions] def verbExc: Map[String, String] = exceptions('v')
+  private[functions] def adjExc: Map[String, String] = exceptions('a')
+
+  /** WordNet-morphy lemmatization: irregular-exception lookup first,
+    * then the detachment rules, POS-aware with the reference's
+    * tag-initial mapping (J→adj, V→verb, R→adv, default noun —
+    * data_preparation.py:65-72). Residual divergence from NLTK: morphy
+    * validates every detachment against the WordNet dictionary, which
+    * an offline build cannot; the exception table covers the frequent
+    * irregulars instead ("went"→"go", "children"→"child").
     */
   def lemmatize(t: String, tag: String): String = {
     def tryRules(word: String, rules: Seq[(String, String)]): String =
@@ -109,16 +135,19 @@ object PosLemma {
       }.getOrElse(word)
     tag.headOption match {
       case Some('V') =>
-        tryRules(t, Seq("ies" -> "y", "es" -> "e", "ed" -> "", "ing" -> "", "s" -> ""))
+        verbExc.getOrElse(t,
+          tryRules(t, Seq("ies" -> "y", "es" -> "e", "ed" -> "", "ing" -> "", "s" -> "")))
       case Some('J') | Some('R') =>
-        tryRules(t, Seq("est" -> "", "er" -> ""))
+        adjExc.getOrElse(t, tryRules(t, Seq("est" -> "", "er" -> "")))
       case _ => // noun default
-        // guards: short nouns and -ss/-us/-is endings are lexical, not
-        // plural ("gas", "bus", "glass", "virus", "basis")
-        if (t.length <= 3 || t.endsWith("ss") || t.endsWith("us") || t.endsWith("is")) t
-        else tryRules(t, Seq("ches" -> "ch", "shes" -> "sh", "ses" -> "s",
-          "xes" -> "x", "zes" -> "z", "ves" -> "f", "ies" -> "y",
-          "men" -> "man", "s" -> ""))
+        nounExc.getOrElse(t, {
+          // guards: short nouns and -ss/-us/-is endings are lexical, not
+          // plural ("gas", "bus", "glass", "virus", "basis")
+          if (t.length <= 3 || t.endsWith("ss") || t.endsWith("us") || t.endsWith("is")) t
+          else tryRules(t, Seq("ches" -> "ch", "shes" -> "sh", "ses" -> "s",
+            "xes" -> "x", "zes" -> "z", "ves" -> "f", "ies" -> "y",
+            "men" -> "man", "s" -> ""))
+        })
     }
   }
 
@@ -145,17 +174,25 @@ object PosLemma {
     def l(ws: Set[String]) =
       ws.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'")
         .mkString("[", ", ", "]")
+    def m(pairs: Map[String, String]) = {
+      val es = pairs.toSeq.sorted
+      "map(" + es.map(e => "'" + e._1 + "'").mkString("[", ", ", "]") +
+        ", " + es.map(e => "'" + e._2 + "'").mkString("[", ", ", "]") + ")"
+    }
     val closed = l(determiners ++ prepositions ++ conjunctions ++
       pronouns ++ auxiliaries ++ commonVerbs)
     val adv = l(adverbsIrregular)
+    // irregular exceptions first (same tables the UDF loads), then
     // tryRules for J/R tags: ("est" -> "", "er" -> ""), guard len > suf+1
     val jrLemma =
-      """CASE WHEN t LIKE '%est' AND length(t) > 4 THEN left(t, length(t)-3)
+      s"""coalesce(${m(adjExc)}[t][1],
+        |CASE WHEN t LIKE '%est' AND length(t) > 4 THEN left(t, length(t)-3)
         |     WHEN t LIKE '%er' AND length(t) > 3 THEN left(t, length(t)-2)
-        |     ELSE t END""".stripMargin
-    // noun rules with the lexical-ending guards
+        |     ELSE t END)""".stripMargin
+    // noun rules with the exception table + lexical-ending guards
     val nounLemma =
-      """CASE WHEN length(t) <= 3 OR t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is' THEN t
+      s"""coalesce(${m(nounExc)}[t][1],
+        |CASE WHEN length(t) <= 3 OR t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is' THEN t
         |     WHEN t LIKE '%ches' AND length(t) > 5 THEN left(t, length(t)-4) || 'ch'
         |     WHEN t LIKE '%shes' AND length(t) > 5 THEN left(t, length(t)-4) || 'sh'
         |     WHEN t LIKE '%ses' AND length(t) > 4 THEN left(t, length(t)-3) || 's'
@@ -165,7 +202,7 @@ object PosLemma {
         |     WHEN t LIKE '%ies' AND length(t) > 4 THEN left(t, length(t)-3) || 'y'
         |     WHEN t LIKE '%men' AND length(t) > 4 THEN left(t, length(t)-3) || 'man'
         |     WHEN t LIKE '%s' AND length(t) > 2 THEN left(t, length(t)-1)
-        |     ELSE t END""".stripMargin
+        |     ELSE t END)""".stripMargin
     s"""list_filter(list_transform($toks, t ->
        |  CASE
        |    WHEN list_contains($closed, t) THEN NULL

@@ -3,8 +3,9 @@ package graft.functions
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pinned-pair tests for the rule-based POS tagger + morphy-lite
-  * lemmatizer (documented divergence from NLTK: no perceptron, no
-  * WordNet exception tables).
+  * lemmatizer (documented divergence from NLTK: no perceptron; the
+  * bundled exception table covers frequent irregulars, not the full
+  * WordNet dictionary validation).
   */
 class PosLemmaSpec extends AnyFunSuite {
   import PosLemma._
@@ -38,7 +39,31 @@ class PosLemmaSpec extends AnyFunSuite {
     assert(lemmatize("boxes", "NN") == "box")
     assert(lemmatize("wolves", "NN") == "wolf")
     assert(lemmatize("women", "NN") == "woman")
-    assert(lemmatize("news", "NN") == "new") // known divergence from WordNet
+  }
+
+  test("irregular exceptions resolve before detachment rules") {
+    // nouns
+    assert(lemmatize("children", "NN") == "child")
+    assert(lemmatize("feet", "NNS") == "foot")
+    assert(lemmatize("mice", "NN") == "mouse")
+    assert(lemmatize("people", "NN") == "person")
+    assert(lemmatize("crises", "NN") == "crisis")
+    assert(lemmatize("criteria", "NN") == "criterion")
+    assert(lemmatize("wives", "NN") == "wife") // ves→f rule would give "wif"
+    assert(lemmatize("news", "NN") == "news")  // fixed: was "new" pre-table
+    assert(lemmatize("series", "NN") == "series")
+    assert(lemmatize("politics", "NN") == "politics")
+    // verbs
+    assert(lemmatize("went", "VBD") == "go")
+    assert(lemmatize("was", "VBD") == "be")
+    assert(lemmatize("taken", "VBN") == "take")
+    assert(lemmatize("wrote", "VBD") == "write")
+    assert(lemmatize("caught", "VBD") == "catch")
+    // adjectives / adverbs
+    assert(lemmatize("better", "JJR") == "good")
+    assert(lemmatize("worst", "JJS") == "bad")
+    assert(lemmatize("further", "RBR") == "far")
+    assert(lemmatize("least", "JJS") == "little")
   }
 
   test("verb lemmatization strips inflection") {
@@ -55,7 +80,7 @@ class PosLemmaSpec extends AnyFunSuite {
   test("short words are not over-stripped") {
     assert(lemmatize("gas", "NN") == "gas")
     assert(lemmatize("bus", "NN") == "bus")
-    assert(lemmatize("is", "VB") == "is")
+    assert(lemmatize("is", "VB") == "be") // irregular table: was "is" pre-table
   }
 
   test("full pipeline on a pinned sentence") {
