@@ -36,6 +36,21 @@ class TopicsSpec extends AnyFunSuite {
     assert(t1 == t2)
   }
 
+  test("shared models persist to disk and reload bit-identically (S10 flow)") {
+    val c = Topics.corpus(spark, dir).cache()
+    val cv1 = Topics.sharedVectorizer(c, dir)
+    val lda1 = Topics.sharedLda(cv1.transform(c), dir)
+    val vocab1 = cv1.vocabulary.toSeq
+    val topics1 = lda1.describeTopics(10).collect().map(_.toString).toSeq
+    // drop the in-JVM registry: the next touch must LOAD the artifact a
+    // fresh JVM (e.g. a session-per-query bench) would load, not refit
+    Topics.clearModelCache()
+    val cv2 = Topics.sharedVectorizer(c, dir)
+    val lda2 = Topics.sharedLda(cv2.transform(c), dir)
+    assert(cv2.vocabulary.toSeq == vocab1)
+    assert(lda2.describeTopics(10).collect().map(_.toString).toSeq == topics1)
+  }
+
   test("LDA separates a synthetic 2-topic corpus") {
     // topic A vocabulary disjoint from topic B; 40 docs each
     val rng = new scala.util.Random(13)
