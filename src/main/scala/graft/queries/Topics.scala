@@ -417,6 +417,113 @@ object Topics {
         |        / count(*), 6) AS oov_rate
         |FROM dtok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** M10: tf-idf keyword extraction — the top-5 terms per document by
+    * smoothed tf-idf (sklearn's idf = ln((N+1)/(df+1)) + 1) over the
+    * minDF/maxDF vocabulary. The classic relevance-keyword op a curation
+    * pipeline runs for doc tagging/near-topic retrieval.
+    *
+    * Scale shape: term df is vocabulary-bounded and BROADCASTS into the
+    * per-(doc, term) tf aggregate (map-side combined); the only big
+    * shuffles are keyed on (doc_id, term) then doc_id, and the per-doc
+    * window is partitioned by doc_id — never global. Value-checked
+    * (exact doubles: both engines compute tf·idf with the same IEEE ops;
+    * ties share identical doubles and break on the term string).
+    */
+  def m10Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val nDocs = c.count()
+    val flat = c.select(col("doc_id"), explode(col("tokens")).as("term"))
+    val vocabDf = sharedVectorizer(c, dir).vocabulary.toSeq.toDF("term")
+    val kept = flat.join(broadcast(vocabDf), Seq("term"))
+    val dfreq = kept.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = kept.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * idf).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val m10Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT doc_id, unnest(toks) AS term FROM toks\n" +
+      "), dfreq AS (\n" +
+      "  SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1\n" +
+      "), n AS (SELECT count(*) AS n_docs FROM toks\n" +
+      "), vocab AS (\n" +
+      "  SELECT term, df FROM dfreq, n\n" +
+      s"  WHERE df >= $MinDF AND df <= $MaxDF * n_docs\n" +
+      "), tf AS (\n" +
+      "  SELECT doc_id, term, count(*) AS tf\n" +
+      "  FROM flat JOIN vocab USING (term) GROUP BY 1, 2\n" +
+      "), scored AS (\n" +
+      "  SELECT doc_id, term,\n" +
+      "    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf\n" +
+      "  FROM tf JOIN vocab USING (term), n\n" +
+      "), ranked AS (\n" +
+      "  SELECT doc_id, term, tfidf,\n" +
+      "    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank\n" +
+      "  FROM scored\n" +
+      ")\n" +
+      "SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf\n" +
+      "FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"
+
+  /** M11: unigram log-probability quality score — per document, the mean
+    * negative log-probability (nats) of its tokens under the corpus
+    * unigram distribution with add-one smoothing. The cheap stand-in for
+    * LM-perplexity filtering (CCNet shape): documents whose token mix is
+    * improbable under the corpus distribution score high and get culled.
+    *
+    * Scale shape: the corpus term-count table is vocabulary-bounded and
+    * broadcasts; the token stream joins map-only and aggregates per doc
+    * with map-side combine. One corpus-wide count pass + one scoring
+    * pass, no corpus-scale shuffle of text.
+    */
+  def m11UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val flat = c.select(col("doc_id"), explode(col("tokens")).as("term"))
+    val counts = flat.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("v")).head()
+    val total = totals.getLong(0); val v = totals.getLong(1)
+    val logp = log((col("n") + 1.0) / lit((total + v).toDouble))
+    flat.join(broadcast(counts), Seq("term"))
+      .select(col("doc_id"), logp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(-avg(col("lp")), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m11Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT doc_id, unnest(toks) AS term FROM toks\n" +
+      "), counts AS (\n" +
+      "  SELECT term, count(*) AS n FROM flat GROUP BY 1\n" +
+      "), tot AS (\n" +
+      "  SELECT sum(n) AS total, count(*) AS v FROM counts\n" +
+      ")\n" +
+      "SELECT doc_id, count(*) AS n_tok,\n" +
+      "  round(-avg(ln((n + 1.0) / (total + v))), 6) AS nll\n" +
+      "FROM flat JOIN counts USING (term), tot\n" +
+      "GROUP BY doc_id ORDER BY doc_id"
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -427,6 +534,8 @@ object Topics {
     "m7_ldavis" -> (m7Ldavis _),
     "m8_bpe_pairs" -> (m8BpePairs _),
     "m9_oov_rate" -> (m9OovRate _),
+    "m10_tfidf" -> (m10Tfidf _),
+    "m11_unigram_logprob" -> (m11UnigramLogprob _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -434,5 +543,7 @@ object Topics {
     "m6_doc2bow" -> m6Sql,
     "m8_bpe_pairs" -> m8Sql,
     "m9_oov_rate" -> m9Sql,
+    "m10_tfidf" -> m10Sql,
+    "m11_unigram_logprob" -> m11Sql,
   )
 }

@@ -114,6 +114,15 @@ class PlansSpec extends AnyFunSuite {
       "LSH probe degraded to an all-pairs join")
   }
 
+  test("m10 tf-idf windows per doc and broadcasts the df dim") {
+    val plan = executedPlan(Topics.m10Tfidf(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "df/vocab dims not broadcast")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      "per-doc ranking lost its doc_id partitioning")
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      "un-partitioned window crept in")
+  }
+
   test("q19 ordinals come from zipWithIndex, never a global window") {
     // an un-partitioned row_number window funnels each side through ONE
     // task; the zipWithIndex form has no WindowExec at all
