@@ -96,8 +96,13 @@ object Topics {
     f"${scala.util.hashing.MurmurHash3.orderedHash(entries)}%08x"
   }
 
+  /** Artifact address = corpus dir + data fingerprint + the model
+    * hyperparameters — a changed minDF/maxDF/k can never load a stale
+    * artifact fitted under the old settings.
+    */
   private def artifactPath(dir: String, fp: String, kind: String): String =
-    s"$modelRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/$kind"
+    s"$modelRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/" +
+      s"$kind-$MinDF-${(MaxDF * 100).toInt}-$K"
 
   /** Drops the in-JVM registry (disk artifacts stay — they are
     * fingerprint-addressed, so staleness is impossible). For tests and
@@ -487,10 +492,12 @@ object Topics {
     * LM-perplexity filtering (CCNet shape): documents whose token mix is
     * improbable under the corpus distribution score high and get culled.
     *
-    * Scale shape: the corpus term-count table is vocabulary-bounded and
-    * broadcasts; the token stream joins map-only and aggregates per doc
-    * with map-side combine. One corpus-wide count pass + one scoring
-    * pass, no corpus-scale shuffle of text.
+    * Scale shape: the count table spans EVERY distinct corpus term (the
+    * add-one model has no OOV), which at 100 TB is far too large to
+    * broadcast — so the scoring join is left to AQE: a keyed equi-join
+    * on term (broadcast at test scale, shuffle join at corpus scale),
+    * followed by a map-side-combined per-doc aggregate. Both shuffles
+    * carry (term, count) / (doc_id, double) pairs only, never text.
     */
   def m11UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).cache()
@@ -500,7 +507,7 @@ object Topics {
       count(lit(1)).as("v")).head()
     val total = totals.getLong(0); val v = totals.getLong(1)
     val logp = log((col("n") + 1.0) / lit((total + v).toDouble))
-    flat.join(broadcast(counts), Seq("term"))
+    flat.join(counts, Seq("term"))
       .select(col("doc_id"), logp.as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),

@@ -27,30 +27,34 @@ class CCSpec extends AnyFunSuite {
 
   test("random-graph labels match driver union-find; storage stays O(1)") {
     import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(300)(
-      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
-      .filter(e => e._1 != e._2).distinct
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    // driver union-find with min-root unions → root IS the component min
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    // three densities: sparse forest-ish, medium, dense single component
+    for ((seed, nEdges, nNodes) <- Seq((7, 300, 200), (11, 60, 150), (23, 900, 120))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // driver union-find with min-root unions → root IS the component min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got.size == nodes.size, s"seed $seed")
+      nodes.foreach(n =>
+        assert(got(n) == find(n), s"seed $seed: label mismatch at node $n"))
+      // the loop released every superseded round: only the final labels'
+      // checkpoint may remain pinned
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 2, s"seed $seed: leaked ${leaked.size} persistent RDDs")
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    assert(got.size == nodes.size)
-    nodes.foreach(n => assert(got(n) == find(n), s"label mismatch at node $n"))
-    // the loop released every superseded round: only the final labels'
-    // checkpoint may remain pinned
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.size <= 2, s"leaked ${leaked.size} persistent RDDs")
   }
 
   test("empty and single-edge graphs") {
