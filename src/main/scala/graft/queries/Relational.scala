@@ -556,6 +556,50 @@ object Relational {
     """SELECT event_type AS key, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY key""".stripMargin
 
+  /** Domain-mix rebalancing (training-data composition control): resample
+    * the corpus so every language contributes equally (the fixture's
+    * skewed axis: en dwarfs the rest 3:1) — the "data mixing"
+    * step a pretraining pipeline runs when one domain dwarfs the rest.
+    * Each stratum's keep-rate is min(n)/n_s, applied as q26's
+    * deterministic md5-bucket predicate with an INTEGER threshold
+    * (floor(min_n·10⁶ / n_s) — exact in IEEE double at any corpus size
+    * below 2⁴⁶ rows, and identical to the oracle's BIGINT division), so
+    * the decision stays a pure row function: reproducible across
+    * retries, stable under repartitioning.
+    *
+    * Scale shape: one map-side-combined count per stratum (tiny), the
+    * per-stratum thresholds broadcast back, and the resample itself is a
+    * map-only filter fused into the scan. The only driver value is the
+    * min count scalar.
+    */
+  def q28DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s"))).head.getLong(0)
+    val rates = counts.select(col("lang"),
+      floor(lit(minN * 1000000.0) / col("n_s")).cast("long").as("thr"))
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), col("lang"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_s FROM documents GROUP BY 1
+      |), mn AS (SELECT min(n_s) AS min_n FROM counts),
+      |rates AS (
+      |  SELECT lang, (min_n * 1000000) // n_s AS thr FROM counts, mn
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates r USING (lang)
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || d.lang), 1, 8))::UBIGINT
+      |      % 1000000 < thr
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -584,6 +628,7 @@ object Relational {
     "q25_cube" -> (q25Cube _),
     "q26_stratified_sample" -> (q26StratifiedSample _),
     "q27_salted_count" -> (q27SaltedCount _),
+    "q28_domain_mix" -> (q28DomainMix _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -613,5 +658,6 @@ object Relational {
     "q25_cube" -> q25Sql,
     "q26_stratified_sample" -> q26Sql,
     "q27_salted_count" -> q27Sql,
+    "q28_domain_mix" -> q28Sql,
   )
 }

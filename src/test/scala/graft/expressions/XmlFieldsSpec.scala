@@ -53,4 +53,15 @@ class XmlFieldsSpec extends AnyFunSuite {
     val xml = "<t data-id='no' id='yes'>text</t>"
     assert(extract(xml, "t@id") == Seq("yes"))
   }
+
+  test("attribute names inside quoted VALUES are never matched") {
+    // the tokenizer skips quoted spans wholesale — a value that embeds
+    // `datetime='trap'` text cannot satisfy a datetime lookup
+    val xml = "<t title=\"datetime='trap'\" datetime=\"2024-01-01\">x</t>"
+    assert(extract(xml, "t@datetime") == Seq("2024-01-01"))
+    // and when the real attribute is absent, the embedded text still
+    // doesn't count as a hit
+    val xml2 = "<t title=\"datetime='trap'\">x</t>"
+    assert(extract(xml2, "t@datetime") == Seq(""))
+  }
 }
