@@ -123,6 +123,12 @@ class PlansSpec extends AnyFunSuite {
       "un-partitioned window crept in")
   }
 
+  test("q28 mixing thresholds broadcast; the resample is scan-fused") {
+    val plan = executedPlan(Relational.q28DomainMix(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "threshold dim not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "mix join shuffles the corpus")
+  }
+
   test("q19 ordinals come from zipWithIndex, never a global window") {
     // an un-partitioned row_number window funnels each side through ONE
     // task; the zipWithIndex form has no WindowExec at all
