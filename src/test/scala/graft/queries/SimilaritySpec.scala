@@ -60,6 +60,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 $recall")
   }
 
+  test("s7 quantized rerank: exact scores, high recall from 50-deep candidates") {
+    val exact = bruteTopK(5, 20)
+    val got = Similarity.s7QuantizedTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // reranked scores are full-precision cosines — any pair shared with
+    // the exact answer must agree
+    got.foreach { case (id1, id2, cos) =>
+      exact(id1).find(_._1 == id2).foreach { case (_, ecos) =>
+        assert(math.abs(cos - ecos) < 2e-6)
+      }
+    }
+    // a 50-deep integer-dot candidate pool over 500 vectors recovers
+    // most of the true top-5 despite the 8-bit quantization
+    val exactPairs = exact.flatMap { case (q, t) => t.map(x => (q, x._1)) }.toSet
+    val gotPairs = got.map(g => (g._1, g._2)).toSet
+    val recall = exactPairs.intersect(gotPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.6, s"recall@5 $recall")
+  }
+
   test("s6 lsh scores are exact for returned pairs; multi-probe finds neighbors") {
     val exact = bruteTopK(5, 20)
     val got = Similarity.s6LshTopK(spark, dir).collect()
