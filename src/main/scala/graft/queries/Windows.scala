@@ -162,6 +162,49 @@ object Windows {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       |ORDER BY event_type, event_id""".stripMargin
 
+  /** W8: gap-based sessions via Spark's NATIVE session_window — the
+    * built-in operator form of q21's lag+cumsum composition (and the one
+    * that transfers unchanged to Structured Streaming with a watermark:
+    * the state store merges windows incrementally). One keyed shuffle on
+    * user_id; the aggregate merges sessions inside the agg operator, no
+    * per-row window function at all. Session bounds surface as epoch
+    * microseconds; Spark's session end = last event + gap, and a gap of
+    * EXACTLY 30 min starts a new session (windows are half-open), which
+    * the oracle twin mirrors with its >= flag.
+    */
+  def w8SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val w8Sql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM lagged
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(epoch_us(ts)) AS start_us,
+      |       max(epoch_us(ts)) + 1800 * 1000000 AS end_us,
+      |       count(*) AS n_events
+      |FROM sessions GROUP BY user_id, seq
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -170,6 +213,7 @@ object Windows {
     "w5_running_sum" -> (w5RunningSum _),
     "w6_lag_delta" -> (w6LagDelta _),
     "w7_rank_family" -> (w7RankFamily _),
+    "w8_session_window" -> (w8SessionWindow _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -180,5 +224,6 @@ object Windows {
     "w5_running_sum" -> w5Sql,
     "w6_lag_delta" -> w6Sql,
     "w7_rank_family" -> w7Sql,
+    "w8_session_window" -> w8Sql,
   )
 }
