@@ -53,6 +53,61 @@ class StreamSessionsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("native session_window streams: closed sessions equal batch w8") {
+    import org.apache.spark.sql.functions._
+    // the same fixture batches as the flatMapGroupsWithState test, run
+    // through the BUILT-IN session_window aggregate under a watermark —
+    // w8's docstring claims the batch expression transfers unchanged;
+    // this pins it
+    val base = java.sql.Timestamp.valueOf("2024-06-01 08:00:00")
+    def ts(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val batch1 = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(20)),
+      (1L, ts(120)), (1L, ts(125)), (2L, ts(5)), (2L, ts(15)))
+      .toDF("user_id", "ts")
+    val batch2 = Seq((999L, ts(60L * 24 * 10))).toDF("user_id", "ts")
+
+    val dir = java.nio.file.Files.createTempDirectory("sw_src").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sw_tmp").toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    writeOne(batch1, "part_00.parquet")
+    writeOne(batch2, "part_01.parquet")
+
+    val q = spark.readStream.schema(batch1.schema).parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT * FROM sw_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch w8 over the SAME rows, minus the sentinel's own still-open
+    // session (append mode withholds windows the watermark hasn't passed)
+    val batchAll = batch1.union(batch2)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 999L).toSet
+    assert(got == batchAll, s"stream $got vs batch $batchAll")
+  }
+
   test("streamed sessions over the events fixture equal batch q21") {
     import org.apache.spark.sql.functions._
     val events = graft.Tables.events(spark, TestSpark.sfDir)
