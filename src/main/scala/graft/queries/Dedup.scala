@@ -142,25 +142,27 @@ object Dedup {
     * genuinely duplicated pairs (the fixture's planted dups all have
     * j ≥ 0.8 → per-band 0.41, miss probability 0.59³² ≈ 5e-8) are found
     * deterministically — the verified output equals the exact all-pairs
-    * answer the oracle computes. r=2 banding (j² per band) was measured
-    * 156 s at sf0.1: baseline-similar pairs flooded candidate
-    * verification. The plan never forms all pairs: band buckets are the
-    * only join keys, and the exact Jaccard check runs on candidates only.
+    * answer the oracle computes. The plan never forms all pairs: band
+    * buckets are the only join keys, and the exact Jaccard check runs on
+    * candidates only.
+    *
+    * Signatures come from the native `minhash128` expression — strictly
+    * MAP-ONLY, one pass per row (round 3's explode + 128 grouped
+    * min-aggregates still exchanged the exploded corpus; and a nested
+    * higher-order expression re-inlines at every element_at reference,
+    * observed 170 s vs 3 s at sf0.001 — the cache() below is what pins
+    * the signature column against that CollapseProject re-inline).
     */
   def d2MinHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val K = 128; val B = 32; val R = 4
+    val B = 32; val R = 4
     val sh = shingleSets(s, dir).cache()
-    // Signature via explode + K grouped min-aggregates, NOT a nested
-    // higher-order expression: the HOF form gets re-inlined at every
-    // element_at reference during banding and recomputes the K min-hashes
-    // per band member (observed 170s vs 3s on sf0.001). The grouped-agg
-    // form is codegen'd, partially aggregates map-side, and its shuffle
-    // output is materialized — band hashes then read plain columns.
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minAggs = (0 until K).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sig = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // cache is load-bearing: 128 element_at references below would
+    // otherwise each inline (and recompute) the full signature scan
+    val sig = sh.select(col("doc_id"),
+      call_udf("minhash128", col("sh")).as("mh")).cache()
     val bandCols = array((0 until B).map(b =>
-      xxhash64((0 until R).map(r => col(s"h${b * R + r}")): _*)): _*)
+      xxhash64((0 until R).map(r =>
+        element_at(col("mh"), b * R + r + 1)): _*)): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(bandCols).as(Seq("band", "bh")))
     val cand = bands.as("a").join(bands.as("b"),

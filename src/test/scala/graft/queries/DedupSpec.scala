@@ -91,6 +91,20 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(agree - trueJ) < 0.12, s"agreement $agree vs jaccard $trueJ")
   }
 
+  test("native minhash128 signature agreement approximates jaccard") {
+    val base = (0 until 100).map(i => s"sh$i")
+    val df = Seq(
+      (1L, base),
+      (2L, base.drop(20) ++ (100 until 120).map(i => s"x$i"))
+    ).toDF("doc_id", "sh")
+    val sigs = df.select(col("doc_id"), call_udf("minhash128", col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 128 && sigs(2L).length == 128)
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    val trueJ = 80.0 / 120.0 // |∩|=80, |∪|=120
+    assert(math.abs(agree - trueJ) < 0.15, s"agreement $agree vs jaccard $trueJ")
+  }
+
   test("identical texts get identical simhash; near-identical low hamming") {
     val text = (0 until 60).map(i => s"w${i % 25}").mkString(" ")
     val mutated = text.replace("w3", "zzz") // a few shingles change
