@@ -123,6 +123,14 @@ class PlansSpec extends AnyFunSuite {
       "un-partitioned window crept in")
   }
 
+  test("w8 session_window aggregates with one keyed exchange, partial first") {
+    val plan = executedPlan(Windows.w8SessionWindow(spark, dir))
+    assert(plan.contains("MergingSessions"), "native session merge missing")
+    assert(plan.contains("partial_count"), "session agg lost map-side combine")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "session agg not keyed on user_id")
+  }
+
   test("q28 mixing thresholds broadcast; the resample is scan-fused") {
     val plan = executedPlan(Relational.q28DomainMix(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), "threshold dim not broadcast")
