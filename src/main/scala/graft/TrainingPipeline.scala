@@ -82,10 +82,7 @@ object TrainingPipeline {
     // non-canonical set would then silently erase the whole cluster
     // (no representative at all). Cluster members are a tiny fraction
     // of the corpus → broadcast both the label join and the drop list.
-    val beforeD7 = s.sparkContext.getPersistentRDDs.keySet
-    val clusterLabels = Dedup.d7DupClusters(s, dir) // eager: pins its labels now
-    val d7Pinned = s.sparkContext.getPersistentRDDs
-      .collect { case (id, r) if !beforeD7.contains(id) => r }
+    val (clusterLabels, ccHandle) = Dedup.d7DupClustersHandle(s, dir)
     val members = exact.select(col("doc_id"))
       .join(broadcast(clusterLabels), Seq("doc_id"))
     val dupDrop = members
@@ -95,9 +92,9 @@ object TrainingPipeline {
       .select(col("doc_id"))
     val deduped = stage("near_dup_drop",
       exact.join(broadcast(dupDrop), Seq("doc_id"), "left_anti"))
-    // the dedup stage is checkpointed — the d7 label frame's pinned
-    // blocks (and any caches its evaluation left) release right away
-    d7Pinned.foreach(_.unpersist(blocking = false))
+    // the dedup stage is checkpointed — release the d7 label frame's
+    // pinned blocks right away
+    ccHandle.release()
 
     // benchmark decontamination: drop flagged ids (same broadcast shape)
     val contaminated = Dedup.d6Decontaminate(s, dir)

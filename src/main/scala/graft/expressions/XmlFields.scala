@@ -148,7 +148,11 @@ object XmlFields {
           } else {
             val vs = i
             while (i < n && !Character.isWhitespace(tagBody.charAt(i))) i += 1
-            if (name == attr) return unescape(tagBody.substring(vs, i))
+            // a self-closing tag's '/' is tag syntax, not value: strip it
+            // when it terminates the tag body
+            var ve = i
+            if (i == n && ve > vs && tagBody.charAt(ve - 1) == '/') ve -= 1
+            if (name == attr) return unescape(tagBody.substring(vs, ve))
           }
         } else if (name == attr) return null // bare attribute: no value
       }

@@ -175,9 +175,10 @@ object PosLemma {
       ws.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'")
         .mkString("[", ", ", "]")
     def m(pairs: Map[String, String]) = {
+      def sq(w: String) = "'" + w.replace("'", "''") + "'"
       val es = pairs.toSeq.sorted
-      "map(" + es.map(e => "'" + e._1 + "'").mkString("[", ", ", "]") +
-        ", " + es.map(e => "'" + e._2 + "'").mkString("[", ", ", "]") + ")"
+      "map(" + es.map(e => sq(e._1)).mkString("[", ", ", "]") +
+        ", " + es.map(e => sq(e._2)).mkString("[", ", ", "]") + ")"
     }
     val closed = l(determiners ++ prepositions ++ conjunctions ++
       pronouns ++ auxiliaries ++ commonVerbs)

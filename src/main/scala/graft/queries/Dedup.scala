@@ -454,29 +454,29 @@ object Dedup {
     * silently-unconverged labels if `maxRounds` is exhausted.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame =
-    ccRun(pairs, maxRounds)._1.df
+    connectedComponentsWithRounds(pairs, maxRounds)._1.df
 
-  /** Rounds the alternating algorithm needs on `pairs` — exposed for
-    * CCSpec's chain-fixture O(log n) bound; runs the same loop.
+  /** The full result: the checkpointed label frame's release handle
+    * (callers that must bound executor storage — TrainingPipeline —
+    * release it once consumed) plus the rounds the alternating
+    * algorithm took (CCSpec's O(log n) chain bound reads it without
+    * re-running the loop).
     */
-  def ccRounds(pairs: DataFrame, maxRounds: Int = 32): Int = {
-    val (labels, rounds) = ccRun(pairs, maxRounds)
-    labels.release()
-    rounds
-  }
-
-  private def ccRun(pairs: DataFrame, maxRounds: Int)
+  def connectedComponentsWithRounds(pairs: DataFrame, maxRounds: Int = 32)
       : (graft.Checkpoints.Checkpointed, Int) = {
     import graft.Checkpoints.eager
+    val raw = pairs.toDF("a", "b")
+    // EVERY mentioned node gets a label — including nodes whose only
+    // edges are self-loops, which the edge canonicalization drops
+    val nodes = eager(raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct())
     // undirected edges oriented high→low (smallStar's output orientation,
     // so an already-converged star forest is detected in one round),
     // self-loops dropped
-    val init = eager(pairs.toDF("a", "b")
+    val init = eager(raw
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    val nodes = eager(init.df.select(col("u").as("id"))
-      .union(init.df.select(col("v").as("id"))).distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -530,15 +530,24 @@ object Dedup {
   }
 
   /** D7: duplicate clusters — connected components over the d2 near-dup
-    * pair graph via [[connectedComponents]], labelling every member with
-    * its component's minimum doc_id (the cluster's canonical survivor).
+    * pair graph via [[connectedComponentsWithRounds]], labelling every
+    * member with its component's minimum doc_id (the cluster's canonical
+    * survivor). The pair frame feeds the loop's first checkpoint once —
+    * no cache needed; d2's internal caches are captured and released by
+    * that checkpoint's handle.
     */
-  def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2")).cache()
-    val labels = connectedComponents(pairs)
-    pairs.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-      .orderBy(col("doc_id"))
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame =
+    d7DupClustersHandle(s, dir)._1
+
+  /** d7 with the label checkpoint's release handle, for callers that
+    * must bound executor storage across a longer pipeline.
+    */
+  def d7DupClustersHandle(s: SparkSession, dir: String)
+      : (DataFrame, graft.Checkpoints.Checkpointed) = {
+    val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2"))
+    val (cp, _) = connectedComponentsWithRounds(pairs)
+    (cp.df.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id")), cp)
   }
 
   /** Recursive-CTE twin: the same exact-pair base as d2's oracle, closed

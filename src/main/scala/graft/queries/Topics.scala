@@ -31,6 +31,7 @@ object Topics {
   private val MinDF = 10
   private val MaxDF = 0.9
   private val K = 12
+  private val LdaMaxIter = 10
 
   /** Tokenized corpus: clean → tokenize → stop/length filter, the same
     * pipeline the reference feeds gensim (topic_modelling.ipynb line 286
@@ -46,7 +47,7 @@ object Topics {
       .setMinDF(MinDF).setMaxDF(MaxDF)
       .fit(c)
 
-  def fitLda(vectorized: DataFrame, k: Int = K, maxIter: Int = 10): LDAModel =
+  def fitLda(vectorized: DataFrame, k: Int = K, maxIter: Int = LdaMaxIter): LDAModel =
     new LDA().setK(k).setSeed(42).setMaxIter(maxIter)
       .setFeaturesCol("features")
       .fit(vectorized)
@@ -65,7 +66,8 @@ object Topics {
     * The fingerprint is metadata-only (file names/sizes/mtimes of the
     * documents table — no data pass), so regenerating a fixture under
     * the same path invalidates both the registry and the disk artifact
-    * rather than silently serving a stale model.
+    * rather than silently serving a stale model. See [[artifactPath]]
+    * for what the key does and does not cover.
     */
   private val cvCache =
     scala.collection.concurrent.TrieMap.empty[String, CountVectorizerModel]
@@ -97,12 +99,15 @@ object Topics {
   }
 
   /** Artifact address = corpus dir + data fingerprint + the model
-    * hyperparameters — a changed minDF/maxDF/k can never load a stale
-    * artifact fitted under the old settings.
+    * hyperparameters (minDF/maxDF/k/maxIter) — changed settings can
+    * never load an artifact fitted under the old ones. NOT covered by
+    * the key: a code change to the tokenize/clean chain itself; the
+    * artifacts live under the build's target/ scratch (wiped by
+    * `sbt clean`), which bounds that staleness to a dirty working tree.
     */
   private def artifactPath(dir: String, fp: String, kind: String): String =
     s"$modelRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/" +
-      s"$kind-$MinDF-${(MaxDF * 100).toInt}-$K"
+      s"$kind-$MinDF-${(MaxDF * 100).toInt}-$K-$LdaMaxIter"
 
   /** Drops the in-JVM registry (disk artifacts stay — they are
     * fingerprint-addressed, so staleness is impossible). For tests and

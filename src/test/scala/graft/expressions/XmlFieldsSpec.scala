@@ -54,6 +54,12 @@ class XmlFieldsSpec extends AnyFunSuite {
     assert(extract(xml, "t@id") == Seq("yes"))
   }
 
+  test("unquoted attribute values; self-closing slash is not part of the value") {
+    assert(extract("<t a=1/>", "t@a") == Seq("1"))
+    assert(extract("<t a=1 b=2>x</t>", "t@a") == Seq("1"))
+    assert(extract("<t a=1 b=2>x</t>", "t@b") == Seq("2"))
+  }
+
   test("attribute names inside quoted VALUES are never matched") {
     // the tokenizer skips quoted spans wholesale — a value that embeds
     // `datetime='trap'` text cannot satisfy a datetime lookup

@@ -15,12 +15,13 @@ class CCSpec extends AnyFunSuite {
 
   test("64-node chain converges in O(log n) rounds, labels = component min") {
     import spark.implicits._
-    // worst case for propagation: one path, diameter 63
+    // worst case for propagation: one path, diameter 63 — one run yields
+    // both the labels and the round count
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val rounds = Dedup.ccRounds(chain)
+    val (cp, rounds) = Dedup.connectedComponentsWithRounds(chain)
     assert(rounds <= 7, s"took $rounds rounds; plain propagation needs ~63")
-    val labels = Dedup.connectedComponents(chain).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = cp.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    cp.release()
     assert(labels.length == 64)
     assert(labels.forall(_._2 == 0L), "every chain node labels to the min (0)")
   }
@@ -57,7 +58,7 @@ class CCSpec extends AnyFunSuite {
     }
   }
 
-  test("empty and single-edge graphs") {
+  test("empty, single-edge, and self-loop-only graphs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty).count() == 0)
@@ -65,6 +66,11 @@ class CCSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(one).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((5L, 5L), (9L, 5L)))
+    // a node whose only edge is reflexive still gets a label
+    val loops = Seq((7L, 7L), (1L, 2L)).toDF("a", "b")
+    val got2 = Dedup.connectedComponents(loops).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((7L, 7L), (1L, 1L), (2L, 1L)))
   }
 
   test("non-convergence within maxRounds fails loudly, not silently") {
