@@ -640,6 +640,78 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** D9: semantic dedup, SemDeDup-shaped (Abbas et al. 2023) — cluster
+    * the embedding space, then drop any vector with a near-identical
+    * LOWER-id neighbor in its own cluster (cos ≥ 0.55; the survivor rule
+    * is the deterministic min-id variant of the paper's keep-one policy).
+    * Near-duplicate semantics live in the same cell by construction, so
+    * the quadratic comparison is CELL-LOCAL: at 100 TB the cell count
+    * scales with the corpus (trained k-means, the s3 quantizer) and each
+    * cell's pair block stays bounded — never an all-pairs product. Cells
+    * here are s2's deterministic first-16-centroid assignment, which is
+    * what makes the full pipeline SQL-twinnable; the d8 banded-LSH path
+    * is the alternative when no cluster structure is wanted.
+    *
+    * Scale shape: assignment is a broadcast map-only pass; the only
+    * shuffles are the cell-keyed self-join and the final anti-join
+    * (broadcast — dropped ids are a tiny fraction). Output = surviving
+    * vec_ids with their cells, the frame a curation pipeline semi-joins
+    * against.
+    */
+  def d9SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
+    val NCELL = 16
+    val Thr = 0.55
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cents = all.filter(col("vec_id") < NCELL)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = all.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"))
+      .join(all, Seq("vec_id"))
+      .cache() // both sides of the cell-local self-join read this
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= Thr)
+      .select(col("id2").as("vec_id")).distinct()
+    assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d9Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+      |sims AS (
+      |  SELECT a.vec_id, c.cent_id,
+      |         round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6) AS cs
+      |  FROM n a CROSS JOIN cents c
+      |), cells AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+      |    FROM sims) WHERE rn = 1
+      |), assigned AS (
+      |  SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.55
+      |)
+      |SELECT vec_id, cell FROM assigned
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -649,6 +721,7 @@ object Dedup {
     "d6_decontaminate" -> (d6Decontaminate _),
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_embedding_lsh" -> (d8EmbeddingLsh _),
+    "d9_semdedup" -> (d9SemDedup _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -660,5 +733,6 @@ object Dedup {
     "d6_decontaminate" -> d6Sql,
     "d7_dup_clusters" -> d7Sql,
     "d8_embedding_lsh" -> d8Sql,
+    "d9_semdedup" -> d9Sql,
   )
 }
