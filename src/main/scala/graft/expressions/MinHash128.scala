@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 128-permutation MinHash signature of a string array (Broder 1997) in
   * ONE codegen pass per row: each element is hashed once (FNV-1a 64),
@@ -23,6 +24,15 @@ case class MinHash128(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash128"
+
+  // analysis-time rejection of non-array<string> input (a SQL caller can
+  // reach this expression with any type); null ELEMENTS are legal input
+  // and skipped in compute()
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     MinHash128.compute(input.asInstanceOf[ArrayData])
@@ -55,12 +65,16 @@ object MinHash128 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val base = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
-      var k = 0
-      while (k < K) {
-        val h = mix(base ^ (k * 0x9E3779B97F4A7C15L))
-        if (h < mins(k)) mins(k) = h
-        k += 1
+      // null elements contribute nothing (containsNull=true arrays are
+      // constructible via SQL even though shingleSets never emits them)
+      if (!arr.isNullAt(i)) {
+        val base = SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < K) {
+          val h = mix(base ^ (k * 0x9E3779B97F4A7C15L))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
       }
       i += 1
     }

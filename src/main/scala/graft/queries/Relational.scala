@@ -562,22 +562,27 @@ object Relational {
     * step a pretraining pipeline runs when one domain dwarfs the rest.
     * Each stratum's keep-rate is min(n)/n_s, applied as q26's
     * deterministic md5-bucket predicate with an INTEGER threshold
-    * (floor(min_n·10⁶ / n_s) — exact in IEEE double at any corpus size
-    * below 2⁴⁶ rows, and identical to the oracle's BIGINT division), so
-    * the decision stays a pure row function: reproducible across
-    * retries, stable under repartitioning.
+    * (min_n·10⁶ `/` n_s in Long arithmetic on the driver — identical to
+    * the oracle's BIGINT `//` by construction, no floating-point
+    * rounding at any corpus size), so the decision stays a pure row
+    * function: reproducible across retries, stable under
+    * repartitioning.
     *
-    * Scale shape: one map-side-combined count per stratum (tiny), the
-    * per-stratum thresholds broadcast back, and the resample itself is a
-    * map-only filter fused into the scan. The only driver value is the
-    * min count scalar.
+    * Scale shape: one map-side-combined count per stratum (tiny — the
+    * stratum axis is low-cardinality by definition, so collecting the
+    * per-stratum counts is a bounded driver value, not a corpus
+    * collect), the per-stratum thresholds broadcast back, and the
+    * resample itself is a map-only filter fused into the scan.
     */
   def q28DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
-    val minN = counts.agg(min(col("n_s"))).head.getLong(0)
-    val rates = counts.select(col("lang"),
-      floor(lit(minN * 1000000.0) / col("n_s")).cast("long").as("thr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val minN = counts.map(_._2).min
+    val rates = counts.toSeq
+      .map { case (lang, n) => (lang, minN * 1000000L / n) }
+      .toDF("lang", "thr")
     val bucket = conv(
       substring(md5(concat(col("doc_id").cast("string"), col("lang"))), 1, 8),
       16, 10).cast("long") % 1000000L

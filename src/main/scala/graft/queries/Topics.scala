@@ -118,12 +118,25 @@ object Topics {
   /** NOTE: `c` is consumed only when no registry entry and no disk
     * artifact exist for (dir, fingerprint) — a hit ignores it.
     */
+  /** True iff a saved artifact directory exists at `path`. Recovery-by-
+    * refit below is gated on THIS, not on load succeeding: a load failure
+    * over an existing artifact (corruption, permissions, an optimizer
+    * change that switches the saved model class) must propagate loudly —
+    * silently refitting would defeat the S10 load-not-refit contract
+    * with no signal.
+    */
+  private def artifactExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def sharedVectorizer(c: DataFrame, dir: String): CountVectorizerModel = {
     val s = c.sparkSession
     val fp = fingerprint(s, dir)
     cvCache.getOrElseUpdate(s"$dir@$fp", {
       val path = artifactPath(dir, fp, "cv")
-      scala.util.Try(CountVectorizerModel.load(path)).getOrElse {
+      if (artifactExists(s, path)) CountVectorizerModel.load(path)
+      else {
         val m = fitVectorizer(c); m.write.overwrite().save(path); m
       }
     })
@@ -139,9 +152,9 @@ object Topics {
     val fp = fingerprint(s, dir)
     ldaCache.getOrElseUpdate(s"$dir@$fp", {
       val path = artifactPath(dir, fp, "lda")
-      scala.util.Try(
+      if (artifactExists(s, path))
         org.apache.spark.ml.clustering.LocalLDAModel.load(path)
-      ).getOrElse {
+      else {
         val m = fitLda(vectorized); m.write.overwrite().save(path); m
       }
     })

@@ -24,6 +24,22 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(na == math.sqrt(expN))
   }
 
+  test("minhash128 skips null elements and rejects non-array<string> input") {
+    // a null element contributes nothing: signature equals the
+    // null-free array's
+    val row = spark.sql(
+      """SELECT minhash128(array('ab', CAST(NULL AS STRING), 'cd')),
+        |       minhash128(array('ab', 'cd'))""".stripMargin)
+      .collect().head
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    // non-array<string> input is an analysis-time error, not a runtime
+    // ClassCastException
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash128(array(1, 2, 3))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<string>"))
+  }
+
   test("edge cases: empty arrays and length mismatch") {
     val r = spark.sql(
       """SELECT vec_dot(array(), array()),

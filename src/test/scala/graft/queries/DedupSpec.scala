@@ -157,6 +157,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d8 lsh pairs are a subset of d4 exact pairs with identical scores") {
+    // this subset assertion is only sound while d4's probe panel covers
+    // the WHOLE fixture (vec_id < D4ProbeCap ⇒ d4 == uncapped exact
+    // answer); fail loudly here if the fixture ever outgrows the cap
+    // instead of letting d8 pairs with id1 >= cap spuriously fail below
+    val maxId = Tables.embeddings(spark, dir)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    assert(maxId < Dedup.D4ProbeCap,
+      s"embeddings fixture outgrew D4ProbeCap=${Dedup.D4ProbeCap} " +
+        s"(max vec_id $maxId): compare d8 against an uncapped exact answer")
     val exact = Dedup.d4EmbeddingDups(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val lsh = Dedup.d8EmbeddingLsh(spark, dir).collect()
