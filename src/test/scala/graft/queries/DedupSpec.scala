@@ -181,6 +181,77 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("d9 semdedup (trained cells) drops planted near-duplicates, keeps min-id survivors") {
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    def randVec() = Seq.fill(dim)(rng.nextGaussian())
+    val base = (0 until 120).map(i => (i.toLong, randVec()))
+    // exact clones: identical vectors land in the same cell under ANY
+    // quantizer, so the drop rule MUST fire on them
+    val clones = Seq((200L, base(0)._2), (201L, base(0)._2), (210L, base(1)._2))
+    // a planted exact-cosine-0.6 near-clone of base(2): 0.6·u + 0.8·w, w ⊥ u
+    val u = { val v = base(2)._2; val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val w = {
+      val w0 = randVec()
+      val proj = u.zip(w0).map { case (a, b) => a * b }.sum
+      val o = w0.zip(u).map { case (b, a) => b - proj * a }
+      val n = math.sqrt(o.map(x => x * x).sum); o.map(_ / n)
+    }
+    val near = Seq((220L, u.zip(w).map { case (a, b) => 0.6 * a + 0.8 * b }))
+    val input = base ++ clones ++ near
+    val df = input.toDF("vec_id", "v").withColumn("nrm", l2Norm(col("v")))
+    val survivors = Dedup.semDedup(df, Dedup.SemDedupThr).collect()
+      .map(_.getLong(0)).toSet
+    // the drop path executed, on the planted clones specifically
+    assert(survivors.size < input.size)
+    assert(Seq(200L, 201L, 210L).forall(!survivors.contains(_)),
+      "exact clones must be dropped")
+    // min-id survivor rule on the clone groups
+    assert(survivors.contains(0L) && survivors.contains(1L))
+    // soundness of every drop: a dropped id must have a lower-id partner
+    // with cos >= thr somewhere (in-cell drop implies one exists)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = input.toMap
+    val dropped = input.map(_._1).toSet -- survivors
+    dropped.foreach { d =>
+      assert(input.exists { case (i, v) => i < d && cos(v, byId(d)) >= Dedup.SemDedupThr },
+        s"dropped $d has no eligible lower-id near-duplicate")
+    }
+    // the min id of each brute-force near-dup component can never be
+    // dropped (its partners all have higher ids), under ANY quantizer
+    val pairs = for {
+      (i, vi) <- input; (j, vj) <- input
+      if i < j && cos(vi, vj) >= Dedup.SemDedupThr
+    } yield (i, j)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mins = pairs.flatMap(p => Seq(p._1, p._2)).map(find).toSet
+    mins.foreach(m => assert(survivors.contains(m), s"component min $m was dropped"))
+  }
+
+  test("d9 and d10 drop paths execute on the embeddings fixture") {
+    val in = Tables.embeddings(spark, dir).count()
+    // d10's fixed panel: >=1 intra-cell pair above SemDedupThr at every
+    // fixture scale (measured: max intra-cell cos 0.470 at sf0.001,
+    // 0.493 at sf0.01) — the oracle comparison exercises real drops
+    val d10 = Dedup.d10SemDedupFixed(spark, dir).count()
+    assert(d10 < in, "d10 dropped nothing — threshold no longer bites the fixture")
+    // d9's trained cells: rows-only sanity (non-empty, no growth)
+    val d9 = Dedup.d9SemDedup(spark, dir).count()
+    assert(d9 > 0 && d9 <= in)
+  }
+
   test("d7 clusters equal brute-force union-find over the d2 pair graph") {
     val pairs = Dedup.d2MinHashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
