@@ -141,9 +141,22 @@ object Coherence {
   def cv(
       tokens: DataFrame,
       topicWords: Seq[Seq[String]],
-      windowSize: Int = 110): Seq[Double] = {
+      windowSize: Int = 110): Seq[Double] =
+    cvMany(tokens, Seq(topicWords), windowSize).head
+
+  /** c_v for MANY models over ONE corpus pass: occurrence counts are
+    * tracked for the union of every model's topic words, and each
+    * model's NPMI reads exactly the counts a solo pass would produce
+    * (a window count doesn't depend on which other words are tracked),
+    * so per-model scores are bit-identical to [[cv]] while a k-sweep
+    * pays one corpus scan instead of |ks|.
+    */
+  def cvMany(
+      tokens: DataFrame,
+      models: Seq[Seq[Seq[String]]],
+      windowSize: Int = 110): Seq[Seq[Double]] = {
     val eps = 1e-12
-    val all = topicWords.flatten.toSet
+    val all = models.flatten.flatten.toSet
     val (single, pairs, totW) = windowCounts(tokens, all, windowSize)
     def p(w: String): Double = single.getOrElse(w, 0L).toDouble / totW
     def pj(a: String, b: String): Double = {
@@ -167,11 +180,13 @@ object Coherence {
       while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
       if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
     }
-    topicWords.map { words =>
-      val ctx = words.map(w => words.map(o => npmi(w, o)).toArray)
-      val setVec = ctx.transpose.map(_.sum).toArray
-      val sims = ctx.map(v => cos(v, setVec))
-      if (sims.isEmpty) 0.0 else sims.sum / sims.size
+    models.map { topicWords =>
+      topicWords.map { words =>
+        val ctx = words.map(w => words.map(o => npmi(w, o)).toArray)
+        val setVec = ctx.transpose.map(_.sum).toArray
+        val sims = ctx.map(v => cos(v, setVec))
+        if (sims.isEmpty) 0.0 else sims.sum / sims.size
+      }
     }
   }
 }

@@ -105,9 +105,10 @@ object Topics {
     * artifacts live under the build's target/ scratch (wiped by
     * `sbt clean`), which bounds that staleness to a dirty working tree.
     */
-  private def artifactPath(dir: String, fp: String, kind: String): String =
+  private def artifactPath(dir: String, fp: String, kind: String,
+      k: Int = K, maxIter: Int = LdaMaxIter): String =
     s"$modelRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/" +
-      s"$kind-$MinDF-${(MaxDF * 100).toInt}-$K-$LdaMaxIter"
+      s"$kind-$MinDF-${(MaxDF * 100).toInt}-$k-$maxIter"
 
   /** Drops the in-JVM registry (disk artifacts stay — they are
     * fingerprint-addressed, so staleness is impossible). For tests and
@@ -147,15 +148,17 @@ object Topics {
     * vectorizer-transform of the same corpus, so this is unobservable
     * in practice; a caller with a DIFFERENT frame must fit directly).
     */
-  def sharedLda(vectorized: DataFrame, dir: String): LDAModel = {
+  def sharedLda(vectorized: DataFrame, dir: String,
+      k: Int = K, maxIter: Int = LdaMaxIter): LDAModel = {
     val s = vectorized.sparkSession
     val fp = fingerprint(s, dir)
-    ldaCache.getOrElseUpdate(s"$dir@$fp", {
-      val path = artifactPath(dir, fp, "lda")
+    ldaCache.getOrElseUpdate(s"$dir@$fp@$k@$maxIter", {
+      val path = artifactPath(dir, fp, "lda", k, maxIter)
       if (artifactExists(s, path))
         org.apache.spark.ml.clustering.LocalLDAModel.load(path)
       else {
-        val m = fitLda(vectorized); m.write.overwrite().save(path); m
+        val m = fitLda(vectorized, k, maxIter)
+        m.write.overwrite().save(path); m
       }
     })
   }
@@ -245,13 +248,20 @@ object Topics {
       maxIter: Int): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir).cache()
-    val cv = fitVectorizer(c)
+    val cv = sharedVectorizer(c, dir)
     val v = cv.transform(c).cache()
     val toks = c.select(col("doc_id"), col("tokens"))
-    val rows = ks.map { k =>
-      val lda = fitLda(v, k = k, maxIter = maxIter)
-      val words = topTopicWords(lda, cv.vocabulary, 10)
-      val coh = graft.functions.Coherence.cv(toks, words)
+    // per-k artifacts, the same S10 flow as the k=12 model: the sweep
+    // trains each k once per (corpus, params) ever, and a fresh-JVM
+    // bench measures the sweep QUERY (artifact loads + scoring), not
+    // |ks| refits
+    val wordsPerK = ks.map { k =>
+      val lda = sharedLda(v, dir, k = k, maxIter = maxIter)
+      (k, topTopicWords(lda, cv.vocabulary, 10))
+    }
+    // one corpus pass scores every model (bit-identical per-model c_v)
+    val cohs = graft.functions.Coherence.cvMany(toks, wordsPerK.map(_._2))
+    val rows = wordsPerK.zip(cohs).map { case ((k, _), coh) =>
       (k, BigDecimal(coh.sum / coh.size)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }

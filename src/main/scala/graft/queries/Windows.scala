@@ -40,6 +40,14 @@ object Windows {
 
   /** O-W2: 10-row trailing rolling mean over the daily series, masked to
     * null while fewer than 10 rows are in frame (pandas min_periods).
+    *
+    * The rolling window is DELIBERATELY un-partitioned (so executors log
+    * `WindowExec: No Partition Defined` — expected, not a defect): its
+    * input is the post-aggregation daily frame, whose cardinality is
+    * #days regardless of event volume, so the single partition holds a
+    * bounded series at any input scale. PlansSpec pins the window
+    * sitting ABOVE the aggregation; a global window over the raw stream
+    * would be the actual scale bug.
     */
   def w2RollingMean(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)

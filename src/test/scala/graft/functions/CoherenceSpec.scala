@@ -69,4 +69,20 @@ class CoherenceSpec extends AnyFunSuite {
     assert(cohesive > 0.9, s"cohesive $cohesive")
     assert(fragmented < cohesive, s"fragmented $fragmented vs $cohesive")
   }
+
+  test("cvMany over one pass is bit-identical to per-model cv calls") {
+    val rng = new scala.util.Random(3)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rng.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("doc_id", "tokens").cache()
+    // two "models" with overlapping and disjoint topic words
+    val m1 = Seq(Seq("w0", "w1", "w2"), Seq("w3", "w4"))
+    val m2 = Seq(Seq("w2", "w5", "w6"), Seq("w7", "w8", "w9"))
+    val combined = Coherence.cvMany(df, Seq(m1, m2), 10)
+    // tracking the UNION of words must not perturb either model's counts
+    assert(combined(0) == Coherence.cv(df, m1, 10))
+    assert(combined(1) == Coherence.cv(df, m2, 10))
+  }
 }

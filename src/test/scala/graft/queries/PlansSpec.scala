@@ -145,6 +145,20 @@ class PlansSpec extends AnyFunSuite {
       "positional ordinal degraded to a single-partition window")
   }
 
+  test("w2 global rolling window sits above the daily aggregation") {
+    // w2/a2 use an UN-partitioned window (executors warn `WindowExec: No
+    // Partition Defined` — deliberate): the window input is the
+    // aggregated daily series (#days rows), never the raw event stream.
+    // Pin that shape: the Window must appear ABOVE the aggregate in the
+    // executed plan, so the single partition only ever holds days.
+    val plan = executedPlan(Windows.w2RollingMean(spark, dir))
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0, s"expected Window over HashAggregate:\n$plan")
+    assert(win < agg,
+      "rolling window consumes a pre-aggregation stream — unbounded single partition")
+  }
+
   test("q26 sampling and t16 chunking stay map-only (no hash exchange)") {
     val p26 = executedPlan(Relational.q26StratifiedSample(spark, dir))
     assert(!p26.contains("Exchange hashpartitioning"),
