@@ -66,6 +66,30 @@ class PosLemmaSpec extends AnyFunSuite {
     assert(lemmatize("least", "JJS") == "little")
   }
 
+  test("widened exception table covers the long tail") {
+    // long-tail irregulars (the round-4 gap: 362 entries vs WordNet's exc
+    // breadth); each family below is pinned by one representative
+    assert(lemmatize("oxen", "NNS") == "ox")
+    assert(lemmatize("lain", "VBN") == "lie")
+    assert(lemmatize("worse", "JJR") == "bad")
+    assert(lemmatize("potatoes", "NNS") == "potato")   // -oes trap: -s rule gave "potatoe"
+    assert(lemmatize("spectra", "NNS") == "spectrum")  // Latin plural
+    assert(lemmatize("synopses", "NNS") == "synopsis") // Greek plural
+    assert(lemmatize("headquarters", "NN") == "headquarters") // invariant
+    assert(lemmatize("carried", "VBD") == "carry")     // -ied: ed-rule gave "carri"
+    assert(lemmatize("hoped", "VBD") == "hope")        // silent-e: ed-rule gave "hop"
+    assert(lemmatize("planned", "VBD") == "plan")      // doubling: gave "plann"
+    assert(lemmatize("withdrew", "VBD") == "withdraw")
+    assert(lemmatize("happier", "JJR") == "happy")     // -ier: er-rule gave "happi"
+    assert(lemmatize("biggest", "JJS") == "big")       // doubling comparative
+    // identity entries: the suffix tagger routes -er/-est nouns through
+    // the comparative rules; morphy's dictionary check would keep them
+    // whole, and so must we
+    assert(lemmatize("teacher", "JJR") == "teacher")   // was "teach"
+    assert(lemmatize("mother", "JJR") == "mother")     // was "moth"
+    assert(lemmatize("forest", "JJS") == "forest")     // was "for"
+  }
+
   test("verb lemmatization strips inflection") {
     assert(lemmatize("studies", "VB") == "study")
     assert(lemmatize("talking", "VBG") == "talk")

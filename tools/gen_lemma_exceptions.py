@@ -1,0 +1,421 @@
+#!/usr/bin/env python3
+"""Regenerates src/main/resources/graft/lemma-exceptions.tsv.
+
+Keeps every existing entry verbatim (PosLemmaSpec pins several exact
+pairs and the t12 oracle replays the same tables), then appends the
+systematic irregular-inflection families below in WordNet *.exc shape
+(pos<TAB>form<TAB>lemma). Existing (pos, form) keys always win; the
+generator only ADDS.
+
+Families appended (each modeled on the WordNet exc files' coverage,
+re-created from public knowledge of English morphology — not copied):
+  v: irregular past/participle forms, consonant-doubling -ed/-ing,
+     silent-e restoring -ed/-ing, -ied/-ying of -y verbs
+  n: classical (Latin/Greek) plurals, -oes plurals, invariant/lexical
+     plurals the -s detachment rule would mangle
+  a: -ier/-iest comparatives of -y adjectives, consonant-doubling
+     comparatives, suppletive comparatives (worse/better/...), and
+     IDENTITY entries for common -er/-est NOUNS the suffix tagger
+     routes through the adjective rules (morphy validates detachments
+     against the dictionary; identity exceptions are the offline
+     substitute that stops "teacher"->"teach", "forest"->"for")
+
+Run from the repo root:  python3 tools/gen_lemma_exceptions.py
+"""
+
+LEX = "src/main/resources/graft/lemma-exceptions.tsv"
+
+# --- v: irregular verbs: (base, past, past participle) ----------------
+# Forms identical to the base (e.g. cut/cut/cut) emit no entry; ambiguous
+# surface forms that are themselves a common base verb (e.g. "lay",
+# "found", "saw", "left", "felt", "ground", "wound", "rose") are SKIPPED
+# unless the inflected reading dominates in news text — a single-valued
+# map cannot return both candidates and the identity reading must not be
+# destroyed.
+IRREGULAR_VERBS = [
+    ("arise", "arose", "arisen"), ("awake", "awoke", "awoken"),
+    ("bear", "bore", "borne"), ("beat", "beat", "beaten"),
+    ("become", "became", "become"), ("begin", "began", "begun"),
+    ("bend", "bent", "bent"), ("bet", "bet", "bet"),
+    ("bid", "bade", "bidden"), ("bind", "bound", "bound"),
+    ("bite", "bit", "bitten"), ("bleed", "bled", "bled"),
+    ("blow", "blew", "blown"), ("break", "broke", "broken"),
+    ("breed", "bred", "bred"), ("bring", "brought", "brought"),
+    ("broadcast", "broadcast", "broadcast"),
+    ("build", "built", "built"), ("burn", "burnt", "burnt"),
+    ("burst", "burst", "burst"), ("buy", "bought", "bought"),
+    ("catch", "caught", "caught"), ("choose", "chose", "chosen"),
+    ("cling", "clung", "clung"), ("come", "came", "come"),
+    ("creep", "crept", "crept"), ("deal", "dealt", "dealt"),
+    ("dig", "dug", "dug"), ("dive", "dove", "dived"),
+    ("draw", "drew", "drawn"), ("dream", "dreamt", "dreamt"),
+    ("drink", "drank", "drunk"), ("drive", "drove", "driven"),
+    ("dwell", "dwelt", "dwelt"), ("eat", "ate", "eaten"),
+    ("fall", "fell", "fallen"), ("feed", "fed", "fed"),
+    ("fight", "fought", "fought"),
+    ("flee", "fled", "fled"), ("fling", "flung", "flung"),
+    ("fly", "flew", "flown"), ("forbid", "forbade", "forbidden"),
+    ("forecast", "forecast", "forecast"),
+    ("foresee", "foresaw", "foreseen"),
+    ("forget", "forgot", "forgotten"),
+    ("forgive", "forgave", "forgiven"),
+    ("forsake", "forsook", "forsaken"),
+    ("freeze", "froze", "frozen"),
+    ("grind", "ground", "ground"), ("grow", "grew", "grown"),
+    ("hang", "hung", "hung"), ("hear", "heard", "heard"),
+    ("hide", "hid", "hidden"), ("hit", "hit", "hit"),
+    ("hurt", "hurt", "hurt"), ("kneel", "knelt", "knelt"),
+    ("lay", "laid", "laid"), ("lead", "led", "led"),
+    ("lean", "leant", "leant"), ("leap", "leapt", "leapt"),
+    ("lend", "lent", "lent"), ("lie", "lay", "lain"),
+    ("light", "lit", "lit"), ("lose", "lost", "lost"),
+    ("mean", "meant", "meant"), ("meet", "met", "met"),
+    ("mislead", "misled", "misled"),
+    ("mistake", "mistook", "mistaken"),
+    ("misunderstand", "misunderstood", "misunderstood"),
+    ("outgrow", "outgrew", "outgrown"),
+    ("overcome", "overcame", "overcome"),
+    ("overhear", "overheard", "overheard"),
+    ("oversee", "oversaw", "overseen"),
+    ("overtake", "overtook", "overtaken"),
+    ("overthrow", "overthrew", "overthrown"),
+    ("pay", "paid", "paid"), ("plead", "pled", "pled"),
+    ("prove", "proved", "proven"),
+    ("quit", "quit", "quit"), ("read", "read", "read"),
+    ("rebuild", "rebuilt", "rebuilt"),
+    ("repay", "repaid", "repaid"),
+    ("rethink", "rethought", "rethought"),
+    ("rewrite", "rewrote", "rewritten"),
+    ("rid", "rid", "rid"), ("ride", "rode", "ridden"),
+    ("ring", "rang", "rung"), ("rise", "rose", "risen"),
+    ("run", "ran", "run"), ("seek", "sought", "sought"),
+    ("sell", "sold", "sold"), ("send", "sent", "sent"),
+    ("set", "set", "set"), ("sew", "sewed", "sewn"),
+    ("shake", "shook", "shaken"), ("shed", "shed", "shed"),
+    ("shine", "shone", "shone"), ("shoot", "shot", "shot"),
+    ("shrink", "shrank", "shrunk"), ("shut", "shut", "shut"),
+    ("sing", "sang", "sung"), ("sink", "sank", "sunk"),
+    ("sit", "sat", "sat"), ("slay", "slew", "slain"),
+    ("sleep", "slept", "slept"), ("slide", "slid", "slid"),
+    ("sling", "slung", "slung"), ("sneak", "snuck", "snuck"),
+    ("sow", "sowed", "sown"), ("speak", "spoke", "spoken"),
+    ("speed", "sped", "sped"), ("spend", "spent", "spent"),
+    ("spin", "spun", "spun"), ("spit", "spat", "spat"),
+    ("split", "split", "split"), ("spread", "spread", "spread"),
+    ("spring", "sprang", "sprung"), ("stand", "stood", "stood"),
+    ("steal", "stole", "stolen"), ("stick", "stuck", "stuck"),
+    ("sting", "stung", "stung"), ("stink", "stank", "stunk"),
+    ("stride", "strode", "stridden"),
+    ("strike", "struck", "struck"), ("strive", "strove", "striven"),
+    ("swear", "swore", "sworn"), ("sweep", "swept", "swept"),
+    ("swell", "swelled", "swollen"), ("swim", "swam", "swum"),
+    ("swing", "swung", "swung"), ("teach", "taught", "taught"),
+    ("tear", "tore", "torn"), ("throw", "threw", "thrown"),
+    ("thrust", "thrust", "thrust"), ("tread", "trod", "trodden"),
+    ("undergo", "underwent", "undergone"),
+    ("understand", "understood", "understood"),
+    ("undertake", "undertook", "undertaken"),
+    ("undo", "undid", "undone"),
+    ("uphold", "upheld", "upheld"), ("upset", "upset", "upset"),
+    ("wake", "woke", "woken"), ("wear", "wore", "worn"),
+    ("weave", "wove", "woven"), ("weep", "wept", "wept"),
+    ("win", "won", "won"), ("wind", "wound", "wound"),
+    ("withdraw", "withdrew", "withdrawn"),
+    ("withhold", "withheld", "withheld"),
+    ("withstand", "withstood", "withstood"),
+    ("wring", "wrung", "wrung"), ("write", "wrote", "written"),
+]
+# inflected surfaces that are ALSO a common base verb/noun — identity
+# must win, so no entry is emitted for them
+VERB_FORM_SKIP = {
+    "found", "saw", "left", "felt", "ground", "wound", "rose", "lay",
+    "bound", "bore", "bet", "beat", "read", "set", "shed", "spread",
+    "hit", "hurt", "quit", "rid", "run", "come", "become", "overcome",
+    "upset", "cost", "cut", "put", "let", "broadcast", "forecast",
+    "burst", "split", "thrust", "shut",
+}
+
+# --- v: consonant-doubling -ed/-ing (the "abetted abet" family) -------
+DOUBLING_VERBS = [
+    "ban", "bar", "bat", "beg", "blog", "blur", "brag", "chat", "chip",
+    "chop", "clap", "clip", "commit", "compel", "control", "crop",
+    "defer", "drag", "drip", "drop", "drum", "dub", "equip", "excel",
+    "fit", "flag", "flap", "flip", "flop", "fog", "gab", "gel", "grab",
+    "grin", "grip", "gut", "hem", "hop", "hug", "hum", "jam", "jog",
+    "kid", "knit", "label", "lag", "lap", "log", "map", "mob", "mop",
+    "mug", "nab", "nag", "net", "nod", "occur", "omit", "pat", "patrol",
+    "pedal", "peg", "permit", "pin", "pit", "plan", "plod", "plot",
+    "plug", "pop", "prefer", "prod", "program", "prop", "pat", "quiz",
+    "ram", "rap", "rebel", "recur", "refer", "regret", "rig", "rip",
+    "rob", "rot", "rub", "sag", "scan", "scar", "scrap", "scrub",
+    "shop", "shrug", "sin", "sip", "skid", "skim", "skip", "slam",
+    "slap", "slip", "slot", "slug", "snap", "sob", "spam", "spar",
+    "spot", "spur", "stab", "star", "stem", "step", "stir", "stop",
+    "strap", "strip", "stub", "stun", "submit", "sum", "swap", "tag",
+    "tap", "thin", "throb", "tip", "top", "transfer", "transmit",
+    "trap", "trek", "trim", "trip", "trot", "tug", "wag", "whip",
+    "wrap", "zip",
+]
+
+# --- v: silent-e verbs whose -ed/-ing detachment loses the e ----------
+# ("hoped" -> rule gives "hop"; morphy's ed->e rule + dictionary check
+# restores "hope" — these entries are the offline equivalent)
+E_VERBS = [
+    "achieve", "acquire", "admire", "advise", "agree", "announce",
+    "argue", "arrange", "arrive", "assume", "assure", "balance",
+    "battle", "behave", "believe", "blame", "bounce", "breathe",
+    "bruise", "bundle", "capture", "care", "carve", "cause",
+    "challenge", "change", "charge", "chase", "circle", "cite",
+    "close", "combine", "compare", "compete", "complete", "conclude",
+    "confuse", "continue", "contribute", "convince", "cope", "create",
+    "cruise", "cure", "cycle", "damage", "dance", "dare", "debate",
+    "decide", "declare", "decline", "decrease", "dedicate", "define",
+    "describe", "deserve", "desire", "determine", "devote", "divide",
+    "dominate", "donate", "double", "ease", "educate", "eliminate",
+    "emerge", "encourage", "endorse", "engage", "ensure", "escape",
+    "estimate", "evaluate", "examine", "exchange", "excuse", "execute",
+    "exercise", "expire", "explore", "expose", "face", "fade", "fake",
+    "figure", "file", "finance", "fine", "fire", "force", "frame",
+    "gaze", "generate", "glance", "grade", "graduate", "guide",
+    "handle", "hate", "hike", "hire", "hope", "ignore", "imagine",
+    "improve", "include", "increase", "indicate", "inspire", "invite",
+    "involve", "issue", "joke", "judge", "juggle", "leverage",
+    "license", "like", "line", "locate", "love", "manage", "measure",
+    "merge", "migrate", "mine", "move", "name", "negotiate", "note",
+    "notice", "nurse", "observe", "operate", "oppose", "organize",
+    "pause", "perceive", "phone", "phrase", "pile", "place", "please",
+    "pledge", "plunge", "practice", "praise", "prepare", "preserve",
+    "pressure", "price", "probe", "produce", "promise", "promote",
+    "propose", "prove", "provide", "pursue", "race", "raise", "range",
+    "rate", "realize", "receive", "recognize", "reduce", "refuse",
+    "relate", "release", "relocate", "remove", "require", "rescue",
+    "reserve", "resolve", "restore", "retire", "reverse", "revise",
+    "rotate", "rule", "save", "schedule", "score", "scrape", "secure",
+    "seize", "sentence", "serve", "settle", "shape", "share", "shave",
+    "smile", "smoke", "solve", "spare", "square", "squeeze", "stage",
+    "stare", "state", "store", "struggle", "style", "surface",
+    "surge", "survive", "tackle", "taste", "tease", "time", "tire",
+    "trace", "trade", "translate", "tumble", "type", "update",
+    "upgrade", "urge", "value", "vote", "wade", "waste", "wave",
+    "welcome", "wipe", "wrestle",
+]
+
+# --- v: -y verbs: -ied past restores the y ("carried" -> "carry") -----
+Y_VERBS = [
+    "apply", "bury", "carry", "certify", "clarify", "classify", "copy",
+    "cry", "defy", "deny", "dry", "envy", "ferry", "fry", "hurry",
+    "identify", "imply", "intensify", "justify", "levy", "marry",
+    "modify", "multiply", "notify", "occupy", "pity", "pry", "qualify",
+    "rally", "rely", "reply", "satisfy", "signify", "simplify", "spy",
+    "study", "supply", "tally", "terrify", "testify", "try", "unify",
+    "vary", "verify", "worry",
+]
+
+# --- n: classical plurals and -s detachment traps ---------------------
+EXTRA_NOUNS = [
+    ("addenda", "addendum"), ("errata", "erratum"), ("ova", "ovum"),
+    ("quanta", "quantum"), ("spectra", "spectrum"),
+    ("millennia", "millennium"), ("symposia", "symposium"),
+    ("stadia", "stadium"), ("gymnasia", "gymnasium"),
+    ("crania", "cranium"), ("aquaria", "aquarium"),
+    ("atria", "atrium"), ("consortia", "consortium"),
+    ("honoraria", "honorarium"), ("moratoria", "moratorium"),
+    ("referenda", "referendum"), ("septa", "septum"),
+    ("ellipses", "ellipsis"), ("emphases", "emphasis"),
+    ("neuroses", "neurosis"), ("psychoses", "psychosis"),
+    ("prognoses", "prognosis"), ("metamorphoses", "metamorphosis"),
+    ("apotheoses", "apotheosis"), ("synopses", "synopsis"),
+    ("paralyses", "paralysis"), ("catalyses", "catalysis"),
+    ("apices", "apex"), ("codices", "codex"), ("helices", "helix"),
+    ("radices", "radix"), ("cortices", "cortex"),
+    ("automata", "automaton"), ("schemata", "schema"),
+    ("stigmata", "stigma"), ("dogmata", "dogma"),
+    ("alumnae", "alumna"), ("amoebae", "amoeba"),
+    ("vertebrae", "vertebra"), ("personae", "persona"),
+    ("emeriti", "emeritus"), ("octopi", "octopus"),
+    ("termini", "terminus"),
+    ("potatoes", "potato"), ("tomatoes", "tomato"),
+    ("heroes", "hero"), ("echoes", "echo"), ("torpedoes", "torpedo"),
+    ("vetoes", "veto"), ("volcanoes", "volcano"),
+    ("mosquitoes", "mosquito"), ("embargoes", "embargo"),
+    ("cargoes", "cargo"), ("mottoes", "motto"),
+    ("shrimp", "shrimp"), ("squid", "squid"), ("tuna", "tuna"),
+    ("cod", "cod"), ("elk", "elk"), ("buffalo", "buffalo"),
+    ("reindeer", "reindeer"), ("offspring", "offspring"),
+    ("means", "means"), ("headquarters", "headquarters"),
+    ("barracks", "barracks"), ("crossroads", "crossroads"),
+    ("innings", "innings"), ("whereabouts", "whereabouts"),
+    ("corps", "corps"), ("chassis", "chassis"), ("debris", "debris"),
+    ("billiards", "billiards"), ("darts", "darts"),
+    ("dominoes", "domino"), ("calves", "calf"), ("halves", "half"),
+    ("loaves", "loaf"), ("scarves", "scarf"), ("sheaves", "sheaf"),
+    ("thieves", "thief"), ("elves", "elf"), ("shelves", "shelf"),
+    ("geniuses", "genius"), ("busses", "bus"), ("gasses", "gas"),
+    ("lenses", "lens"), ("irises", "iris"), ("viruses", "virus"),
+    ("bonuses", "bonus"), ("campuses", "campus"),
+    ("censuses", "census"), ("choruses", "chorus"),
+    ("circuses", "circus"), ("statuses", "status"),
+    ("surpluses", "surplus"), ("atlases", "atlas"),
+    ("canvases", "canvas"), ("biases", "bias"), ("aliases", "alias"),
+    ("quizzes", "quiz"), ("fezzes", "fez"),
+]
+
+# --- a: -y adjectives: -ier/-iest restores the y ----------------------
+Y_ADJECTIVES = [
+    "angry", "bumpy", "busy", "chewy", "chilly", "classy", "cloudy",
+    "clumsy", "cozy", "crazy", "creepy", "curly", "dirty", "dizzy",
+    "dry", "dusty", "early", "easy", "empty", "fancy", "foggy",
+    "friendly", "funny", "fuzzy", "gloomy", "greedy", "grumpy",
+    "guilty", "hairy", "handy", "happy", "healthy", "heavy", "hungry",
+    "icy", "itchy", "juicy", "lazy", "lengthy", "likely", "lively",
+    "lonely", "lovely", "lucky", "messy", "mighty", "moody", "muddy",
+    "nasty", "needy", "noisy", "pretty", "pricey", "rainy", "ready",
+    "risky", "rocky", "rusty", "salty", "scary", "shabby", "shaky",
+    "shiny", "silly", "skinny", "sleepy", "sloppy", "smelly", "snowy",
+    "speedy", "spicy", "steady", "sticky", "stormy", "sturdy", "sunny",
+    "sweaty", "tasty", "thirsty", "tidy", "tiny", "trendy", "tricky",
+    "ugly", "wary", "wavy", "wealthy", "weary", "windy", "witty",
+    "worthy",
+]
+
+# --- a: consonant-doubling comparatives -------------------------------
+DOUBLING_ADJECTIVES = [
+    "big", "dim", "fat", "fit", "flat", "glad", "grim", "hot", "mad",
+    "red", "sad", "slim", "tan", "thin", "trim", "wet",
+]
+
+# --- a: suppletive comparatives (WordNet adj.exc core) ----------------
+SUPPLETIVE_ADJ = [
+    ("better", "good"), ("best", "good"),
+    ("worse", "bad"), ("worst", "bad"),
+    ("further", "far"), ("farther", "far"),
+    ("furthest", "far"), ("farthest", "far"),
+    ("elder", "old"), ("eldest", "old"),
+]
+
+# --- a: IDENTITY entries for -er/-ier/-est nouns & adjectives ---------
+# The suffix tagger routes every -er (len>4, not -eer) token through the
+# adjective comparative rules; without dictionary validation the
+# detachment mangles agent/common nouns ("teacher"->"teach",
+# "mother"->"moth", "forest"->"for"). morphy would return the word
+# unchanged; these identity entries are the offline substitute for the
+# highest-frequency victims (news-domain vocabulary).
+IDENTITY_ER = [
+    "amplifier", "answer", "banner", "barrier", "border",
+    "bother", "boulder", "brother", "builder", "bunker", "burger",
+    "butler", "cancer", "carrier", "cashier", "center", "chamber",
+    "chapter", "character", "charter", "cluster", "computer",
+    "consumer", "container", "copper", "corner", "counter", "courier",
+    "cover", "cylinder", "daughter", "dealer", "designer", "developer",
+    "dinner", "disaster", "disorder", "dossier", "driver", "employer",
+    "encounter", "farmer", "father", "feather", "fever", "filter",
+    "finger", "flower", "folder", "founder", "frontier", "gender",
+    "ginger", "glacier", "hamburger", "hammer", "helicopter", "holder",
+    "hunger", "insider", "ladder", "laser", "lawyer",
+    "leader", "ledger", "letter", "lever", "liver", "lobster",
+    "lumber", "maker", "manager", "manner", "master", "matter",
+    "member", "meter", "minister", "monster", "mother", "murder",
+    "newsletter", "number", "officer", "order", "outsider", "owner",
+    "painter", "paper", "partner", "passenger", "pepper",
+    "pioneer", "player", "poster", "powder", "power", "premier",
+    "printer", "prisoner", "producer", "provider", "quarter", "reader",
+    "register", "reporter", "researcher", "retailer", "river",
+    "roster", "rubber", "ruler", "semester", "server", "shelter",
+    "shoulder", "silver", "singer", "sister", "smuggler", "soccer",
+    "soldier", "speaker", "spider", "summer", "supper", "teacher",
+    "temper", "terrier", "theater", "thunder", "tiger", "timber",
+    "toddler", "trader", "trailer", "trainer", "transfer", "trigger",
+    "user", "viewer", "voter", "water", "weather", "whisper", "winner",
+    "winter", "wonder", "worker", "writer",
+]
+IDENTITY_EST = [
+    "arrest", "conquest", "contest", "earnest", "forest", "harvest",
+    "honest", "interest", "modest", "protest", "request", "tempest",
+]
+
+
+def main():
+    with open(LEX, encoding="utf-8") as f:
+        lines = [l.rstrip("\n") for l in f]
+    existing = set()
+    for l in lines:
+        if l.startswith("#") or not l.strip():
+            continue
+        pos, form, _ = l.split("\t")
+        existing.add((pos, form))
+
+    out = []
+
+    def add(pos, form, lemma):
+        if form == lemma and pos != "a":
+            # identity entries are only meaningful where a detachment
+            # rule would otherwise fire; noun invariants DO need them
+            # (the -s rule strips), so only skip accidental v identities
+            if pos == "v":
+                return
+        if (pos, form) in existing:
+            return
+        existing.add((pos, form))
+        out.append(f"{pos}\t{form}\t{lemma}")
+
+    out.append("# --- generated: irregular verb past/participle forms ---")
+    for base, past, pp in IRREGULAR_VERBS:
+        for form in (past, pp):
+            if form != base and form not in VERB_FORM_SKIP:
+                add("v", form, base)
+
+    out.append("# --- generated: consonant-doubling -ed/-ing ---")
+    for v in sorted(set(DOUBLING_VERBS)):
+        d = v[-1]
+        add("v", f"{v}{d}ed", v)
+        add("v", f"{v}{d}ing", v)
+
+    out.append("# --- generated: silent-e -ed/-ing restoration ---")
+    for v in sorted(set(E_VERBS)):
+        stem = v[:-1]
+        add("v", f"{stem}ed", v)
+        add("v", f"{stem}ing", v)
+
+    out.append("# --- generated: -y verbs, -ied/-ies/-ying ---")
+    for v in sorted(set(Y_VERBS)):
+        stem = v[:-1]
+        add("v", f"{stem}ied", v)
+        add("v", f"{stem}ies", v)
+        add("v", f"{v}ing", v)
+
+    out.append("# --- generated: classical plurals / -s detachment traps ---")
+    for form, lemma in EXTRA_NOUNS:
+        add("n", form, lemma)
+
+    out.append("# --- generated: -y adjective comparatives ---")
+    for a in sorted(set(Y_ADJECTIVES)):
+        stem = a[:-1]
+        add("a", f"{stem}ier", a)
+        add("a", f"{stem}iest", a)
+
+    out.append("# --- generated: consonant-doubling comparatives ---")
+    for a in sorted(set(DOUBLING_ADJECTIVES)):
+        d = a[-1]
+        add("a", f"{a}{d}er", a)
+        add("a", f"{a}{d}est", a)
+
+    out.append("# --- generated: suppletive comparatives ---")
+    for form, lemma in SUPPLETIVE_ADJ:
+        add("a", form, lemma)
+
+    out.append("# --- generated: identity entries for -er/-est nouns ---")
+    for w in sorted(set(IDENTITY_ER)):
+        add("a", w, w)
+    for w in sorted(set(IDENTITY_EST)):
+        add("a", w, w)
+
+    with open(LEX, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(out) + "\n")
+
+    n = sum(1 for l in open(LEX) if l.strip() and not l.startswith("#"))
+    print(f"wrote {LEX}: {n} entries")
+
+
+if __name__ == "__main__":
+    main()
