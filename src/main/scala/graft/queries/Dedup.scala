@@ -413,6 +413,36 @@ object Dedup {
       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 6
       |ORDER BY id1, id2""".stripMargin
 
+  /** D11: Bloom-pruned decontamination — d6's semantics under the plan a
+    * 100 TB corpus actually runs. The benchmark grams build a Bloom
+    * filter (one pass over the SMALL side; 1% fpp), which broadcasts as
+    * a few MB and pre-filters the corpus gram stream map-only: a sketch
+    * MISS proves the gram is clean, so only true hits plus ~1% false
+    * positives ever reach the exact semi-join. The surviving candidates
+    * are exactly verified, so the output is identically d6's — the
+    * sketch can only prune work, never change the answer (which is what
+    * makes this fully oracle-checkable despite the probabilistic
+    * structure). At 100 TB this turns the join's probe side from every
+    * corpus gram into a sliver of it; the mightContain probe is a plain
+    * UDF over the sketch broadcast (bounded: one hash probe per gram).
+    */
+  def d11BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(shingles(tokenize(col("text")), 4)).as("g"))
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+      .cache() // read twice: sketch build + exact verify
+    val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf { g: String => bfB.value.mightContain(g) }
+    grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .filter(mightContain(col("g")))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
   val d6Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -792,6 +822,7 @@ object Dedup {
     "d8_embedding_lsh" -> (d8EmbeddingLsh _),
     "d9_semdedup" -> (d9SemDedup _),
     "d10_semdedup_fixed" -> (d10SemDedupFixed _),
+    "d11_bloom_decontaminate" -> (d11BloomDecontaminate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -804,5 +835,8 @@ object Dedup {
     "d7_dup_clusters" -> d7Sql,
     "d8_embedding_lsh" -> d8Sql,
     "d10_semdedup_fixed" -> d10Sql,
+    // the Bloom prune is output-invariant (miss ⇒ provably clean, hits
+    // exactly verified), so d11's twin is d6's exact query
+    "d11_bloom_decontaminate" -> d6Sql,
   )
 }

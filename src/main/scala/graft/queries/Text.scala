@@ -388,6 +388,52 @@ object Text {
       |  len(t[chunk_id*96 + 1 : chunk_id*96 + 128]) AS n_tok
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** BPE-style pre-tokenizer count — the GPT-2/cl100k segmentation shape
+    * (contraction suffixes, letter runs, digit runs capped at 3, punct
+    * runs), simplified to the lookahead-free core so Java regex and
+    * DuckDB's RE2 segment identically (both use leftmost-first
+    * alternation). t9 counts whitespace-ish alnum runs; this is the
+    * second counter a token-budgeted pipeline reports. Map-only, stays
+    * in whole-stage codegen — a streaming scan with zero shuffle at
+    * 100 TB.
+    */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
+  def t17BpeTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t17Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))::INT
+      |    AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-language corpus token statistics — the dataset-card numbers a
+    * curation run reports (doc counts, token totals, mean length) and
+    * the input to q28's mixing decisions. One map-side-combined
+    * aggregation; the shuffle carries |langs| partial rows. avg of exact
+    * integer sums = one double division → bit-identical to DuckDB.
+    */
+  def t18TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), tokenCount(col("text")).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        round(avg(col("n")), 6).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val t18Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+      |  round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -405,6 +451,8 @@ object Text {
     "t14_repetition" -> (t14Repetition _),
     "t15_seq_pack" -> (t15SeqPack _),
     "t16_chunk" -> (t16Chunk _),
+    "t17_bpe_token_count" -> (t17BpeTokenCount _),
+    "t18_token_stats" -> (t18TokenStats _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -424,6 +472,8 @@ object Text {
     "t14_repetition" -> t14Sql,
     "t15_seq_pack" -> t15Sql,
     "t16_chunk" -> t16Sql,
+    "t17_bpe_token_count" -> t17Sql,
+    "t18_token_stats" -> t18Sql,
   )
 
   lazy val t12Sql: String =

@@ -88,6 +88,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out == Seq(3, 0, 0, 1))
   }
 
+  test("BPE-ish pattern segments contractions, capped digit runs, punct runs") {
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all}
+    val pat = graft.queries.Text.BpePattern
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(regexp_extract_all($"text", lit(pat), lit(0)))
+        .as[Seq[String]].collect().head
+    // contraction suffix splits off; 4-digit year splits 3+1 (cl100k cap)
+    assert(seg("don't stop") == Seq("don", "'t", "stop"))
+    assert(seg("in 2024!") == Seq("in", "202", "4", "!"))
+    // punctuation runs group; apostrophe not starting a contraction
+    // falls into the punct run
+    assert(seg("well... 'quoted'") == Seq("well", "...", "'", "quoted", "'"))
+  }
+
   test("fingerprint equals JVM md5 hex of utf8 bytes") {
     val texts = Seq("hello", "", "café 中文")
     val out = texts.toDF("text").select(fingerprint($"text")).as[String].collect().toSeq

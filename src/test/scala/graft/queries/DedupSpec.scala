@@ -181,6 +181,14 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("d11 bloom-pruned decontamination equals the exact d6 answer") {
+    // the sketch may only PRUNE the probe side (miss ⇒ provably absent;
+    // hits exactly verified) — outputs must be identical, row for row
+    val exact = Dedup.d6Decontaminate(spark, dir).collect().map(_.getLong(0)).toSeq
+    val bloom = Dedup.d11BloomDecontaminate(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(bloom == exact)
+  }
+
   test("d9 semdedup (trained cells) drops planted near-duplicates, keeps min-id survivors") {
     val rng = new scala.util.Random(7)
     val dim = 64
