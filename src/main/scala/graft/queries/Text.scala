@@ -434,6 +434,80 @@ object Text {
       |  round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6) AS avg_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Paragraph-level exact dedup (boilerplate removal — the CCNet /
+    * RefinedWeb step that strips corpus-wide repeated spans): split each
+    * document into fixed 16-token paragraphs (the fixture text has no
+    * newline structure, so fixed slicing stands in for the paragraph
+    * splitter — same convention as t13's synthesized PII; the DEDUP is
+    * the operator under test, and the fixture's near-dup docs DO share
+    * exact 16-token runs: 78 duplicate paragraph occurrences at sf0.01),
+    * fingerprint each, keep only the global FIRST occurrence (minimal
+    * (doc_id, idx)) of every fingerprint, and reassemble documents from
+    * surviving paragraphs in order. A document whose every paragraph is
+    * boilerplate disappears entirely.
+    *
+    * Scale shape: paragraph slicing and digests are map-only; the dedup
+    * decision shuffles ONLY (digest, doc_id, idx) triples — min_by
+    * partials map-side combine, text never rides the dedup exchange;
+    * the keep-set joins back against the recomputed paragraph stream,
+    * and reassembly is one shuffle keyed by doc_id, so paragraph text
+    * crosses the wire exactly once.
+    */
+  def t19ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    val paraTokens = slice(col("t"), col("idx") * P + 1, lit(P))
+    val paras = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / P.toDouble).cast("int"))).as("idx"))
+      .select(col("doc_id"), col("idx"), array_join(paraTokens, " ").as("para"))
+    val keys = paras.select(col("doc_id"), col("idx"), md5(col("para")).as("h"))
+    val winners = keys.groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("idx")),
+        struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("wdoc"), col("w.idx").as("widx"))
+    val keep = keys.join(winners, Seq("h"))
+      .filter(col("doc_id") === col("wdoc") && col("idx") === col("widx"))
+      .select(col("doc_id"), col("idx"))
+    val totals = keys.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    paras.join(keep, Seq("doc_id", "idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), " ").as("body"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("body"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t19Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), ids AS (
+      |  SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) AS idx, t
+      |  FROM toks WHERE len(t) > 0
+      |), paras AS (
+      |  SELECT doc_id, idx, array_to_string(t[idx*16 + 1 : idx*16 + 16], ' ') AS para
+      |  FROM ids
+      |), ranked AS (
+      |  SELECT doc_id, idx, para,
+      |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+      |  FROM paras
+      |), totals AS (
+      |  SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+      |)
+      |SELECT k.doc_id, t.n_paras, count(*) AS n_kept,
+      |       string_agg(k.para, ' ' ORDER BY k.idx) AS body
+      |FROM ranked k JOIN totals t USING (doc_id)
+      |WHERE k.rn = 1
+      |GROUP BY k.doc_id, t.n_paras
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -453,6 +527,7 @@ object Text {
     "t16_chunk" -> (t16Chunk _),
     "t17_bpe_token_count" -> (t17BpeTokenCount _),
     "t18_token_stats" -> (t18TokenStats _),
+    "t19_paragraph_dedup" -> (t19ParagraphDedup _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -474,6 +549,7 @@ object Text {
     "t16_chunk" -> t16Sql,
     "t17_bpe_token_count" -> t17Sql,
     "t18_token_stats" -> t18Sql,
+    "t19_paragraph_dedup" -> t19Sql,
   )
 
   lazy val t12Sql: String =

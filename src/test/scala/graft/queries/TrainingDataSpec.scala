@@ -121,6 +121,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(chunks.map(_._1).distinct.length == docs.count(_._2.trim.nonEmpty))
   }
 
+  test("t19 paragraph dedup keeps first occurrences and drops all-boilerplate docs") {
+    import spark.implicits._
+    // planted corpus: 16-token paragraphs A/B/C/D — doc 0 = A+B, doc 1 =
+    // A+C (A is boilerplate), doc 2 = A+B (pure duplicate of doc 0: must
+    // VANISH), doc 3 = D (untouched)
+    def p(ch: String) = (1 to 16).map(i => s"$ch$i").mkString(" ")
+    val (a, b, c, d) = (p("a"), p("b"), p("c"), p("d"))
+    val docs = Seq(
+      (0L, s"$a $b"), (1L, s"$a $c"), (2L, s"$a $b"), (3L, d))
+    val tmp = java.nio.file.Files.createTempDirectory("t19").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Text.t19ParagraphDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, s"$a $b"), // first occurrence of A and B: intact
+      (1L, 2L, 1L, c),        // boilerplate A stripped, C survives
+      // doc 2 vanished: every paragraph was already seen
+      (3L, 1L, 1L, d)))
+  }
+
   test("m8 BPE pair counts match brute-force adjacent-pair counting") {
     val out = Topics.m8BpePairs(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
