@@ -145,6 +145,27 @@ class PlansSpec extends AnyFunSuite {
       "positional ordinal degraded to a single-partition window")
   }
 
+  test("d11 bloom prune filters the gram stream before the broadcast semi-join") {
+    val plan = executedPlan(Dedup.d11BloomDecontaminate(spark, dir))
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"),
+      s"expected a broadcast semi-join:\n$plan")
+    // printed top-down: the probe-side sketch filter must appear BELOW
+    // (after) the join — i.e. upstream of it, fused into the scan stage
+    val join = plan.indexOf("LeftSemi")
+    val prune = plan.indexOf("Filter UDF")
+    assert(prune > join, "bloom prune is not upstream of the semi-join")
+  }
+
+  test("t19 dedup shuffles digests for the min_by vote and combines reassembly map-side") {
+    val plan = executedPlan(Text.t19ParagraphDedup(spark, dir))
+    // winners: per-digest min_by aggregation (partials combine before the
+    // digest-keyed exchange); reassembly: partial collect_list below the
+    // doc_id exchange, so paragraph text rides exactly one shuffle
+    assert(plan.contains("min_by"), s"winners vote missing:\n$plan")
+    assert(plan.contains("partial_collect_list"),
+      "reassembly is not map-side combined")
+  }
+
   test("w2 global rolling window sits above the daily aggregation") {
     // w2/a2 use an UN-partitioned window (executors warn `WindowExec: No
     // Partition Defined` — deliberate): the window input is the
