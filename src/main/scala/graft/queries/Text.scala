@@ -159,7 +159,11 @@ object Text {
     Tables.documents(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
 
-  val t10Sql: String = {
+  /** The t10 quality computation as a reusable CTE chain ending in
+    * `q(doc_id, quality)` — shared by t10's projection and t20's
+    * weighted-sample predicate so the two oracles can never drift.
+    */
+  private def qualitySqlCte: String = {
     val sw = OracleSql.stopWordsList
     s"""WITH toks AS (
        |  SELECT doc_id, text,
@@ -173,20 +177,24 @@ object Text {
        |    len(list_filter(t, x -> list_contains($sw, lower(x)))) AS n_stop,
        |    list_sum(list_transform(t, x -> length(x))) AS tok_len_sum
        |  FROM toks
-       |)
-       |SELECT doc_id,
-       |  round((
-       |    (CASE WHEN n_tok >= 50 AND n_tok <= 10000 THEN 1.0
-       |          WHEN (n_tok >= 10 AND n_tok < 50) OR (n_tok > 10000 AND n_tok <= 20000) THEN 0.5
-       |          ELSE 0.0 END)::DOUBLE
-       |    + (CASE WHEN n_chars > 0 THEN alpha_chars::DOUBLE / n_chars ELSE 0.0 END)::DOUBLE
-       |    + (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok >= 0.05
-       |                 AND n_stop::DOUBLE / n_tok <= 0.6 THEN 1.0 ELSE 0.0 END)::DOUBLE
-       |    + (CASE WHEN n_tok > 0 AND tok_len_sum::DOUBLE / n_tok >= 3
-       |                 AND tok_len_sum::DOUBLE / n_tok <= 10 THEN 1.0 ELSE 0.0 END)::DOUBLE
-       |  ) / 4.0, 6) AS quality
-       |FROM m""".stripMargin
+       |), q AS (
+       |  SELECT doc_id,
+       |    round((
+       |      (CASE WHEN n_tok >= 50 AND n_tok <= 10000 THEN 1.0
+       |            WHEN (n_tok >= 10 AND n_tok < 50) OR (n_tok > 10000 AND n_tok <= 20000) THEN 0.5
+       |            ELSE 0.0 END)::DOUBLE
+       |      + (CASE WHEN n_chars > 0 THEN alpha_chars::DOUBLE / n_chars ELSE 0.0 END)::DOUBLE
+       |      + (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok >= 0.05
+       |                   AND n_stop::DOUBLE / n_tok <= 0.6 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       |      + (CASE WHEN n_tok > 0 AND tok_len_sum::DOUBLE / n_tok >= 3
+       |                   AND tok_len_sum::DOUBLE / n_tok <= 10 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       |    ) / 4.0, 6) AS quality
+       |  FROM m
+       |)""".stripMargin
   }
+
+  val t10Sql: String =
+    qualitySqlCte + "\nSELECT doc_id, quality FROM q"
 
   /** Language-ID distribution (training-data pipeline op). Value-checked:
     * the profile argmax with its struct tie-break (score DESC, then lang
@@ -508,6 +516,36 @@ object Text {
       |GROUP BY k.doc_id, t.n_paras
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted deterministic sampling — keep each document with
+    * probability equal to its t10 quality score, decided by the same
+    * md5-bucket coin as q26/q28 (pure row function: reproducible across
+    * retries, stable under repartitioning, no RNG state). This is the
+    * soft version of threshold filtering a curation pipeline uses to
+    * keep SOME low-quality text (quality-proportional representation)
+    * instead of a hard cliff. floor() on the scaled score keeps the
+    * Spark and DuckDB thresholds identical (CAST rounds in DuckDB but
+    * truncates in Spark — floor sidesteps both). Map-only, fused into
+    * the scan; zero shuffle at any corpus size.
+    */
+  def t20QualitySample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+        bucket.as("b"))
+      .filter(col("b") < floor(col("quality") * 1000000).cast("long"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t20Sql: String =
+    qualitySqlCte +
+      """
+        |SELECT doc_id, quality FROM q
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+        |      < CAST(floor(quality * 1000000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -528,6 +566,7 @@ object Text {
     "t17_bpe_token_count" -> (t17BpeTokenCount _),
     "t18_token_stats" -> (t18TokenStats _),
     "t19_paragraph_dedup" -> (t19ParagraphDedup _),
+    "t20_quality_sample" -> (t20QualitySample _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -550,6 +589,7 @@ object Text {
     "t17_bpe_token_count" -> t17Sql,
     "t18_token_stats" -> t18Sql,
     "t19_paragraph_dedup" -> t19Sql,
+    "t20_quality_sample" -> t20Sql,
   )
 
   lazy val t12Sql: String =

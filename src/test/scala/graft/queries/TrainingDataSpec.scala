@@ -143,6 +143,25 @@ class TrainingDataSpec extends AnyFunSuite {
       (3L, 1L, 1L, d)))
   }
 
+  test("t20 quality-weighted sample keeps exactly the md5-coin winners") {
+    val q = Text.t10QualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = Text.t20QualitySample(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val exp = q.filter { case (id, quality) =>
+      bucket(id) < math.floor(quality * 1000000).toLong
+    }.keySet
+    assert(kept == exp)
+    // the sample is genuinely weighted: non-trivial on both sides
+    assert(kept.nonEmpty && kept.size < q.size)
+  }
+
   test("m8 BPE pair counts match brute-force adjacent-pair counting") {
     val out = Topics.m8BpePairs(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
