@@ -177,15 +177,44 @@ object Multimodal {
       |)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** MM4: modality-mix accounting — the dataset-card numbers for a
+    * multimodal corpus (items, payload bytes, mean size per modality)
+    * and the input to capacity planning / storage budgeting. STRICTLY
+    * metadata-only: the aggregation reads `length(payload)` and the
+    * format tag, never decodes, and the shuffle carries |formats|
+    * partial rows — payloads stay where they were written, same as
+    * mm1-mm3's planning passes.
+    */
+  def mm4ModalityMix(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("bytes")).as("total_bytes"),
+        round(avg(col("bytes")), 6).as("avg_bytes"))
+      .orderBy(col("format"))
+
+  val mm4Sql: String =
+    """SELECT
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+      |  count(*) AS n_items,
+      |  sum(octet_length(encode(text))) AS total_bytes,
+      |  round(avg(octet_length(encode(text))), 6) AS avg_bytes
+      |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_resize_plan" -> (mm3ResizePlan _),
+    "mm4_modality_mix" -> (mm4ModalityMix _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample" -> mm2Sql,
     "mm3_resize_plan" -> mm3Sql,
+    "mm4_modality_mix" -> mm4Sql,
   )
 }
