@@ -200,7 +200,7 @@ object Multimodal {
       |  CASE WHEN doc_id % 3 = 0 THEN 'png'
       |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
       |  count(*) AS n_items,
-      |  sum(octet_length(encode(text))) AS total_bytes,
+      |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
       |  round(avg(octet_length(encode(text))), 6) AS avg_bytes
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 

@@ -438,7 +438,7 @@ object Text {
 
   val t18Sql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT AS total_tokens,
       |  round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6) AS avg_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
