@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -23,9 +24,26 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs are array<double> by construction (SimFunctions casts via
-  // toDoubleVec); no ExpectsInputTypes — AbstractDataType is private[sql]
+  // toDoubleVec); the check below rejects other types at analysis time.
+  // Null ELEMENTS are not guarded in the hot loop (they never occur in
+  // toDoubleVec output; a SQL-constructed null element reads as 0.0 on
+  // the unsafe path) — the guard would cost a branch per dimension on
+  // the similarity suite's innermost loop.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  // NullType covers `NULL` literals and empty `array()` (array<void>),
+  // both of which evaluate to null/0.0 — same leniency as the built-ins
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(NullType, _) | NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -63,6 +81,14 @@ case class VecNorm(child: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
+
+  // same analysis-time contract and null-element note as vec_dot
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(NullType, _) | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

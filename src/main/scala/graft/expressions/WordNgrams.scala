@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Sliding word n-grams ("shingles") of a token array, space-joined.
@@ -19,6 +20,18 @@ case class WordNgrams(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
+
+  // analysis-time rejection of wrong operand types (a BIGINT n would
+  // ClassCastException at execution otherwise); null token elements are
+  // legal — concatWs skips them, like concat_ws in SQL
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override protected def nullSafeEval(tokens: Any, n: Any): Any =
     WordNgrams.compute(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
@@ -37,6 +50,7 @@ object WordNgrams {
   private val SPACE = UTF8String.fromString(" ")
 
   def compute(tokens: ArrayData, n: Int): ArrayData = {
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val cnt = tokens.numElements() - n + 1
     if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](cnt)

@@ -40,6 +40,31 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("array<string>"))
   }
 
+  test("native expressions reject wrong input types at analysis time") {
+    // each would otherwise surface as an executor ClassCastException
+    Seq(
+      "simhash64(array(1, 2))",
+      "word_ngrams(array('a', 'b'), CAST(2 AS BIGINT))",
+      "winnow_fingerprints(array('a'))",
+      "vec_dot(array('a'), array('b'))",
+      "vec_norm(array('a'))",
+    ).foreach { exprSql =>
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $exprSql").collect()
+      }
+    }
+  }
+
+  test("simhash64 skips null elements; word_ngrams handles non-positive n") {
+    val r = spark.sql(
+      """SELECT simhash64(array('ab', CAST(NULL AS STRING), 'cd')),
+        |       simhash64(array('ab', 'cd')),
+        |       word_ngrams(array('a', 'b'), 0)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getSeq[String](2).isEmpty)
+  }
+
   test("edge cases: empty arrays and length mismatch") {
     val r = spark.sql(
       """SELECT vec_dot(array(), array()),
