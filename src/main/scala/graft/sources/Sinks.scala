@@ -108,4 +108,26 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(path)
+
+  /** Training-corpus publish: compressed JSONL shards laid out one
+    * directory per `partitionCol` value (the domain/language axis LLM
+    * loaders sample by) with every file capped at `maxRecordsPerFile` —
+    * bounded shards parallelize loader workers evenly and keep any
+    * single file re-downloadable. The `repartition(partitionCol)` before
+    * the write is the small-files guard: without it every upstream task
+    * writes a sliver into every partition directory (tasks × domains
+    * files); with it each domain's rows converge to one task that then
+    * splits on the record cap, so file count ≈ rows/cap, independent of
+    * upstream parallelism. Skewed domains stay bounded BY the cap;
+    * loaders that need sorted shards compose with
+    * [[writeRangeSharded]]'s range layout instead.
+    */
+  def writeJsonlShards(df: DataFrame, path: String, partitionCol: String,
+      maxRecordsPerFile: Int, codec: String = "gzip"): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .option("compression", codec)
+      .partitionBy(partitionCol)
+      .json(path)
 }

@@ -89,4 +89,28 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(path).count() == docs.count())
   }
+
+  test("writeJsonlShards partitions by domain, caps file sizes, round-trips") {
+    val path = tmp("jsonl")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text")
+    Sinks.writeJsonlShards(docs, path, "lang", maxRecordsPerFile = 50)
+    // one directory per language, every shard under the record cap
+    val langDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.length >= 2, "expected one directory per domain")
+    langDirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".json.gz")).foreach { f =>
+        val n = spark.read.json(f.toString).count()
+        assert(n <= 50, s"$f holds $n rows > cap")
+      }
+    }
+    // lossless round-trip (lang comes back from the directory name)
+    val back = spark.read.json(path)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val exp = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == exp)
+  }
 }
