@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * takes from raw documents to packed training chunks:
   *
   *   ingest → quality gate → stratified rebalancing → exact dedup →
-  *   near-dup cluster drop → benchmark decontamination → chunking →
-  *   range-sharded write
+  *   near-dup cluster drop → benchmark decontamination →
+  *   paragraph-level dedup → chunking → range-sharded write
   *
   * Every stage is one of the oracle-checked queries' operators applied
   * in sequence, so correctness is inherited; this object adds the
@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * filters that FUSE into the scan (one pass, no shuffle); exact dedup
   * shuffles 32-byte digests; the near-dup and decontamination stages
   * semi/anti-join against id sets that are tiny relative to the corpus
-  * (duplicate-cluster members, contaminated ids) and broadcast; chunking
-  * is map-only explode; the final write is one range exchange. No stage
-  * ever shuffles document text except the digest-keyed exact dedup.
+  * (duplicate-cluster members, contaminated ids) and broadcast; the
+  * paragraph dedup decides on digest-only shuffles and moves surviving
+  * paragraph text once (t19's shape); chunking is map-only explode; the
+  * final write is one range exchange. Document text otherwise never
+  * rides a shuffle except the digest-keyed exact dedup.
   */
 object TrainingPipeline {
 
@@ -101,10 +103,19 @@ object TrainingPipeline {
     val clean = stage("decontaminate",
       deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
+    // corpus-wide paragraph dedup (t19's core): strip spans already seen
+    // at a lower (doc_id, idx); a document reduced to nothing drops out
+    // of the inner join entirely
+    val paraDeduped = stage("paragraph_dedup",
+      clean.drop("text").join(
+        Text.paragraphDedupFrame(clean.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("body").as("text")),
+        Seq("doc_id")))
+
     // chunk the survivors 128/96 (same grid as t16)
     val chunkTokens = slice(col("t"), col("chunk_id") * 96 + 1, lit(128))
     val chunks = stage("chunk",
-      clean.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
+      paraDeduped.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("source"), col("t"),
           explode(sequence(lit(0),

@@ -461,10 +461,16 @@ object Text {
     * and reassembly is one shuffle keyed by doc_id, so paragraph text
     * crosses the wire exactly once.
     */
-  def t19ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+  def t19ParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** t19's core over any (doc_id, text, ...) frame — reused by the
+    * curation pipeline, which joins `body` back as the cleaned text.
+    */
+  def paragraphDedupFrame(docs: DataFrame): DataFrame = {
     val P = 16
     val paraTokens = slice(col("t"), col("idx") * P + 1, lit(P))
-    val paras = Tables.documents(s, dir)
+    val paras = docs
       .select(col("doc_id"), tokenize(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), col("t"),
@@ -488,7 +494,6 @@ object Text {
             x => x.getField("para")), " ").as("body"))
       .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("body"))
-      .orderBy(col("doc_id"))
   }
 
   val t19Sql: String =

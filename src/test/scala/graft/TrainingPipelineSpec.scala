@@ -28,15 +28,15 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val byStage = counts.toMap
     assert(counts.map(_._1) == Seq("ingest", "quality_gate",
       "stratified_sample", "exact_dedup", "near_dup_drop",
-      "decontaminate", "chunk"))
+      "decontaminate", "paragraph_dedup", "chunk"))
     // filters are monotone non-increasing until chunking explodes
     val docStages = counts.dropRight(1).map(_._2)
     assert(docStages.zip(docStages.tail).forall { case (a, b) => b <= a },
       counts.toString)
-    assert(byStage("ingest") > 0 && byStage("decontaminate") > 0)
+    assert(byStage("ingest") > 0 && byStage("paragraph_dedup") > 0)
     // chunking never loses a surviving non-empty document
     val nChunkedDocs = chunks.select("doc_id").distinct().count()
-    assert(nChunkedDocs == byStage("decontaminate"))
+    assert(nChunkedDocs == byStage("paragraph_dedup"))
     assert(byStage("chunk") >= nChunkedDocs)
   }
 
@@ -65,6 +65,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val clusterOf = queries.Dedup.d7DupClusters(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-derive the paragraph-dedup stage's survivor set over exactly the
+    // docs that reach it (post near-dup drop, post decontamination) — a
+    // representative may legitimately vanish there if every one of its
+    // paragraphs was already seen at a lower (doc_id, idx)
+    val nonRepDrops = clusterOf.groupBy(_._2).flatMap { case (_, members) =>
+      val present = members.keySet.intersect(exactIds)
+      if (present.nonEmpty) present - present.min else Set.empty[Long]
+    }.toSet
+    val cleanIds = exactIds -- nonRepDrops -- contaminated
+    val paraIds = queries.Text.paragraphDedupFrame(
+      docs.filter(col("doc_id").isin(cleanIds.toSeq: _*)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     clusterOf.groupBy(_._2).foreach { case (cluster, members) =>
       val present = members.keySet.intersect(exactIds)
       if (present.nonEmpty) {
@@ -72,14 +84,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
         val survivors = members.keySet.intersect(surviving)
         assert(survivors.subsetOf(Set(rep)),
           s"cluster $cluster kept non-representative members: $survivors")
-        // the representative itself survives unless a LATER stage
-        // (decontamination, empty-token chunking) legitimately drops it
+        // the representative itself survives iff the later stages
+        // (decontamination, paragraph dedup) did not legitimately drop it
         if (!contaminated(rep)) {
-          val repTokens = docs.filter(col("doc_id") === rep)
-            .select(size(tokenize(col("text")))).collect().head.getInt(0)
-          if (repTokens > 0)
-            assert(surviving.contains(rep),
-              s"cluster $cluster lost its representative $rep")
+          assert(surviving.contains(rep) == paraIds(rep),
+            s"cluster $cluster representative $rep: survived=" +
+              s"${surviving.contains(rep)} but paragraph-dedup kept=${paraIds(rep)}")
         }
       }
     }
