@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.SimFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -458,6 +458,65 @@ object Dedup {
       |SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (g)
       |WHERE gr.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
 
+  /** D12: n-gram OVERLAP-RATIO decontamination — the graded variant of
+    * d6's binary flag. d6 drops a document for sharing a single n-gram
+    * with the eval set, which at corpus scale over-fires on idiomatic
+    * phrases; production decontamination (PaLM §C / Llama-2 A.6 shape)
+    * instead flags a document when a FRACTION of its n-grams appear in
+    * the benchmark: here ≥ 10% of word trigrams (reference d6's pass at
+    * `data_preparation.py`-equivalent granularity; threshold chosen so
+    * the drop path provably executes on both fixture scales — 2 docs at
+    * sf0.01, ~1.8k at sf0.1, measured in DuckDB before pinning).
+    *
+    * 100 TB shape, same skeleton as d6: the benchmark gram set is tiny
+    * and broadcasts; corpus grams stream map-only through the broadcast
+    * LEFT join (hit = non-null probe), and the only shuffle is the
+    * per-doc count aggregation — map-side-combined (doc_id, n, hits)
+    * partials, never gram text. The threshold compares in INTEGER math
+    * (`hits*10 >= n`), so Spark and DuckDB agree by construction with no
+    * double-rounding grid.
+    */
+  def d12OverlapDecontaminate(s: SparkSession, dir: String): DataFrame =
+    d12OverlapFrame(Tables.documents(s, dir), col("doc_id") % 97 === 0)
+
+  /** d12's core over any (doc_id, text, ...) frame and benchmark-side
+    * predicate — injectable so DedupSpec drives the positive (verbatim
+    * clone ⇒ ratio 1) and negative (disjoint vocabulary ⇒ unflagged)
+    * cases directly.
+    */
+  def d12OverlapFrame(docs: DataFrame, isBench: Column): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(shingles(tokenize(col("text")), 3)).as("g"))
+    val bench = grams(docs.filter(isBench))
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    grams(docs.filter(!isBench))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") * 10 >= col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d12Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0
+      |), hits AS (
+      |  SELECT gr.doc_id, count(*) AS n_grams, count(bench.g) AS n_hit
+      |  FROM gr LEFT JOIN bench USING (g)
+      |  WHERE gr.doc_id % 97 <> 0
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_grams, n_hit FROM hits
+      |WHERE n_hit * 10 >= n_grams ORDER BY doc_id""".stripMargin
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — labels every node of the undirected `pairs` graph with
@@ -823,6 +882,7 @@ object Dedup {
     "d9_semdedup" -> (d9SemDedup _),
     "d10_semdedup_fixed" -> (d10SemDedupFixed _),
     "d11_bloom_decontaminate" -> (d11BloomDecontaminate _),
+    "d12_overlap_decontaminate" -> (d12OverlapDecontaminate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -838,5 +898,6 @@ object Dedup {
     // the Bloom prune is output-invariant (miss ⇒ provably clean, hits
     // exactly verified), so d11's twin is d6's exact query
     "d11_bloom_decontaminate" -> d6Sql,
+    "d12_overlap_decontaminate" -> d12Sql,
   )
 }

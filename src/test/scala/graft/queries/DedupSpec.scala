@@ -189,6 +189,30 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("d12 overlap-ratio decontamination flags clones, spares light overlap") {
+    // bench doc 0; doc 1 = verbatim clone (ratio 1.0 ⇒ flagged); doc 2 =
+    // one shared trigram out of 12 (< 10% ⇒ unflagged); doc 3 = disjoint
+    // vocabulary (zero hits ⇒ unflagged); doc 4 = half-clone (≥10% ⇒
+    // flagged with the exact integer counts)
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val half = "alpha beta gamma delta " +
+      "quux corge grault garply waldo fred plugh xyzzy thud aa bb cc"
+    val docs = Seq(
+      (0L, benchText),
+      (1L, benchText),
+      (2L, "alpha beta gamma " + (1 to 11).map("w" + _).mkString(" ")),
+      (3L, "uno dos tres cuatro cinco seis"),
+      (4L, half),
+    ).toDF("doc_id", "text")
+    val got = Dedup.d12OverlapFrame(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 4L), got.toString)
+    assert(got(1L) == ((6L, 6L)))    // 8 tokens -> 6 trigrams, all hits
+    // doc 2: 14 tokens -> 12 trigrams, exactly 1 hit -> 10 < 12 spared
+    val doc4Grams = half.split(" ").length - 2
+    assert(got(4L)._1 == doc4Grams && got(4L)._2 * 10 >= doc4Grams)
+  }
+
   test("d9 semdedup (trained cells) drops planted near-duplicates, keeps min-id survivors") {
     val rng = new scala.util.Random(7)
     val dim = 64
