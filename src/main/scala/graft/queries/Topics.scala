@@ -404,6 +404,80 @@ object Topics {
       |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 100""".stripMargin
 
+  /** M12: BPE tokenizer TRAINING (Sennrich et al., ACL 2016) — the
+    * iterative merge loop m8 computes one step of. Returns the learned
+    * merge table: (rank, left, right, pair_count), the artifact a
+    * tokenizer ships.
+    *
+    * 100 TB shape — this is how production BPE trainers (GPT-2's
+    * included) are actually structured: the ONLY corpus-scale work is
+    * the word-frequency aggregation (map-side-combined groupBy; the
+    * shuffle carries (word, count) partials, never text). By Heaps' law
+    * the distinct-word table is vocabulary-scale, not corpus-scale, and
+    * is further capped to the top `MaxWords` by (count desc, word) —
+    * deterministic — before the driver-side merge loop runs over it.
+    * Distributing the per-iteration pair recount instead would cost one
+    * corpus-wide shuffle per merge (50k shuffles for a real vocab):
+    * the bounded-table driver loop is the right trade, and the cap is
+    * loud in the schema (`rank` rows stop early if pairs run out).
+    */
+  val MaxWords = 10000
+  val BpeMerges = 50
+
+  def m12BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(MaxWords)
+      .as[(String, Long)].collect()
+    bpeMerges(words, BpeMerges).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** The Sennrich merge loop over a vocabulary-bounded word-count table:
+    * each word is a symbol sequence (chars + "</w>"); per round, count
+    * weighted adjacent pairs, merge the most frequent (ties broken
+    * lexicographically, so training is deterministic), rewrite. Merge
+    * counts are non-increasing by construction — a pair created by a
+    * merge occurs at most as often as the pair just merged — and
+    * TopicsSpec pins that invariant plus a hand-computed trace.
+    */
+  private[queries] def bpeMerges(words: Array[(String, Long)],
+      n: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < n && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- seqs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, cnt))
+        seqs = seqs.map { case (syms, c) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              buf += l + r; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.toArray, c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** M9: vocabulary coverage / OOV rate — per document, the fraction of
     * raw cleaned tokens (pre stop-word/length filtering) that fall
     * outside the minDF/maxDF modeling vocabulary. The standard tokenizer-
@@ -571,6 +645,7 @@ object Topics {
     "m9_oov_rate" -> (m9OovRate _),
     "m10_tfidf" -> (m10Tfidf _),
     "m11_unigram_logprob" -> (m11UnigramLogprob _),
+    "m12_bpe_train" -> (m12BpeTrain _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

@@ -158,6 +158,30 @@ class TopicsSpec extends AnyFunSuite {
     assert(out.size == docs.length)
   }
 
+  test("m12 BPE training reproduces the hand-computed merge trace") {
+    // the HuggingFace BPE tutorial corpus; merges traced by hand:
+    //   pairs over {hug:10, pug:5, pun:12, bun:4, hugs:5} + "</w>":
+    //   (u,g)=20 wins; then (n,</w>)=16 beats (u,n)=16 on tie-break;
+    //   then (u,n</w>)=16
+    val words = Array(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L))
+    val merges = Topics.bpeMerges(words, 3)
+    assert(merges == Seq((0, "u", "g", 20L), (1, "n", "</w>", 16L),
+      (2, "u", "n</w>", 16L)), merges.toString)
+    // exhaustion: a single 2-char word runs out of pairs after 2 merges
+    assert(Topics.bpeMerges(Array(("ab", 1L)), 10).length == 2)
+  }
+
+  test("m12 on the fixture: full rank ladder, non-increasing merge counts") {
+    val rows = Topics.m12BpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(rows.length == Topics.BpeMerges)
+    assert(rows.map(_._1).toSeq == (0 until Topics.BpeMerges))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      counts.mkString(","))
+  }
+
   test("model save/load round-trips describeTopics (S10)") {
     val c = Topics.corpus(spark, dir).cache()
     val v = Topics.fitVectorizer(c).transform(c).cache()
