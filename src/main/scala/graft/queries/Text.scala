@@ -551,6 +551,79 @@ object Text {
         |      < CAST(floor(quality * 1000000) AS BIGINT)
         |ORDER BY doc_id""".stripMargin
 
+  /** T21: DSIR importance weights (Xie et al., NeurIPS 2023 "Data
+    * Selection via Importance Resampling") — score every raw-pool
+    * document by how target-like its hashed-bigram distribution is:
+    * log w(d) = Σ_grams [ln p̂(bucket) − ln q̂(bucket)], with p̂ fit on
+    * the target slice (source = 'src0' stands in for the wanted
+    * domain), q̂ on the raw pool, both add-one smoothed over the 4096
+    * hashed buckets. A curation pipeline resamples by this weight to
+    * shift a 100 TB raw crawl toward a target domain without a trained
+    * classifier.
+    *
+    * 100 TB shape: bucketing is map-only (native fnv64, whole-stage
+    * codegen; B = 2^12 so Spark's signed pmod and the oracle's unsigned
+    * HUGEINT mod agree bit-for-bit). The two distribution fits shuffle
+    * only (bucket, count) partials — ≤4096 rows each — and the scoring
+    * join broadcasts the 4096-row log-ratio dim back over the cached
+    * bucket stream; the only corpus-keyed shuffle is the per-doc sum.
+    * Gram text itself never rides a shuffle.
+    */
+  val DsirBuckets = 4096
+
+  def t21DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    def buckets(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(shingles(tokenize(col("text")), 2)).as("g"))
+      .select(col("doc_id"), pmod(expr("fnv64(g)"), lit(DsirBuckets.toLong)).as("b"))
+    val docs = Tables.documents(s, dir)
+    val target = buckets(docs.filter(col("source") === "src0"))
+    val raw = buckets(docs.filter(col("source") =!= "src0")).cache()
+    val p = target.groupBy(col("b")).agg(count(lit(1)).as("np"))
+    val q = raw.groupBy(col("b")).agg(count(lit(1)).as("nq"))
+    val dim = p.join(q, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+    val tot = dim.agg(sum(col("np")).as("tnp"), sum(col("nq")).as("tnq"))
+    val lr = dim.crossJoin(tot).select(col("b"),
+      (log((col("np") + lit(1.0)) / (col("tnp") + lit(DsirBuckets))) -
+        log((col("nq") + lit(1.0)) / (col("tnq") + lit(DsirBuckets)))).as("lr"))
+    raw.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round(sum(col("lr")), 6).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t21Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id, source,
+      |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |  FROM toks WHERE len(t) >= 2
+      |), hb AS (
+      |  SELECT doc_id, source,
+      |    (list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |       list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1))::HUGEINT)),
+      |     (h, c) -> ((h - h % 256 + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT)
+      |                * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+      |     % 4096)::BIGINT AS b
+      |  FROM gr
+      |), p AS (SELECT b, count(*) AS np FROM hb WHERE source = 'src0' GROUP BY 1),
+      |q AS (SELECT b, count(*) AS nq FROM hb WHERE source <> 'src0' GROUP BY 1),
+      |dim AS (
+      |  SELECT coalesce(p.b, q.b) AS b, coalesce(np,0) AS np, coalesce(nq,0) AS nq
+      |  FROM p FULL JOIN q ON p.b = q.b
+      |), tot AS (SELECT sum(np) AS tnp, sum(nq) AS tnq FROM dim),
+      |lr AS (
+      |  SELECT b, ln((np + 1.0)/(tnp + 4096)) - ln((nq + 1.0)/(tnq + 4096)) AS lr
+      |  FROM dim, tot
+      |)
+      |SELECT hb.doc_id, count(*) AS n_grams, round(sum(lr), 6) AS dsir_logw
+      |FROM hb JOIN lr USING (b) WHERE source <> 'src0'
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -572,6 +645,7 @@ object Text {
     "t18_token_stats" -> (t18TokenStats _),
     "t19_paragraph_dedup" -> (t19ParagraphDedup _),
     "t20_quality_sample" -> (t20QualitySample _),
+    "t21_dsir_weights" -> (t21DsirWeights _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -595,6 +669,7 @@ object Text {
     "t18_token_stats" -> t18Sql,
     "t19_paragraph_dedup" -> t19Sql,
     "t20_quality_sample" -> t20Sql,
+    "t21_dsir_weights" -> t21Sql,
   )
 
   lazy val t12Sql: String =
