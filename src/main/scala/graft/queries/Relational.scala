@@ -605,6 +605,58 @@ object Relational {
       |      % 1000000 < thr
       |ORDER BY doc_id""".stripMargin
 
+  /** Q29: snapshot diff — reconcile two corpus snapshots into
+    * added / removed / changed rows, the incremental-crawl bookkeeping a
+    * recurring scrape pipeline runs between refreshes (the reference
+    * re-crawls the same sitemaps daily; S7's unique-key sink is the
+    * write half, this is the read half). Snapshots A and B are derived
+    * deterministically from the fixture (drop-every-11th vs
+    * drop-every-13th, with every 7th text mutated) so the oracle can
+    * replay them.
+    *
+    * 100 TB shape: each side reduces to (key, digest) IN THE SCAN
+    * PROJECTION — document text never leaves the scan stage — and the
+    * full-outer join co-partitions two digest streams on the key: one
+    * shuffle pair, each row 40 bytes regardless of document size. At
+    * cluster scale both snapshots are date-partitioned parquet, so the
+    * scan reads exactly the two snapshot partitions; with both sides
+    * bucketed by doc_id (PlansSpec's bucketed-join pin) even that
+    * shuffle disappears.
+    */
+  def q29SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("da"))
+    val b = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("db"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("da").isNull, "added")
+          .when(col("db").isNull, "removed")
+          .when(col("da") =!= col("db"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS da FROM documents WHERE doc_id % 11 <> 0
+      |), b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS db
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |), d AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN da IS NULL THEN 'added'
+      |         WHEN db IS NULL THEN 'removed'
+      |         WHEN da <> db THEN 'changed' END AS change
+      |  FROM a FULL JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT doc_id, change FROM d WHERE change IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -634,6 +686,7 @@ object Relational {
     "q26_stratified_sample" -> (q26StratifiedSample _),
     "q27_salted_count" -> (q27SaltedCount _),
     "q28_domain_mix" -> (q28DomainMix _),
+    "q29_snapshot_diff" -> (q29SnapshotDiff _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -664,5 +717,6 @@ object Relational {
     "q26_stratified_sample" -> q26Sql,
     "q27_salted_count" -> q27Sql,
     "q28_domain_mix" -> q28Sql,
+    "q29_snapshot_diff" -> q29Sql,
   )
 }

@@ -189,6 +189,23 @@ class PlansSpec extends AnyFunSuite {
       "chunking gained a shuffle")
   }
 
+  test("d12 overlap ratio: broadcast gram probe, map-side-combined count shuffle") {
+    val plan = executedPlan(Dedup.d12OverlapDecontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "benchmark grams not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "gram probe shuffles the corpus")
+    assert(plan.contains("partial_count"), "ratio counts lost map-side combine")
+  }
+
+  test("t21 dsir: log-ratio dim broadcasts; only counts ride the shuffles") {
+    // NOTE: the 4096-row p/q FULL OUTER dim build may legitimately
+    // sort-merge (Spark cannot broadcast full outer) — only the
+    // corpus-side scoring join must be broadcast
+    val plan = executedPlan(Text.t21DsirWeights(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "log-ratio dim not broadcast")
+    assert(plan.contains("partial_count"), "per-doc sum lost map-side combine")
+    assert(plan.contains("fnv64"), "bucketing left the native expression")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
