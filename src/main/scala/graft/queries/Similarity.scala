@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Checkpoints, Tables}
 import graft.functions.SimFunctions._
 import graft.functions.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -468,6 +468,62 @@ object Similarity {
        |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY id1, rank""".stripMargin
 
+  /** S8: greedy k-center diversity sampling — Gonzalez's farthest-point
+    * traversal ('85 2-approximation), the coverage-maximizing
+    * complement of SemDeDup: d9 removes redundancy, this SELECTS a
+    * maximally-spread panel (coreset seeds, eval picks, curriculum
+    * anchors). Deterministic: seeded at the minimum vec_id, argmax
+    * ties broken by vec_id.
+    *
+    * Scale shape: k linear passes, O(k·n) dot products total. The
+    * running min-cosine-distance column is re-materialized per round
+    * via Checkpoints.eager (flat lineage; superseded blocks released —
+    * the d7 loop discipline), so each round costs ONE map pass (a
+    * single vec_dot against the just-chosen center, inlined as a
+    * literal array) plus a TakeOrdered(1) argmax; no shuffle ever
+    * carries vectors. The naive rebuild — min distance to ALL centers
+    * each round — is O(k²·n) with k-deep expression chains and is
+    * exactly what this form avoids.
+    *
+    * Rows-only oracle (iterative); SimilaritySpec pins determinism,
+    * the non-increasing coverage-radius invariant, and planted-cluster
+    * coverage on an injected frame.
+    */
+  val KCenterK = 16
+
+  def s8KCenterSample(s: SparkSession, dir: String): DataFrame =
+    kCenterFrame(vecs(s, dir), KCenterK)
+
+  private[queries] def kCenterFrame(allIn: DataFrame, k: Int): DataFrame = {
+    val spark = allIn.sparkSession
+    import spark.implicits._
+    val n = allIn.count()
+    val first = allIn.select(col("vec_id"), col("v"), col("nrm"))
+      .orderBy(col("vec_id")).limit(1).collect().head
+    // (vec_id, v, nrm, coverage radius when chosen — 0 for the seed)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (first.getLong(0), first.getSeq[Double](1).toSeq, first.getDouble(2), 0.0))
+    var cur = Checkpoints.eager(allIn.select(col("vec_id"), col("v"),
+      col("nrm"), lit(2.0).as("mind")))
+    while (centers.length < math.min(k.toLong, n)) {
+      val (_, cv, cn, _) = centers.last
+      val d = lit(1.0) -
+        dot(col("v"), array(cv.map(lit): _*)) / (col("nrm") * lit(cn))
+      val next = Checkpoints.eager(
+        cur.df.withColumn("mind", least(col("mind"), d)))
+      cur.release()
+      cur = next
+      val row = cur.df.orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).collect().head
+      centers += ((row.getLong(0), row.getSeq[Double](1).toSeq,
+        row.getDouble(2), row.getDouble(3)))
+    }
+    cur.release()
+    centers.toSeq.zipWithIndex
+      .map { case ((id, _, _, r), i) => (i, id, math.rint(r * 1e6) / 1e6) }
+      .toDF("rank", "vec_id", "radius")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -476,6 +532,7 @@ object Similarity {
     "s5_quantize" -> (s5Quantize _),
     "s6_lsh_topk" -> (s6LshTopK _),
     "s7_quantized_topk" -> (s7QuantizedTopK _),
+    "s8_kcenter_sample" -> (s8KCenterSample _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

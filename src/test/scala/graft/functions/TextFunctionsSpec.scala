@@ -43,6 +43,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     "already clean lowercase words",
   )
 
+  test("native quality_raw equals the declarative quality formula bit-for-bit") {
+    // the declarative tree IS the value contract; run both over the
+    // fixture corpus plus adversarial edges (empty, whitespace-only,
+    // null, unicode, stopword-only, one-char tokens, huge token)
+    val edges = Seq(null, "", "   ", "\t\n ", "the and of to a in is it",
+      "naïve café über — ïüé", "a b c d e f g h i j",
+      "x" * 500, ("word " * 60).trim,
+      "The quick brown fox jumps over the lazy dog and runs far away today")
+      .toDF("text")
+    val fixture = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+      .select(col("text"))
+    for (df <- Seq(edges, fixture)) {
+      val rows = df.select(
+        TextFunctions.qualityScore(col("text")).as("native"),
+        round(TextFunctions.qualityScoreDeclarative(col("text")), 6)
+          .as("decl")).collect()
+      rows.foreach { r =>
+        val n = r.getDouble(0)
+        val d = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+        assert(n == d, s"native=$n declarative=$d")
+      }
+    }
+  }
+
   test("cleanChain matches the reference regex chain on pinned inputs") {
     assert(runClean(pinned) == pinned.map(refClean))
   }

@@ -131,6 +131,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s8 k-center: deterministic, distinct picks, non-increasing radii") {
+    val a = Similarity.s8KCenterSample(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val b = Similarity.s8KCenterSample(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, "farthest-point traversal is not deterministic")
+    assert(a.length == Similarity.KCenterK)
+    assert(a.map(_._2).distinct.length == a.length, "repeated center")
+    // rank 0 is the min-id seed with sentinel radius 0; from rank 1 on,
+    // the coverage radius (min cosine distance at selection) can only
+    // shrink as centers accumulate
+    assert(a.head._1 == 0 && a.head._3 == 0.0)
+    val radii = a.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (x, y) => y <= x },
+      radii.mkString(","))
+  }
+
+  test("s8 covers planted clusters before revisiting any of them") {
+    // three tight unit-vector bundles on orthogonal axes: the first
+    // three selections must touch all three clusters (greedy k-center's
+    // defining behavior), regardless of cluster sizes
+    val dim = 8
+    def axisVec(axis: Int, eps: Double, flip: Int): Seq[Double] = {
+      val v = Array.fill(dim)(0.0)
+      v(axis) = 1.0
+      v((axis + 3) % dim) = eps * (if (flip % 2 == 0) 1 else -1)
+      v.toSeq
+    }
+    val rows = (0 until 12).map { i =>
+      val cluster = i % 3
+      (i.toLong, axisVec(cluster, 0.01 + 0.001 * i, i), cluster)
+    }
+    val df = rows.toDF("vec_id", "v", "cluster")
+      .withColumn("nrm", graft.functions.SimFunctions.l2Norm(col("v")))
+    val picked = Similarity.kCenterFrame(df, 3).collect().map(_.getLong(1))
+    val clusterOf = rows.map(r => r._1 -> r._3).toMap
+    assert(picked.map(clusterOf).toSet == Set(0, 1, 2),
+      s"first 3 centers hit clusters ${picked.map(clusterOf).toSeq}")
+  }
+
   test("TopKAggregator equals global sort-take on random input under any split") {
     val rng = new scala.util.Random(3)
     val data = Seq.fill(500)(ScoredId(rng.nextInt(50) / 10.0, rng.nextInt(1000).toLong))
