@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Fnv64, MinHash128, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
+import graft.expressions.{Fnv64, GopherFlags, MinHash128, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash128"),
       new ExpressionInfo("graft.expressions.MinHash128", "minhash128"),
       (children: Seq[Expression]) => MinHash128(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("gopher_flags"),
+      new ExpressionInfo("graft.expressions.GopherFlags", "gopher_flags"),
+      (children: Seq[Expression]) => GopherFlags(children.head)))
     e.injectFunction((
       new FunctionIdentifier("quality_raw"),
       new ExpressionInfo("graft.expressions.QualityScore", "quality_raw"),

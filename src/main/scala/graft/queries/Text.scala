@@ -624,6 +624,58 @@ object Text {
       |FROM hb JOIN lr USING (b) WHERE source <> 'src0'
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** T22: the full Gopher quality-rule battery (Rae et al. '21 App. A)
+    * — the production-filter complement of t10's four-component score.
+    * All seven rules evaluate in ONE codegen'd pass (native gopher_flags
+    * bitmask; see the expression scaladoc for the bit layout and the
+    * integer cross-multiplied comparisons that keep the twin hash-exact
+    * with no float grid). Map-only, fused into the scan: zero shuffle
+    * at any corpus size — this is the filter that runs FIRST over a raw
+    * 100 TB crawl, so its shape matters most of all.
+    */
+  def t22GopherFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("gopher_flags(text)").as("mask"))
+      .select(col("doc_id"), col("mask"), (col("mask") === 127).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val t22Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), words AS (
+      |  SELECT doc_id, text, len(t) AS n,
+      |    list_sum(list_transform(t, w -> length(w)))::BIGINT AS sum_len,
+      |    len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_distinct(list_filter(list_transform(t, w -> lower(w)),
+      |      w -> w IN ('the','be','to','of','and','that','have','with')))) AS n_stop
+      |  FROM toks
+      |), syms AS (
+      |  SELECT doc_id,
+      |    (length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '…', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+      |  FROM toks
+      |), lns AS (
+      |  SELECT doc_id, len(ls) AS n_lines,
+      |    len(list_filter(ls, l -> substr(l, 1, 1) IN ('•','‣','▪','-','*'))) AS n_bullet,
+      |    len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM toks)
+      |), mk AS (
+      |  SELECT w.doc_id,
+      |    (CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+      |     + CASE WHEN sum_len >= 3*n AND sum_len <= 10*n THEN 2 ELSE 0 END
+      |     + CASE WHEN 10*n_sym <= n THEN 4 ELSE 0 END
+      |     + CASE WHEN 10*n_bullet <= 9*n_lines THEN 8 ELSE 0 END
+      |     + CASE WHEN 10*n_ell <= 3*n_lines THEN 16 ELSE 0 END
+      |     + CASE WHEN 5*n_alpha >= 4*n THEN 32 ELSE 0 END
+      |     + CASE WHEN n_stop >= 2 THEN 64 ELSE 0 END)::INT AS mask
+      |  FROM words w JOIN syms USING (doc_id) JOIN lns USING (doc_id)
+      |)
+      |SELECT doc_id, mask, mask = 127 AS keep FROM mk
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -646,6 +698,7 @@ object Text {
     "t19_paragraph_dedup" -> (t19ParagraphDedup _),
     "t20_quality_sample" -> (t20QualitySample _),
     "t21_dsir_weights" -> (t21DsirWeights _),
+    "t22_gopher_filter" -> (t22GopherFilter _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -670,6 +723,7 @@ object Text {
     "t19_paragraph_dedup" -> t19Sql,
     "t20_quality_sample" -> t20Sql,
     "t21_dsir_weights" -> t21Sql,
+    "t22_gopher_filter" -> t22Sql,
   )
 
   lazy val t12Sql: String =

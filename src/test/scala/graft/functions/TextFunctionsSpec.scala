@@ -67,6 +67,37 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher_flags: each rule bit falls exactly when its rule is violated") {
+    import graft.expressions.GopherFlags
+    import org.apache.spark.unsafe.types.UTF8String
+    def mask(s: String): Int = GopherFlags.compute(UTF8String.fromString(s))
+    val good = ("the data and the model that we have built with care here " +
+      "now form a corpus of fifty plus words " + ("plain word " * 20)).trim
+    assert(mask(good) == 127, s"good doc mask=${mask(good)}")
+    // bit 0: too short
+    assert((mask("the cat and the hat have fun with it") & 1) == 0)
+    // bit 1: mean word length out of band (all 1-char words)
+    assert((mask(("a " * 60).trim) & 2) == 0)
+    // bit 2: symbol-heavy (# per word > 0.1)
+    assert((mask(good + " " + ("#tag " * 30).trim) & 4) == 0)
+    // bit 3: >90% bullet lines
+    val bullety = (1 to 20).map(i => s"• item $i").mkString("\n")
+    assert((mask(bullety) & 8) == 0)
+    // bit 4: >30% ellipsis line endings
+    val elly = (1 to 10).map(i => s"line number $i trails off...").mkString("\n")
+    assert((mask(elly) & 16) == 0)
+    // bit 5: <80% alphabetic words
+    assert((mask(("123 456 " * 30).trim) & 32) == 0)
+    // bit 6: fewer than 2 distinct stop words
+    assert((mask(("word " * 60).trim) & 64) == 0)
+    // expression registration + null propagation
+    val viaSql = Seq(good).toDF("text")
+      .selectExpr("gopher_flags(text)").collect().head.getInt(0)
+    assert(viaSql == 127)
+    assert(spark.sql("SELECT gopher_flags(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+  }
+
   test("cleanChain matches the reference regex chain on pinned inputs") {
     assert(runClean(pinned) == pinned.map(refClean))
   }
