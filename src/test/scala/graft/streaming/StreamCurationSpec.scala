@@ -15,6 +15,48 @@ class StreamCurationSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("restarted stream restores dedup state from the checkpoint (no re-emission)") {
+    import spark.implicits._
+    // run 1 drains file A; run 2 (fresh query, SAME checkpoint) drains
+    // file B, whose rows overlap A's digests — the restored state store
+    // must suppress them, and the file sink must hold exactly one row
+    // per digest across both runs
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def rows(ids: Range) = ids.map { i =>
+      (i.toLong, s"shared content payload number ${i % 6} with ample words",
+        new java.sql.Timestamp(ts0.getTime + i * 60000L))
+    }
+    val src = java.nio.file.Files.createTempDirectory("cur_restart_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_restart_ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("cur_restart_sk").toString + "/out"
+    val schema = rows(0 until 1).toDF("doc_id", "text", "ts").schema
+    def writeDrop(name: String, ids: Range): Unit = {
+      val stage =
+        java.nio.file.Files.createTempDirectory("cur_stage").toString + "/d"
+      rows(ids).toDF("doc_id", "text", "ts").coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(src, name))
+    }
+    def drain(): Unit = {
+      val q = StreamCuration.curateStream(spark, src, schema,
+          minQuality = 0.0, tsCol = "ts")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeDrop("a.parquet", 0 until 12) // digests 0..5, each twice
+    drain()
+    writeDrop("b.parquet", 6 until 24) // digests 0..5 again — ALL seen in run 1
+    drain()
+    val out = spark.read.parquet(sink)
+    val digests = out.select("digest").collect().map(_.getString(0))
+    assert(digests.length == 6, s"expected 6 rows, got ${digests.length}")
+    assert(digests.toSet.size == 6,
+      "restart re-emitted a digest the first run already published")
+  }
+
   test("streamed quality gate + digest dedup equals the batch stages") {
     import spark.implicits._
     val minQ = 0.5
