@@ -605,6 +605,26 @@ object Relational {
       |      % 1000000 < thr
       |ORDER BY doc_id""".stripMargin
 
+  /** Q30: grouped APPROXIMATE percentiles — q24's sketch-path twin, the
+    * way percentile dashboards actually run at 100 TB. Exact
+    * `percentile` buffers every value per group (an unbounded sort-based
+    * aggregation); `approx_percentile` keeps a fixed-size
+    * KLL/Greenwald-Khanna-style summary per group, so the shuffle
+    * carries constant-size sketch partials that merge associatively —
+    * the same partial/final two-phase as any map-side-combined agg.
+    * Accuracy 10000 bounds rank error at 1/10000. Rows-only oracle
+    * (sketch output); QueriesSpec bounds it against exact q24 and pins
+    * the percentile ordering invariant.
+    */
+  def q30ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Q29: snapshot diff — reconcile two corpus snapshots into
     * added / removed / changed rows, the incremental-crawl bookkeeping a
     * recurring scrape pipeline runs between refreshes (the reference
@@ -687,6 +707,7 @@ object Relational {
     "q27_salted_count" -> (q27SaltedCount _),
     "q28_domain_mix" -> (q28DomainMix _),
     "q29_snapshot_diff" -> (q29SnapshotDiff _),
+    "q30_approx_percentiles" -> (q30ApproxPercentiles _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

@@ -125,4 +125,33 @@ class QueriesSpec extends AnyFunSuite {
       assert(es.map(_._2).sorted.toSeq == (1 to es.size).toSeq)
     }
   }
+
+  test("q30 approx percentiles land inside the exact neighboring-rank band") {
+    // accuracy 10000 bounds rank error at n/10000 (≈ a handful of rows
+    // per event_type here); the sketch output must sit within the
+    // exact [p-1%, p+1%] band and keep the percentile ordering
+    val approx = Relational.q30ApproxPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val bands = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.49)").as("lo50"),
+        expr("percentile(value, 0.51)").as("hi50"),
+        expr("percentile(value, 0.89)").as("lo90"),
+        expr("percentile(value, 0.91)").as("hi90"),
+        expr("percentile(value, 0.98)").as("lo99"),
+        expr("percentile(value, 0.995)").as("hi99"))
+      .collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(approx.keySet == bands.keySet)
+    approx.foreach { case (et, (p50, p90, p99)) =>
+      val Seq(lo50, hi50, lo90, hi90, lo99, hi99) = bands(et)
+      assert(p50 >= lo50 && p50 <= hi50, s"$et p50=$p50 outside [$lo50,$hi50]")
+      assert(p90 >= lo90 && p90 <= hi90, s"$et p90=$p90 outside [$lo90,$hi90]")
+      assert(p99 >= lo99 && p99 <= hi99, s"$et p99=$p99 outside [$lo99,$hi99]")
+      assert(p50 <= p90 && p90 <= p99, s"$et percentile ordering broken")
+    }
+  }
 }
