@@ -260,6 +260,98 @@ EXTRA_NOUNS = [
     ("quizzes", "quiz"), ("fezzes", "fez"),
 ]
 
+# --- n: round-5 widening toward WordNet exc breadth ------------------
+# classical plurals, French/Greek imports, -ves, invariants — families
+# the -s detachment rule mangles; re-created from public knowledge of
+# English morphology
+EXTRA_NOUNS_2 = [
+    ("nuclei", "nucleus"), ("radii", "radius"), ("fungi", "fungus"),
+    ("cacti", "cactus"), ("foci", "focus"), ("loci", "locus"),
+    ("stimuli", "stimulus"), ("alumni", "alumnus"),
+    ("syllabi", "syllabus"), ("bacilli", "bacillus"),
+    ("gladioli", "gladiolus"), ("nautili", "nautilus"),
+    ("streptococci", "streptococcus"), ("staphylococci", "staphylococcus"),
+    ("theses", "thesis"), ("crises", "crisis"), ("oases", "oasis"),
+    ("bases", "basis"), ("analyses", "analysis"),
+    ("diagnoses", "diagnosis"), ("hypotheses", "hypothesis"),
+    ("parentheses", "parenthesis"), ("syntheses", "synthesis"),
+    ("antitheses", "antithesis"), ("dialyses", "dialysis"),
+    ("geneses", "genesis"), ("nemeses", "nemesis"),
+    ("matrices", "matrix"), ("indices", "index"),
+    ("appendices", "appendix"), ("vortices", "vortex"),
+    ("vertices", "vertex"), ("directrices", "directrix"),
+    ("bacteria", "bacterium"), ("curricula", "curriculum"),
+    ("memoranda", "memorandum"), ("strata", "stratum"),
+    ("ossuaria", "ossuarium"), ("compendia", "compendium"),
+    ("solaria", "solarium"), ("terraria", "terrarium"),
+    ("podia", "podium"), ("mausolea", "mausoleum"),
+    ("criteria", "criterion"), ("phenomena", "phenomenon"),
+    ("ganglia", "ganglion"), ("paramecia", "paramecium"),
+    ("perihelia", "perihelion"), ("aphelia", "aphelion"),
+    ("larvae", "larva"), ("nebulae", "nebula"), ("antennae", "antenna"),
+    ("formulae", "formula"), ("algae", "alga"), ("pupae", "pupa"),
+    ("supernovae", "supernova"), ("lacunae", "lacuna"),
+    ("bureaux", "bureau"), ("plateaux", "plateau"),
+    ("tableaux", "tableau"), ("chateaux", "chateau"),
+    ("adieux", "adieu"), ("milieux", "milieu"),
+    ("wolves", "wolf"), ("knives", "knife"), ("lives", "life"),
+    ("wives", "wife"), ("hooves", "hoof"), ("selves", "self"),
+    ("wharves", "wharf"), ("staves", "staff"), ("turves", "turf"),
+    ("species", "species"), ("series", "series"),
+    ("aircraft", "aircraft"), ("salmon", "salmon"), ("trout", "trout"),
+    ("deer", "deer"), ("sheep", "sheep"), ("swine", "swine"),
+    ("moose", "moose"), ("bison", "bison"), ("grouse", "grouse"),
+    ("pliers", "pliers"), ("scissors", "scissors"),
+    ("trousers", "trousers"), ("measles", "measles"),
+    ("mumps", "mumps"), ("physics", "physics"),
+    ("mathematics", "mathematics"), ("economics", "economics"),
+    ("linguistics", "linguistics"), ("gymnastics", "gymnastics"),
+    ("athletics", "athletics"), ("politics", "politics"),
+    ("seraphim", "seraph"), ("cherubim", "cherub"),
+    ("kibbutzim", "kibbutz"),
+    ("oxen", "ox"), ("children", "child"), ("brethren", "brother"),
+    ("geese", "goose"), ("teeth", "tooth"), ("mice", "mouse"),
+    ("lice", "louse"), ("men", "man"), ("women", "woman"),
+]
+
+# --- v: round-5 widening: further irregular verbs ---------------------
+EXTRA_VERBS_2 = [
+    ("forsake", "forsook", "forsaken"), ("slay", "slew", "slain"),
+    ("smite", "smote", "smitten"), ("stride", "strode", "stridden"),
+    ("strive", "strove", "striven"), ("tread", "trod", "trodden"),
+    ("weave", "wove", "woven"), ("shear", "sheared", "shorn"),
+    ("sow", "sowed", "sown"), ("swell", "swelled", "swollen"),
+    ("prove", "proved", "proven"), ("mow", "mowed", "mown"),
+    ("hew", "hewed", "hewn"), ("strew", "strewed", "strewn"),
+    ("abide", "abode", "abode"), ("beget", "begot", "begotten"),
+    ("beseech", "besought", "besought"), ("chide", "chid", "chidden"),
+    ("cleave", "clove", "cloven"), ("gird", "girt", "girt"),
+    ("rend", "rent", "rent"), ("shoe", "shod", "shod"),
+    ("sling", "slung", "slung"), ("slink", "slunk", "slunk"),
+    ("spin", "spun", "spun"), ("sting", "stung", "stung"),
+    ("stink", "stank", "stunk"), ("swear", "swore", "sworn"),
+    ("swim", "swam", "swum"), ("swing", "swung", "swung"),
+    ("wake", "woke", "woken"), ("wear", "wore", "worn"),
+    ("weep", "wept", "wept"), ("win", "won", "won"),
+    ("wind", "winded", "winded"),
+    ("forbear", "forbore", "forborne"), ("forgive", "forgave", "forgiven"),
+    ("forgo", "forwent", "forgone"), ("foresee", "foresaw", "foreseen"),
+    ("foretell", "foretold", "foretold"), ("mislead", "misled", "misled"),
+    ("mistake", "mistook", "mistaken"), ("partake", "partook", "partaken"),
+    ("outdo", "outdid", "outdone"), ("outgrow", "outgrew", "outgrown"),
+    ("overdo", "overdid", "overdone"), ("overhear", "overheard", "overheard"),
+    ("oversee", "oversaw", "overseen"), ("oversleep", "overslept", "overslept"),
+    ("overthrow", "overthrew", "overthrown"), ("redo", "redid", "redone"),
+    ("remake", "remade", "remade"), ("repay", "repaid", "repaid"),
+    ("rethink", "rethought", "rethought"), ("rewind", "rewound", "rewound"),
+    ("rewrite", "rewrote", "rewritten"), ("undergo", "underwent", "undergone"),
+    ("undertake", "undertook", "undertaken"), ("undo", "undid", "undone"),
+    ("unwind", "unwound", "unwound"), ("befall", "befell", "befallen"),
+    ("behold", "beheld", "beheld"), ("bespeak", "bespoke", "bespoken"),
+    ("interweave", "interwove", "interwoven"),
+    ("typecast", "typecast", "typecast"),
+]
+
 # --- a: -y adjectives: -ier/-iest restores the y ----------------------
 Y_ADJECTIVES = [
     "angry", "bumpy", "busy", "chewy", "chilly", "classy", "cloudy",
@@ -386,6 +478,16 @@ def main():
     out.append("# --- generated: classical plurals / -s detachment traps ---")
     for form, lemma in EXTRA_NOUNS:
         add("n", form, lemma)
+
+    out.append("# --- generated: round-5 noun widening ---")
+    for form, lemma in EXTRA_NOUNS_2:
+        add("n", form, lemma)
+
+    out.append("# --- generated: round-5 irregular verb widening ---")
+    for base, past, pp in EXTRA_VERBS_2:
+        for form in (past, pp):
+            if form != base and form not in VERB_FORM_SKIP:
+                add("v", form, base)
 
     out.append("# --- generated: -y adjective comparatives ---")
     for a in sorted(set(Y_ADJECTIVES)):
