@@ -37,6 +37,7 @@ object TrainingPipeline {
   def curate(s: SparkSession, dir: String,
       outPath: Option[String] = None,
       minQuality: Double = 0.25,
+      gopherGate: Boolean = false,
       shards: Int = 8): (DataFrame, Seq[(String, Long)]) = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // each stage boundary CHECKPOINTS (localCheckpoint: materialize +
@@ -63,9 +64,14 @@ object TrainingPipeline {
 
     val docs = stage("ingest", Tables.documents(s, dir))
 
-    // map-only gates — Catalyst fuses all three into the scan pass
-    val gated = stage("quality_gate",
-      docs.filter(qualityScore(col("text")) >= minQuality))
+    // map-only gates — Catalyst fuses all three into the scan pass.
+    // With gopherGate on, the t22 rule battery (native gopher_flags
+    // bitmask) ANDs into the same fused filter — still zero shuffle.
+    val qualityPred = {
+      val base = qualityScore(col("text")) >= minQuality
+      if (gopherGate) base && expr("gopher_flags(text)") === 127 else base
+    }
+    val gated = stage("quality_gate", docs.filter(qualityPred))
     val sampled = stage("stratified_sample",
       gated.filter(Relational.stratifiedKeep(col("doc_id"), col("lang"))))
 

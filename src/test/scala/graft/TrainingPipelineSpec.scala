@@ -110,6 +110,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"$pinnedDuringCurate persistent RDDs pinned by curate — stage leak?")
   }
 
+  test("gopher gate tightens the quality stage and only that stage") {
+    val (_, plain) = TrainingPipeline.curate(spark, dir)
+    val (_, gated) = TrainingPipeline.curate(spark, dir, gopherGate = true)
+    val p = plain.toMap; val g = gated.toMap
+    assert(g("ingest") == p("ingest"))
+    assert(g("quality_gate") <= p("quality_gate"),
+      "ANDing the rule battery cannot keep more documents")
+    // downstream stages stay monotone under the tighter head
+    val order = gated.map(_._1)
+    assert(order == plain.map(_._1), "stage list changed")
+  }
+
   test("curate writes readable range-sharded output") {
     val (chunks, _) = result
     val back = spark.read.parquet(outDir)
