@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Topics.queries ++
       graft.queries.Extraction.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Analytics.oracle ++
       graft.queries.Topics.oracle ++
       graft.queries.Extraction.oracle ++
-      graft.queries.Multimodal.oracle
+      graft.queries.Multimodal.oracle ++
+      graft.queries.Graph.oracle
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank structural invariants on injected graphs — the rows-only
+  * oracle's named coverage: mass conservation, symmetry, authority
+  * ordering, dangling handling, determinism.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int = 20): Map[Long, Double] =
+    Graph.pageRankFrame(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("ring graph: uniform ranks, mass conserved") {
+    val n = 10L
+    val ranks = run(0L until n, (0L until n).map(i => i -> ((i + 1) % n)))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+      s"mass leaked: ${ranks.values.sum}")
+    ranks.values.foreach(r => assert(math.abs(r - 0.1) < 1e-9, ranks.toString))
+  }
+
+  test("star graph: the hub out-ranks every spoke; dangling hub handled") {
+    // 1..9 all link to 0; 0 links nowhere (dangling — its mass must be
+    // redistributed, not lost)
+    val ranks = run(0L to 9L, (1L to 9L).map(i => i -> 0L))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+      s"dangling mass lost: ${ranks.values.sum}")
+    val hub = ranks(0L)
+    (1L to 9L).foreach(i => assert(hub > ranks(i), s"hub $hub <= ${ranks(i)}"))
+    // spokes are symmetric
+    val spokes = (1L to 9L).map(ranks)
+    assert(spokes.forall(s => math.abs(s - spokes.head) < 1e-12))
+  }
+
+  test("authority flows through links: pointed-at node beats its pointer") {
+    // chain 0→1→2 plus 3→1: node 1 (two in-links) must beat node 3
+    // (none), and the run is deterministic
+    val edges = Seq(0L -> 1L, 1L -> 2L, 3L -> 1L)
+    val a = run(0L to 3L, edges)
+    val b = run(0L to 3L, edges)
+    assert(a == b, "power iteration is not deterministic")
+    assert(a(1L) > a(3L) && a(2L) > a(3L))
+  }
+
+  test("g1 on the fixture: top-100, ranks descending, all positive") {
+    val rows = Graph.g1PageRank(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 100)
+    val rs = rows.map(_._2)
+    assert(rs.zip(rs.tail).forall { case (x, y) => y <= x })
+    assert(rs.forall(_ > 0.0))
+  }
+}
