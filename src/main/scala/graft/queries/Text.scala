@@ -676,6 +676,59 @@ object Text {
       |SELECT doc_id, mask, mask = 127 AS keep FROM mk
       |ORDER BY doc_id""".stripMargin
 
+  /** T23: leakage-safe train/val/test split — the assignment rule a
+    * training-data pipeline MUST use instead of a per-document coin:
+    * near-duplicate documents landing in different splits leak train
+    * content into eval. Every member of a d7 duplicate cluster hashes
+    * by the CLUSTER label (its min doc_id), singletons by their own id,
+    * so a whole near-dup family moves between splits as one unit. The
+    * coin is the q26/q28 md5-bucket (pure row function — reproducible
+    * across retries, stable under repartition): 80/10/10 on integer
+    * thresholds, no float grid.
+    *
+    * 100 TB shape: the cluster-label table is tiny relative to the
+    * corpus (only docs appearing in near-dup pairs) and broadcasts;
+    * the assignment itself is map-only on top of that join. The d7
+    * labels are the expensive input, and they are already computed for
+    * dedup — a real pipeline reuses the artifact, it never re-derives
+    * per split.
+    */
+  def t23LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val clusters = Dedup.d7DupClusters(s, dir)
+    val keyed = docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("k"))
+    val bucket = conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000L
+    keyed.select(col("doc_id"),
+      when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val t23Sql: String = {
+    // d7Sql's CTE chain up to (and excluding) its final SELECT; the
+    // trailing ")" closes the `reach` CTE, so we continue the WITH list
+    val d7core = Dedup.d7Sql.substring(0,
+      Dedup.d7Sql.lastIndexOf("SELECT node")).trim
+    s"""$d7core,
+       |cl AS (
+       |  SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+       |), k AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS k
+       |  FROM documents d LEFT JOIN cl USING (doc_id)
+       |), b AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(k::VARCHAR), 1, 8))::UBIGINT % 1000 AS b
+       |  FROM k
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -699,6 +752,7 @@ object Text {
     "t20_quality_sample" -> (t20QualitySample _),
     "t21_dsir_weights" -> (t21DsirWeights _),
     "t22_gopher_filter" -> (t22GopherFilter _),
+    "t23_leakage_safe_split" -> (t23LeakageSafeSplit _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -724,6 +778,7 @@ object Text {
     "t20_quality_sample" -> t20Sql,
     "t21_dsir_weights" -> t21Sql,
     "t22_gopher_filter" -> t22Sql,
+    "t23_leakage_safe_split" -> t23Sql,
   )
 
   lazy val t12Sql: String =

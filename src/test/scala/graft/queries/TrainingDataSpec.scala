@@ -121,6 +121,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(chunks.map(_._1).distinct.length == docs.count(_._2.trim.nonEmpty))
   }
 
+  test("t23 split: every near-dup cluster lands whole in one split, fractions sane") {
+    val split = Text.t23LeakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = Dedup.d7DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty, "fixture lost its planted near-dup clusters")
+    // the leakage invariant: one split per cluster
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      val splits = members.map(m => split(m._1)).toSet
+      assert(splits.size == 1, s"cluster $c straddles splits $splits")
+    }
+    // every document is assigned, and no split is empty or dominant
+    // beyond the 80/10/10 coin's plausible range on this corpus size
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(split.size == graft.Tables.documents(spark, dir).count())
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    val n = split.size.toDouble
+    assert(counts("train") / n > 0.6 && counts("train") / n < 0.95)
+  }
+
   test("t19 paragraph dedup keeps first occurrences and drops all-boilerplate docs") {
     import spark.implicits._
     // planted corpus: 16-token paragraphs A/B/C/D — doc 0 = A+B, doc 1 =
