@@ -200,14 +200,30 @@ object Topics {
     * are seed-stable but not SQL-derivable.
     */
   def m2DominantTopics(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir).cache()
-    val cv = sharedVectorizer(c, dir)
-    val vectorized = cv.transform(c)
-    val lda = sharedLda(vectorized, dir)
-    val inferred = lda.transform(vectorized)
-    val argmaxUdf = udf { v: MlVector => v.argmax }
-    inferred
-      .select(col("doc_id"), argmaxUdf(col("topicDistribution")).as("dominant_topic"))
+    // per-doc inference is itself a fingerprint-keyed disk artifact
+    // (the S10 flow one step further — the reference notebook persists
+    // its per-article lda_12 outputs the same way): the variational
+    // inference pass is deterministic for a fixed model + corpus, so a
+    // warm run reads (doc_id, dominant_topic) instead of re-inferring
+    // every document. Same recovery contract as the models: refit ONLY
+    // when the artifact is absent; a load failure propagates loudly.
+    val fp = fingerprint(s, dir)
+    val path = artifactPath(dir, fp, "dominant")
+    val dominant =
+      if (artifactExists(s, path)) s.read.parquet(path)
+      else {
+        val c = corpus(s, dir).cache()
+        val cv = sharedVectorizer(c, dir)
+        val vectorized = cv.transform(c)
+        val lda = sharedLda(vectorized, dir)
+        val argmaxUdf = udf { v: MlVector => v.argmax }
+        lda.transform(vectorized)
+          .select(col("doc_id"),
+            argmaxUdf(col("topicDistribution")).as("dominant_topic"))
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      }
+    dominant
       .groupBy(col("dominant_topic"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("dominant_topic"))
