@@ -206,6 +206,29 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("fnv64"), "bucketing left the native expression")
   }
 
+  test("t22 gopher battery is map-only: no exchange below the sort") {
+    val plan = executedPlan(Text.t22GopherFilter(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "rule battery gained a hash shuffle")
+    assert(plan.contains("gopher_flags"), "native bitmask expression lost")
+  }
+
+  test("q29 snapshot diff joins digests, never text") {
+    val plan = executedPlan(Relational.q29SnapshotDiff(spark, dir))
+    // the join's output/input attributes must be digest+key only — the
+    // text column dies inside the scan-stage projection
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val anyJoin = if (joinIdx >= 0) joinIdx else plan.indexOf("HashJoin")
+    assert(anyJoin >= 0, s"expected a keyed join:\n$plan")
+    assert(!plan.substring(0, anyJoin).contains("text#"),
+      "document text survives above the diff join")
+  }
+
+  test("t23 split broadcasts the cluster labels over the corpus") {
+    val plan = executedPlan(Text.t23LeakageSafeSplit(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "label join not broadcast")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
