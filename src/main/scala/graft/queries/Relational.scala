@@ -249,16 +249,27 @@ object Relational {
   /** from_json coverage (events.props payload; SURVEY §7.2 step 7).
     * get_json_object avoids a full from_json schema when one key is needed.
     */
+  /** The average goes through an EXACT integer cent sum: `value` is a
+    * 2-decimal quantity, so summing round(value*100) as BIGINT is
+    * order-independent, and the final divide + round performs the same
+    * two IEEE ops on identical inputs in both engines. round(avg(..))
+    * over raw doubles was 1 ulp away from the oracle at sf0.001 — a
+    * group avg landed exactly on the 4-decimal rounding boundary and
+    * Spark's and DuckDB's summation orders differ (caught by the
+    * off-gate sf0.001 sweep; the sf0.01 gate had no boundary hit).
+    */
   def q15JsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"),
-                             round(avg(col("value")), 4).as("avg_value"))
+        round((sum(round(col("value") * 100).cast("long")) / lit(100.0))
+          / count(lit(1)), 4).as("avg_value"))
       .orderBy(col("k"))
 
   val q15Sql: String =
     """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n,
-      |  round(avg(value), 4) AS avg_value
+      |  round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+      |        / count(*), 4) AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
   /** Multi-table join: fact → dim → dim chain with broadcasts (region/nation
