@@ -29,13 +29,18 @@ object Windows {
   def w1DailyAvg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("avg_value"),
-           count(lit(1)).as("n"))
+      .agg(round((sum(round(col("value") * 100).cast("long")) / lit(100.0))
+        / count(lit(1)), 6).as("avg_value"),
+        count(lit(1)).as("n"))
       .orderBy(col("day"))
 
+  // the average runs through an exact integer cent sum (value is a
+  // 2-decimal quantity) so it is summation-order-independent — the q15
+  // hardening, applied here before a boundary hit happens
   val w1Sql: String =
     """SELECT CAST(ts AS DATE) AS day,
-      |  round(avg(value), 6) AS avg_value, count(*) AS n
+      |  round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+      |        / count(*), 6) AS avg_value, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** O-W2: 10-row trailing rolling mean over the daily series, masked to
@@ -50,9 +55,12 @@ object Windows {
     * would be the actual scale bug.
     */
   def w2RollingMean(s: SparkSession, dir: String): DataFrame = {
+    // daily means through the exact cent sum (see w1): the rolling
+    // window then consumes bit-identical inputs in both engines
     val daily = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(avg(col("value")).as("avg_value"))
+      .agg(((sum(round(col("value") * 100).cast("long")) / lit(100.0))
+        / count(lit(1))).as("avg_value"))
     val w = Window.orderBy(col("day")).rowsBetween(-9, 0)
     daily
       .withColumn("rolling_avg",
@@ -64,7 +72,9 @@ object Windows {
 
   val w2Sql: String =
     """WITH daily AS (
-      |  SELECT CAST(ts AS DATE) AS day, avg(value) AS avg_value
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    (sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+      |      / count(*) AS avg_value
       |  FROM events GROUP BY 1)
       |SELECT day, round(avg_value, 6) AS avg_value,
       |  CASE WHEN count(*) OVER w < 10 THEN NULL
