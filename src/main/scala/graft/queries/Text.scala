@@ -587,9 +587,18 @@ object Text {
     val lr = dim.crossJoin(tot).select(col("b"),
       (log((col("np") + lit(1.0)) / (col("tnp") + lit(DsirBuckets))) -
         log((col("nq") + lit(1.0)) / (col("tnq") + lit(DsirBuckets)))).as("lr"))
-    raw.join(broadcast(lr), Seq("b"))
+    // per-doc sum folds in BUCKET-SORTED order (buckets unique per doc
+    // after the pre-count) — summation-order-independent, the q15/m11
+    // boundary-drift hardening for log sums with no integer grid
+    raw.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), round(sum(col("lr")), 6).as("dsir_logw"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        round(aggregate(
+          transform(
+            array_sort(collect_list(struct(col("b"), col("cnt"), col("lr")))),
+            x => x.getField("cnt") * x.getField("lr")),
+          lit(0.0), (a, x) => a + x), 6).as("dsir_logw"))
       .orderBy(col("doc_id"))
   }
 
@@ -619,10 +628,15 @@ object Text {
       |lr AS (
       |  SELECT b, ln((np + 1.0)/(tnp + 4096)) - ln((nq + 1.0)/(tnq + 4096)) AS lr
       |  FROM dim, tot
+      |), per AS (
+      |  SELECT doc_id, b, count(*) AS cnt FROM hb
+      |  WHERE source <> 'src0' GROUP BY 1, 2
       |)
-      |SELECT hb.doc_id, count(*) AS n_grams, round(sum(lr), 6) AS dsir_logw
-      |FROM hb JOIN lr USING (b) WHERE source <> 'src0'
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(cnt * lr ORDER BY b)), (a, x) -> a + x), 6) AS dsir_logw
+      |FROM per JOIN lr USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** T22: the full Gopher quality-rule battery (Rae et al. '21 App. A)
     * — the production-filter complement of t10's four-component score.

@@ -625,11 +625,23 @@ object Topics {
       count(lit(1)).as("v")).head()
     val total = totals.getLong(0); val v = totals.getLong(1)
     val logp = log((col("n") + 1.0) / lit((total + v).toDouble))
-    flat.join(counts, Seq("term"))
-      .select(col("doc_id"), logp.as("lp"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        round(-avg(col("lp")), 6).as("nll"))
+    // the per-doc sum folds in TERM-SORTED order (terms are unique per
+    // doc after the pre-count), so it is summation-order-independent —
+    // the q15/w1 boundary-drift hardening for a sum that has no integer
+    // grid. The fold runs over ≤|doc vocabulary| elements per doc.
+    val perTerm = flat.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(counts, Seq("term"))
+      .select(col("doc_id"), col("term"), col("cnt"), logp.as("lp"))
+    perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("term"), col("cnt"), col("lp")))),
+            x => x.getField("cnt") * x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(-(col("s") / col("n_tok")), 6).as("nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -643,11 +655,17 @@ object Topics {
       "  SELECT term, count(*) AS n FROM flat GROUP BY 1\n" +
       "), tot AS (\n" +
       "  SELECT sum(n) AS total, count(*) AS v FROM counts\n" +
+      "), per AS (\n" +
+      "  SELECT doc_id, term, count(*) AS cnt FROM flat GROUP BY 1, 2\n" +
+      "), j AS (\n" +
+      "  SELECT doc_id, term, cnt, ln((n + 1.0) / (total + v)) AS lp\n" +
+      "  FROM per JOIN counts USING (term), tot\n" +
       ")\n" +
-      "SELECT doc_id, count(*) AS n_tok,\n" +
-      "  round(-avg(ln((n + 1.0) / (total + v))), 6) AS nll\n" +
-      "FROM flat JOIN counts USING (term), tot\n" +
-      "GROUP BY doc_id ORDER BY doc_id"
+      "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,\n" +
+      "  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n" +
+      "       list(cnt * lp ORDER BY term)), (a, x) -> a + x))\n" +
+      "       / sum(cnt), 6) AS nll\n" +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"
 
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
