@@ -80,7 +80,7 @@ object Topics {
   private def modelRoot: String =
     sys.env.getOrElse("GRAFT_MODEL_DIR", "target/graft-models")
 
-  private def fingerprint(s: SparkSession, dir: String): String = {
+  private[queries] def fingerprint(s: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -105,7 +105,7 @@ object Topics {
     * artifacts live under the build's target/ scratch (wiped by
     * `sbt clean`), which bounds that staleness to a dirty working tree.
     */
-  private def artifactPath(dir: String, fp: String, kind: String,
+  private[queries] def artifactPath(dir: String, fp: String, kind: String,
       k: Int = K, maxIter: Int = LdaMaxIter): String =
     s"$modelRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/" +
       s"$kind-$MinDF-${(MaxDF * 100).toInt}-$k-$maxIter"
@@ -126,7 +126,7 @@ object Topics {
     * silently refitting would defeat the S10 load-not-refit contract
     * with no signal.
     */
-  private def artifactExists(s: SparkSession, path: String): Boolean = {
+  private[queries] def artifactExists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
