@@ -12,10 +12,17 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
-      iters: Int = 20): Map[Long, Double] =
-    Graph.pageRankFrame(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)])
+      : Map[Long, Double] =
+    Graph.pageRankFrame(nodes.toDF("id"), edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def runCounting(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      nodeTol: Double = Graph.PrNodeTol): (Map[Long, Double], Int) = {
+    val (df, iters) = Graph.pageRankConverged(
+      nodes.toDF("id"), edges.toDF("src", "dst"), nodeTol = nodeTol)
+    (df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap, iters)
+  }
 
   test("ring graph: uniform ranks, mass conserved") {
     val n = 10L
@@ -46,6 +53,27 @@ class GraphSpec extends AnyFunSuite {
     val b = run(0L to 3L, edges)
     assert(a == b, "power iteration is not deterministic")
     assert(a(1L) > a(3L) && a(2L) > a(3L))
+  }
+
+  test("convergence terminates by structure, not a fixed round count") {
+    // ring: uniform IS the fixed point, so the first round moves
+    // nothing and the loop stops after one delta check
+    val n = 10L
+    val (_, ringIters) =
+      runCounting(0L until n, (0L until n).map(i => i -> ((i + 1) % n)))
+    assert(ringIters == 1, s"ring should converge in 1 round: $ringIters")
+    // star: mass reshuffles every round and decays geometrically —
+    // strictly more rounds than the ring, bounded by the guard
+    val star = (1L to 9L).map(i => i -> 0L)
+    val (starRanks, starIters) = runCounting(0L to 9L, star)
+    assert(starIters > ringIters && starIters <= Graph.PrMaxIters,
+      s"star iterations: $starIters")
+    // a looser tolerance stops no later, and the converged ordering is
+    // the same one the tight run produced
+    val (looseRanks, looseIters) = runCounting(0L to 9L, star, nodeTol = 1e-4)
+    assert(looseIters <= starIters)
+    assert(looseRanks.toSeq.sortBy(-_._2).map(_._1).head ==
+      starRanks.toSeq.sortBy(-_._2).map(_._1).head)
   }
 
   test("g1 on the fixture: top-100, ranks descending, all positive") {
