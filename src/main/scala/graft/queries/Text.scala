@@ -717,10 +717,7 @@ object Text {
     val path = Topics.artifactPath(dir, fp, "d7labels")
     val clusters =
       if (Topics.artifactExists(s, path)) s.read.parquet(path)
-      else {
-        Dedup.d7DupClusters(s, dir).write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      }
+      else graft.Artifacts.publishParquet(Dedup.d7DupClusters(s, dir), path)
     val keyed = docs.join(broadcast(clusters), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("k"))

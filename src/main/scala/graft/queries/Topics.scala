@@ -74,11 +74,18 @@ object Topics {
   private val ldaCache =
     scala.collection.concurrent.TrieMap.empty[String, LDAModel]
 
+  /** Bench/test hook: redirect the artifact root (e.g. at a throwaway
+    * dir) so a cold run can be timed without touching the shared
+    * scratch artifacts. Not part of the library surface.
+    */
+  @volatile private[graft] var modelRootOverride: Option[String] = None
+
   /** Override with GRAFT_MODEL_DIR (a cluster deployment points this at
     * DFS); default is the build's scratch space.
     */
   private def modelRoot: String =
-    sys.env.getOrElse("GRAFT_MODEL_DIR", "target/graft-models")
+    modelRootOverride.getOrElse(
+      sys.env.getOrElse("GRAFT_MODEL_DIR", "target/graft-models"))
 
   private[queries] def fingerprint(s: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
@@ -217,11 +224,11 @@ object Topics {
         val vectorized = cv.transform(c)
         val lda = sharedLda(vectorized, dir)
         val argmaxUdf = udf { v: MlVector => v.argmax }
-        lda.transform(vectorized)
-          .select(col("doc_id"),
-            argmaxUdf(col("topicDistribution")).as("dominant_topic"))
-          .write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        graft.Artifacts.publishParquet(
+          lda.transform(vectorized)
+            .select(col("doc_id"),
+              argmaxUdf(col("topicDistribution")).as("dominant_topic")),
+          path)
       }
     dominant
       .groupBy(col("dominant_topic"))
@@ -232,17 +239,31 @@ object Topics {
   /** M3 (O-M4/O-J1): topic keywords — describeTopics(10) mapped through
     * the vocabulary, joined (broadcast) to a 12-row topic-label dim table
     * (ipynb lines 1678-1696). Rows-only.
+    *
+    * The k×10 describeTopics table is itself a fingerprint-keyed disk
+    * artifact (same family as m2's per-doc inference): a warm fresh-JVM
+    * run reads a 12-row parquet instead of paying the LDA artifact load
+    * + describeTopics — the model is only consulted when the keywords
+    * table has never been derived for this (corpus, params).
     */
   def m3TopicKeywords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = corpus(s, dir).cache()
-    val cv = sharedVectorizer(c, dir)
-    val lda = sharedLda(cv.transform(c), dir)
-    val vocab = cv.vocabulary
-    val termsUdf = udf { idx: Seq[Int] => idx.map(vocab(_)) }
+    val fp = fingerprint(s, dir)
+    val path = artifactPath(dir, fp, "topickw")
+    val topics =
+      if (artifactExists(s, path)) s.read.parquet(path)
+      else {
+        val c = corpus(s, dir).cache()
+        val cv = sharedVectorizer(c, dir)
+        val lda = sharedLda(cv.transform(c), dir)
+        val vocab = cv.vocabulary
+        val termsUdf = udf { idx: Seq[Int] => idx.map(vocab(_)) }
+        graft.Artifacts.publishParquet(
+          lda.describeTopics(10)
+            .select(col("topic"), termsUdf(col("termIndices")).as("keywords")),
+          path)
+      }
     val labels = (0 until K).map(i => (i, s"label_$i")).toDF("topic_num", "topic_label")
-    val topics = lda.describeTopics(10)
-      .select(col("topic"), termsUdf(col("termIndices")).as("keywords"))
     topics.join(broadcast(labels), topics("topic") === labels("topic_num"), "left")
       .select(col("topic"), col("topic_label"),
         array_join(col("keywords"), " ").as("keywords"))
