@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,10 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * suffix matches (no whitespace strip) — RE2's \s and Java's \s
   * disagree on VT, so a strip would un-twin the oracle; documented
   * divergence from Gopher's informal "starts with".
+  *
+  * NULL CONTRACT (quality_raw's, pinned in GopherFlagsSpec): a NULL
+  * document passes no rules — mask 0, keep false — because the DuckDB
+  * twin's CASE WHENs all evaluate null→false and fall to 0. Hence
+  * nullable=false here, NOT null-propagating.
   */
 case class GopherFlags(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
   override def prettyName: String = "gopher_flags"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -38,12 +45,22 @@ case class GopherFlags(child: Expression) extends UnaryExpression {
       s"$prettyName requires string input, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    GopherFlags.compute(input.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else GopherFlags.compute(v.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.expressions.GopherFlags.compute($s);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${c.code}
+            |int ${ev.value} = ${c.isNull} ? 0 :
+            |  graft.expressions.GopherFlags.compute(${c.value});
+            |""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

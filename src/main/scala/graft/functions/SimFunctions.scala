@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftNative}
 import org.apache.spark.sql.functions._
 
 /** Hash-based near-duplicate / similarity primitives for the
@@ -49,13 +49,16 @@ object SimFunctions {
 
   /** Sequential-fold dot product of two double arrays (matches DuckDB
     * list_dot_product accumulation order exactly — verified). Backed by
-    * the native codegen expression graft.expressions.VecDot (requires
-    * GraftExtensions on the session): the built-in
+    * the native codegen expression graft.expressions.VecDot
+    * (constructed directly — no session registration needed): the built-in
     * aggregate(zip_with(...)) HOF form evaluates interpreted at ~250×
     * the cost on the candidate-pair hot path.
     */
-  def dot(a: Column, b: Column): Column = call_udf("vec_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    GraftNative.column(graft.expressions.VecDot(
+      GraftNative.expression(a), GraftNative.expression(b)))
 
   /** L2 norm, same sequential fold (native VecNorm expression). */
-  def l2Norm(c: Column): Column = call_udf("vec_norm", c)
+  def l2Norm(c: Column): Column =
+    GraftNative.column(graft.expressions.VecNorm(GraftNative.expression(c)))
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftNative}
 import org.apache.spark.sql.functions._
 
 /** Text-cleaning column functions reproducing the reference's `clean()`
@@ -112,7 +112,8 @@ object TextFunctions {
     * interpreted — 5.8 s → sub-second for t20 at sf0.1.
     */
   def qualityScore(c: Column): Column =
-    round(call_udf("quality_raw", c), 6)
+    round(GraftNative.column(
+      graft.expressions.QualityScore(GraftNative.expression(c))), 6)
 
   /** The original combinator formulation — the executable SPEC of
     * quality_raw's value contract (TextFunctionsSpec asserts equality
@@ -184,12 +185,14 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
 
   /** Word-level n-gram shingles (default n=3) for MinHash/Jaccard dedup.
-    * Backed by the native word_ngrams expression (GraftExtensions): the
+    * Backed by the native word_ngrams expression (constructed directly,
+    * no session registration needed): the
     * transform(sequence)/slice/array_join formulation evaluated
     * interpreted and was the hottest expression in the dedup suite
     * (~10 s at sf0.1); the native form builds each n-gram in one codegen
     * call per row. Empty-safe (short docs → empty array).
     */
   def shingles(tokens: Column, n: Int = 3): Column =
-    call_udf("word_ngrams", tokens, lit(n))
+    GraftNative.column(graft.expressions.WordNgrams(
+      GraftNative.expression(tokens), GraftNative.expression(lit(n))))
 }

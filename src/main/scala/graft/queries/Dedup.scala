@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.SimFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftNative, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -19,6 +19,15 @@ import scala.collection.immutable.ListMap
   *  - d3 SimHash: 64-bit signature per doc via one explode + grouped
   *    sum; pigeonhole banding join finds low-hamming pairs without
   *    comparing all pairs.
+  *
+  * Cache lifetime contract: the query-local `.cache()`s here are
+  * multi-referenced by the RETURNED lazy plan (both sides of a
+  * self-join, candidate + verify), so they cannot be released inside
+  * the query — they materialize only under the caller's action. Verify
+  * and Bench unpersist every persistent RDD after each query's action;
+  * a caller composing these queries should do the same (or run them
+  * through TrainingPipeline, whose stage checkpoints release their
+  * inputs).
   */
 object Dedup {
 
@@ -159,7 +168,8 @@ object Dedup {
     // cache is load-bearing: 128 element_at references below would
     // otherwise each inline (and recompute) the full signature scan
     val sig = sh.select(col("doc_id"),
-      call_udf("minhash128", col("sh")).as("mh")).cache()
+      GraftNative.column(graft.expressions.MinHash128(
+        GraftNative.expression(col("sh")))).as("mh")).cache()
     val bandCols = array((0 until B).map(b =>
       xxhash64((0 until R).map(r =>
         element_at(col("mh"), b * R + r + 1)): _*)): _*)
@@ -202,7 +212,8 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), shingles(tokenize(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), call_udf("simhash64", col("sh")).as("simhash"))
+      .select(col("doc_id"), GraftNative.column(graft.expressions.SimHash64(
+        GraftNative.expression(col("sh")))).as("simhash"))
 
   /** D3: SimHash near-dup pairs within hamming distance 6, via the
     * 4-chunk pigeonhole banding join (hamming ≤ 3 pairs are guaranteed
@@ -769,14 +780,25 @@ object Dedup {
       Vectors.dense(v.map(x => x / math.max(n, 1e-12)).toArray)
     }
     val all = emb.withColumn("fv", toUnitVecUdf(col("v"), col("nrm"))).cache()
-    val k = math.max(16L, all.count() / SemDedupCellTarget).toInt
-    val trainSample = all.select(col("fv"))
-      .sample(withReplacement = false, 0.999999, seed = 42)
-      .limit(256 * k)
+    val n = all.count()
+    // clamp to n so a tiny input never asks KMeans for more clusters
+    // than training rows
+    val k = math.max(1L, math.min(n, math.max(16L, n / SemDedupCellTarget))).toInt
+    // deterministic training set: the 256·k lowest vec_ids, not a
+    // partition-order-dependent sample — retries and repartitions train
+    // the identical quantizer (the IVF budget doesn't care WHICH rows,
+    // only that they are corpus-representative and bounded)
+    val trainSample = all.select(col("vec_id"), col("fv"))
+      .orderBy(col("vec_id")).limit(256 * k).select(col("fv"))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample)
+    // the count and the fit (both eager) were the multi-consumers of
+    // `all`; the one remaining reader is the single transform pass below,
+    // so release the corpus-sized unit-vector cache now — the final
+    // action re-derives it once, map-only, into `assigned`'s cache
+    all.unpersist(blocking = false)
     val assigned = km.transform(all)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .cache() // both sides of the cell-local self-join + the anti-join

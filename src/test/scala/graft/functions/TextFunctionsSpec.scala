@@ -90,12 +90,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert((mask(("123 456 " * 30).trim) & 32) == 0)
     // bit 6: fewer than 2 distinct stop words
     assert((mask(("word " * 60).trim) & 64) == 0)
-    // expression registration + null propagation
+    // expression registration + the NULL contract: a null document
+    // passes no rules (mask 0, keep false) — matching the DuckDB twin,
+    // whose CASE WHENs evaluate null→false and fall to 0
     val viaSql = Seq(good).toDF("text")
       .selectExpr("gopher_flags(text)").collect().head.getInt(0)
     assert(viaSql == 127)
     assert(spark.sql("SELECT gopher_flags(CAST(NULL AS STRING))")
-      .collect().head.isNullAt(0))
+      .collect().head.getInt(0) == 0)
   }
 
   test("cleanChain matches the reference regex chain on pinned inputs") {
