@@ -8,15 +8,22 @@ import scala.collection.immutable.ListMap
 
 /** Multimodal-column operators for a training-data pipeline: media
   * payloads as opaque BINARY columns with a typed metadata struct,
-  * partition-wise batch "decode" / feature extraction / frame sampling.
+  * partition-wise batch decode / feature extraction / frame sampling.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (byte-histogram features, length-based "frames") —
-  * clearly marked below. Everything Spark-side is real and tested: the
-  * binary column representation, the metadata struct schema, the
-  * mapPartitions batch shape (the Scala analog of mapInPandas: one
-  * iterator pass per partition, amortizing per-batch decoder setup), and
-  * the downstream relational handling of the extracted features.
+  * The image decode is REAL: png/jpeg payloads go through
+  * `javax.imageio` (in-JDK, works headless) inside the mapPartitions
+  * batch pass, emitting (width, height, mean luma). Payloads that are
+  * not actual media — the fixture synthesizes text bytes, and magic-
+  * byte detection can never mistake ASCII for PNG/JPEG — fall back to
+  * the deterministic byte-histogram features, which keeps mm1's oracle
+  * SQL-twinnable; MultimodalSpec injects genuine encoded frames and
+  * asserts decoded dimensions. Audio (wav) remains a documented
+  * histogram stub (no audio codec in the JDK). Everything Spark-side is
+  * real and tested: the binary column representation, the metadata
+  * struct schema, the mapPartitions batch shape (the Scala analog of
+  * mapInPandas: one iterator pass per partition, amortizing per-batch
+  * decoder setup), and the downstream relational handling of the
+  * extracted features.
   *
   * Scale: payloads never shuffle — features are extracted map-side and
   * only the small feature vectors/metadata flow into joins/aggregates.
@@ -47,13 +54,12 @@ object Multimodal {
     StructField("format", StringType),
     StructField("features", ArrayType(DoubleType))))
 
-  /** STUB DECODER — stands in for a real image/audio decode (no codecs
-    * in this container). Deterministic 8-bucket byte histogram,
-    * L1-normalized. A real implementation would decode pixels/samples
-    * here; the signature (bytes → fixed-width feature vector) is what a
-    * real decoder plugs into.
+  /** Fallback features for payloads that are not decodable media (and
+    * for wav, which the JDK has no codec for): deterministic 8-bucket
+    * byte histogram, L1-normalized — the SQL-twinnable path mm1's
+    * oracle replays via codepoints.
     */
-  private def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+  private def byteHistogramFeatures(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
@@ -64,31 +70,76 @@ object Multimodal {
     hist.map(v => v / n)
   }
 
-  /** MM1: partition-wise batch feature extraction over binary payloads —
-    * mapPartitions so a real decoder would initialize once per partition
-    * (the Scala analog of mapInPandas' batch shape), then features
-    * aggregated per format. Value-checked: the stub decoder's byte
-    * histogram is reproducible in SQL via codepoints because the fixture
-    * text is pure ASCII (max codepoint 121, so UTF-8 bytes ==
-    * codepoints — verified at sf0.01/sf0.1; a non-ASCII corpus would
-    * need the oracle dropped, not the operator changed).
-    * MultimodalSpec additionally pins the histogram math and batch
-    * behavior.
+  /** REAL image decode via javax.imageio: parses the payload's actual
+    * encoded pixels and emits [width, height, mean luma in 0..1]
+    * (ITU-R 601 weights). Returns None when no registered reader
+    * recognizes the bytes — magic-byte sniffing, so non-media payloads
+    * cost a header probe, never a parse. Memory-cache only (no temp
+    * files on executors).
     */
-  def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def imageDecode(payload: Array[Byte]): Option[Array[Double]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array(w.toDouble, h.toDouble, sum / (w.toLong * h * 255.0)))
+    }
+  }
+
+  /** The mm1 batch pass over any (media_id, payload, meta.format) frame:
+    * one iterator per partition, image payloads through [[imageDecode]],
+    * everything else (and undecodable bytes) through the histogram
+    * fallback. MultimodalSpec drives this with genuine PNG/JPEG frames.
+    */
+  private[queries] def featureFrame(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-    val feats = mediaTable(s, dir)
+    media
       .select(col("media_id"), col("payload"), col("meta.format").as("format"))
       .mapPartitions { rows =>
-        // per-partition decoder setup would go here (once, not per row)
+        // per-partition decoder setup goes here (once, not per row);
+        // ImageIO's reader registry is scanned lazily per JVM
         rows.map { r =>
           val id = r.getLong(0)
           // null payload (null source text) → empty media, zero features
           val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          Row(id, r.getString(2), fakeDecodeFeatures(payload).toSeq)
+          val fmt = r.getString(2)
+          val feats =
+            if (fmt == "png" || fmt == "jpeg")
+              imageDecode(payload).getOrElse(byteHistogramFeatures(payload))
+            else byteHistogramFeatures(payload)
+          Row(id, fmt, feats.toSeq)
         }
       }(enc)
-    feats
+  }
+
+  /** MM1: partition-wise batch feature extraction over binary payloads —
+    * mapPartitions so the decoder initializes once per partition (the
+    * Scala analog of mapInPandas' batch shape), then features
+    * aggregated per format. Value-checked: the fixture's synthesized
+    * payloads are text bytes, which no image reader's magic-byte sniff
+    * accepts, so every row takes the histogram fallback — reproducible
+    * in SQL via codepoints because the fixture text is pure ASCII (max
+    * codepoint 121, so UTF-8 bytes == codepoints — verified at
+    * sf0.01/sf0.1; a non-ASCII corpus would need the oracle dropped,
+    * not the operator changed). MultimodalSpec pins the histogram math,
+    * the batch behavior, and the REAL decode path on injected frames.
+    */
+  def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    featureFrame(mediaTable(s, dir))
       .select(col("media_id"), col("format"),
         round(aggregate(col("features"), lit(0.0), (a, x) => a + x * x), 6).as("energy"))
       .groupBy(col("format"))

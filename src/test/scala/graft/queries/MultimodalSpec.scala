@@ -5,13 +5,52 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: binary payloads, metadata struct, batch feature
-  * extraction shape. The decoder is a documented stub — tests pin the
-  * Spark-side semantics, not codec output.
+  * extraction shape, and the REAL javax.imageio decode path on injected
+  * PNG/JPEG frames (the fixture's synthetic payloads take the
+  * histogram fallback; audio remains a documented stub).
   */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
+
+  /** A genuine encoded image: 5×3, left half red, right half blue. */
+  private def encodedImage(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, if (x < 3) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("mm1's partition pass decodes real PNG/JPEG payloads via imageio") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, encodedImage("png"), "png"),
+      (2L, encodedImage("jpeg"), "jpeg"),
+      (3L, "not an image at all".getBytes("UTF-8"), "png"))
+      .toDF("media_id", "payload", "format")
+      .select(col("media_id"), col("payload"),
+        struct(col("format"), lit(5).as("width"), lit(3).as("height"),
+          lit(0).as("n_frames")).as("meta"))
+    val feats = Multimodal.featureFrame(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // real decode: [width, height, mean luma] read from the DECODED
+    // pixels, not the metadata struct
+    for (id <- Seq(1L, 2L)) {
+      assert(feats(id).length == 3, s"media $id took the fallback path")
+      assert(feats(id)(0) == 5.0 && feats(id)(1) == 3.0)
+      // 3/5 red (luma .299) + 2/5 blue (luma .114) ≈ 0.225; JPEG is
+      // lossy so allow a loose band
+      assert(feats(id)(2) > 0.1 && feats(id)(2) < 0.4,
+        s"media $id luma ${feats(id)(2)}")
+    }
+    // undecodable bytes fall back to the 8-bucket histogram
+    assert(feats(3L).length == 8)
+    assert(math.abs(feats(3L).sum - 1.0) < 1e-9)
+  }
 
   test("media table exposes binary payload + typed metadata struct") {
     val df = Multimodal.mediaTable(spark, dir)
