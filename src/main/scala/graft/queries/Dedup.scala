@@ -80,7 +80,10 @@ object Dedup {
     * side is LARGE and every shared shingle is hot is still skipped —
     * for j ≥ 0.2 such a pair must share > n/6 corpus-stop-shingles,
     * which is vocabulary overlap, not duplication (Broder 1997's
-    * standard frequency-pruning argument).
+    * standard frequency-pruning argument). SPEC-PINNED: DedupSpec's
+    * "documented residual" test plants exactly such a pair family and
+    * asserts d1 skips it and nothing else (d2's capless MinHash path
+    * is the recall complement for that class).
     */
   val D1SmallDoc = 10
   def d1JaccardPairs(s: SparkSession, dir: String): DataFrame = {

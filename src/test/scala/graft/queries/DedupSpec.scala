@@ -71,6 +71,45 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6) }
   }
 
+  test("d1 documented residual: all-hot intersection between large docs is skipped") {
+    // Pin the ONE approximation d1's scaladoc documents (the Broder
+    // frequency-pruning residual): docs 0..3 share a 16-word block, so
+    // every shared shingle has df = 4 > the 10% cap over 20 docs (hot),
+    // and all four docs are LARGE (> D1SmallDoc shingles) — their
+    // pairwise Jaccard is real (≈0.26 ≥ 0.2) but consists of hot
+    // shingles only, so the pairs never reach candidate generation.
+    // d1 must (a) skip exactly those pairs and (b) stay exact on
+    // everything else. The miss class is corpus-frequent-phrase
+    // overlap, which d2's capless MinHash path covers at its threshold.
+    val block = (0 until 16).map(k => s"c$k").mkString(" ")
+    val docs = (0 until 4).map(i =>
+      (i.toLong, block + " " + (0 until 20).map(k => s"u${i}_$k").mkString(" "))) ++
+      (4 until 20).map(i =>
+        (i.toLong, (0 until 34).map(k => s"v${i}_$k").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("d1big").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val sets = docs.map { case (id, t) =>
+      (id, t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val exp = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= 0.2
+    } yield (i1, i2)).toSet
+    val residual = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toSet
+    assert(residual.subsetOf(exp), "fixture must plant qualifying large pairs")
+    // all four docs exceed the small-doc retention bound
+    sets.take(4).foreach { case (id, s) =>
+      assert(s.size > Dedup.D1SmallDoc, s"doc $id too small for the test")
+    }
+    val got = Dedup.d1JaccardPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp -- residual,
+      s"d1 must skip exactly the documented residual: got $got, exp ${exp -- residual}")
+  }
+
   test("d2 minhash-lsh finds exactly the pairs >= 0.5 on the fixture") {
     val got = Dedup.d2MinHashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
