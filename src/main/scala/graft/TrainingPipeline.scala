@@ -83,6 +83,30 @@ object TrainingPipeline {
     val exact = stage("exact_dedup",
       sampled.join(keepers, Seq("doc_id"), "left_semi"))
 
+    val chunks = backHalf(s, dir, exact, stage)
+
+    outPath.foreach(p =>
+      graft.sources.Sinks.writeRangeSharded(chunks, p, "doc_id", shards))
+    (chunks, counts.toSeq)
+  }
+
+  /** The corpus-global BACK HALF of curation — near-dup cluster drop →
+    * benchmark decontamination → paragraph dedup → chunking — over an
+    * already quality-gated, exactly-deduped survivor frame. Shared
+    * verbatim by the all-batch [[curate]] and the streaming-front
+    * hybrid (StreamCuration's sink feeds straight into this;
+    * StreamCurationSpec pins hybrid == batch end-to-end), so the
+    * "streaming hygiene, batch global dedup" split runs the same code
+    * path rather than a re-implementation. `stage` is the caller's
+    * checkpoint/accounting hook; the default materializes each stage
+    * boundary (a pass-through would leave the near-dup/decontamination
+    * anti-joins self-referencing one lineage — conflicting attribute
+    * ids) but never releases — a long-lived caller should pass its own
+    * hook, as [[curate]] does, or sweep persistent RDDs afterwards.
+    */
+  def backHalf(s: SparkSession, dir: String, exact: DataFrame,
+      stage: (String, DataFrame) => DataFrame =
+        (_, df) => Checkpoints.eager(df).df): DataFrame = {
     // near-dup clusters: keep exactly one member per cluster. The
     // canonical member is chosen AMONG THIS RUN'S SURVIVORS — the
     // corpus-wide min doc_id may already have fallen to the quality
@@ -100,8 +124,8 @@ object TrainingPipeline {
       .select(col("doc_id"))
     val deduped = stage("near_dup_drop",
       exact.join(broadcast(dupDrop), Seq("doc_id"), "left_anti"))
-    // the dedup stage is checkpointed — release the d7 label frame's
-    // pinned blocks right away
+    // the dedup stage is materialized by `stage` — release the d7 label
+    // frame's pinned blocks right away
     ccHandle.release()
 
     // benchmark decontamination: drop flagged ids (same broadcast shape)
@@ -120,7 +144,7 @@ object TrainingPipeline {
 
     // chunk the survivors 128/96 (same grid as t16)
     val chunkTokens = slice(col("t"), col("chunk_id") * 96 + 1, lit(128))
-    val chunks = stage("chunk",
+    stage("chunk",
       paraDeduped.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("source"), col("t"),
@@ -129,9 +153,5 @@ object TrainingPipeline {
         .select(col("doc_id"), col("chunk_id"), col("source"),
           array_join(chunkTokens, " ").as("chunk"),
           size(chunkTokens).as("n_tok")))
-
-    outPath.foreach(p =>
-      graft.sources.Sinks.writeRangeSharded(chunks, p, "doc_id", shards))
-    (chunks, counts.toSeq)
   }
 }

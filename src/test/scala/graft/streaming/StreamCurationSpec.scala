@@ -57,6 +57,72 @@ class StreamCurationSpec extends AnyFunSuite {
       "restart re-emitted a digest the first run already published")
   }
 
+  test("hybrid: streamed front half + batch back half equals all-batch curate") {
+    import spark.implicits._
+    // The scaladoc contract this pins: the corpus-wide stages consume
+    // the stream's sink "on the reference's Airflow cadence" and the
+    // hybrid equals the batch pipeline. Two overlapping crawl drops
+    // cover the fixture; the streamed front half (quality gate + digest
+    // dedup) feeds TrainingPipeline.backHalf — the SAME code curate
+    // runs — and the final chunk sets must be identical.
+    val dir = TestSpark.sfDir
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ts",
+        expr("timestamp '2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+    // keeper-identity precondition: with unique digests, stream
+    // first-seen vs batch min-id dedup keep the same rows (overlap
+    // rows between drops share the doc_id, so either copy is the same
+    // row). Fail loudly if the fixture ever grows exact duplicates.
+    val dupDigests = docs
+      .groupBy(fingerprint(col("text")).as("d")).count()
+      .filter(col("count") > 1).count()
+    assert(dupDigests == 0,
+      "fixture grew exact duplicate texts; hybrid==batch needs a keeper-identity argument")
+
+    val n = docs.count()
+    val cut1 = (n * 3) / 5
+    val cut2 = (n * 2) / 5
+    val src = java.nio.file.Files.createTempDirectory("hyb_src").toString
+    var i = 0
+    for (part <- Seq(docs.filter(col("doc_id") < cut1),
+        docs.filter(col("doc_id") >= cut2))) {
+      val stagePath = java.nio.file.Files.createTempDirectory("hyb_stage").toString + "/d"
+      part.orderBy(col("doc_id")).coalesce(1).write.parquet(stagePath)
+      val f = new java.io.File(stagePath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(src, f"drop_$i%02d.parquet"))
+      i += 1
+    }
+
+    val minQ = 0.25 // curate's default quality gate
+    val q = StreamCuration.curateStream(spark, src, docs.schema, minQ, "ts")
+      .writeStream.format("memory").queryName("hybrid_front")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // batch back half over the stream's sink, after the same stratified
+    // gate curate applies between its quality gate and dedup (both are
+    // pure row predicates, so gate order commutes)
+    // materialize the sink before the back half's self-referencing
+    // anti-joins (the same flat-lineage boundary curate's stage hook
+    // provides)
+    val frontSink = graft.Checkpoints.eager(
+      spark.table("hybrid_front")
+        .filter(graft.queries.Relational.stratifiedKeep(col("doc_id"), col("lang")))).df
+    val hybridChunks = graft.TrainingPipeline.backHalf(spark, dir, frontSink)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet
+
+    val batchChunks = graft.TrainingPipeline.curate(spark, dir)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet
+
+    assert(hybridChunks == batchChunks,
+      s"hybrid ${hybridChunks.size} chunks vs batch ${batchChunks.size}")
+    assert(hybridChunks.nonEmpty)
+  }
+
   test("streamed quality gate + digest dedup equals the batch stages") {
     import spark.implicits._
     val minQ = 0.5
