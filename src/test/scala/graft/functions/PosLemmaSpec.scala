@@ -90,6 +90,37 @@ class PosLemmaSpec extends AnyFunSuite {
     assert(lemmatize("forest", "JJS") == "forest")     // was "for"
   }
 
+  test("round-6 widening: -ate/-ize e-restoration, -s traps, -ics fields") {
+    // silent-e restoration across the -ate/-ize/-ise regulars (the
+    // dominant verb.exc family by volume; ed-rule alone gave "activat")
+    assert(lemmatize("activated", "VBD") == "activate")
+    assert(lemmatize("organizing", "VBG") == "organize")
+    assert(lemmatize("recognised", "VBD") == "recognise")
+    assert(lemmatize("supervising", "VBG") == "supervise")
+    assert(lemmatize("collided", "VBD") == "collide")
+    // round-6 doubling and -y verbs
+    assert(lemmatize("acquitted", "VBD") == "acquit")
+    assert(lemmatize("complied", "VBD") == "comply")
+    assert(lemmatize("quantifies", "VBZ") == "quantify")
+    // singular -s traps the bare detachment would mangle
+    assert(lemmatize("news", "NN") == "news")          // was "new"
+    assert(lemmatize("chaos", "NN") == "chaos")        // was "chao"
+    assert(lemmatize("lens", "NN") == "lens")          // was "len"
+    assert(lemmatize("riches", "NNS") == "riches")     // ches-rule gave "rich"
+    assert(lemmatize("rabies", "NN") == "rabies")      // ies-rule gave "raby"
+    // fields of study stay plural (dictionary lemmas)
+    assert(lemmatize("statistics", "NN") == "statistics")
+    assert(lemmatize("forensics", "NN") == "forensics")
+    // classical additions
+    assert(lemmatize("corpora", "NNS") == "corpus")
+    assert(lemmatize("feet", "NNS") == "foot")
+    // round-6 identity -er nouns and -y comparatives
+    assert(lemmatize("photographer", "JJR") == "photographer")
+    assert(lemmatize("stakeholder", "JJR") == "stakeholder")
+    assert(lemmatize("murkier", "JJR") == "murky")
+    assert(lemmatize("spookiest", "JJS") == "spooky")
+  }
+
   test("verb lemmatization strips inflection") {
     assert(lemmatize("studies", "VB") == "study")
     assert(lemmatize("talking", "VBG") == "talk")

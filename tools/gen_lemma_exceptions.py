@@ -425,6 +425,244 @@ IDENTITY_EST = [
     "honest", "interest", "modest", "protest", "request", "tempest",
 ]
 
+# --- round-6 widening toward WordNet exc breadth ---------------------
+# v: the -ate/-ize/-ise/silent-e regulars whose -ed/-ing detachment
+# loses the e (the dominant family in verb.exc by volume)
+EXTRA_E_VERBS_3 = [
+    "abbreviate", "abdicate", "accelerate", "accommodate", "accumulate",
+    "activate", "advocate", "aggregate", "agitate", "alienate",
+    "allocate", "alleviate", "alternate", "amputate", "animate",
+    "annotate", "anticipate", "appreciate", "arbitrate", "articulate",
+    "assassinate", "assimilate", "associate", "automate", "calculate",
+    "calibrate", "captivate", "celebrate", "circulate", "collaborate",
+    "collate", "commemorate", "communicate", "compensate", "complicate",
+    "concentrate", "congratulate", "congregate", "consolidate",
+    "contaminate", "contemplate", "cooperate", "coordinate",
+    "correlate", "corroborate", "cultivate", "culminate", "debilitate",
+    "decorate", "delegate", "deliberate", "delineate", "demonstrate",
+    "denominate", "designate", "deteriorate", "devastate", "dictate",
+    "differentiate", "discriminate", "dislocate", "disseminate",
+    "dissipate", "duplicate", "elaborate", "elevate", "emanate",
+    "emancipate", "emigrate", "emulate", "enumerate", "equate",
+    "eradicate", "escalate", "evacuate", "evaporate", "exaggerate",
+    "exacerbate", "excavate", "exterminate", "extrapolate",
+    "fabricate", "facilitate", "fascinate", "fluctuate", "formulate",
+    "frustrate", "germinate", "gravitate", "hesitate", "humiliate",
+    "hydrate", "illuminate", "illustrate", "imitate", "immigrate",
+    "implicate", "incarcerate", "incorporate", "incubate",
+    "infiltrate", "inflate", "initiate", "innovate", "instigate",
+    "insulate", "integrate", "interrogate", "intimidate", "inundate",
+    "investigate", "irrigate", "irritate", "isolate", "legislate",
+    "liberate", "liquidate", "litigate", "lubricate", "manipulate",
+    "mediate", "meditate", "mitigate", "moderate", "modulate",
+    "motivate", "mutate", "narrate", "navigate", "nominate",
+    "obligate", "obliterate", "officiate", "orchestrate", "originate",
+    "oscillate", "overestimate", "participate", "penetrate",
+    "percolate", "perpetuate", "populate", "precipitate", "predate",
+    "proliferate", "propagate", "punctuate", "radiate", "recalculate",
+    "reciprocate", "recreate", "recuperate", "regulate",
+    "rehabilitate", "reinstate", "reiterate", "rejuvenate", "relegate",
+    "renovate", "replicate", "resonate", "resuscitate", "retaliate",
+    "saturate", "segregate", "separate", "simulate", "speculate",
+    "stagnate", "stimulate", "stipulate", "subjugate", "subordinate",
+    "suffocate", "tabulate", "terminate", "tolerate", "underestimate",
+    "undulate", "validate", "vacate", "vaccinate", "vindicate",
+    "violate",
+    "accessorize", "acclimatize", "agonize", "alphabetize",
+    "antagonize", "apologize", "authorize", "baptize", "brutalize",
+    "capitalize", "categorize", "centralize", "characterize",
+    "civilize", "colonize", "commercialize", "criticize",
+    "crystallize", "customize", "demonize", "democratize",
+    "demoralize", "destabilize", "digitize", "downsize", "dramatize",
+    "economize", "emphasize", "energize", "equalize", "evangelize",
+    "externalize", "fantasize", "fertilize", "finalize", "fraternize",
+    "galvanize", "generalize", "globalize", "harmonize", "homogenize",
+    "hospitalize", "hypnotize", "idealize", "idolize", "immortalize",
+    "immunize", "incentivize", "industrialize", "internalize",
+    "italicize", "jeopardize", "legalize", "legitimize", "liberalize",
+    "localize", "magnetize", "marginalize", "materialize", "maximize",
+    "mechanize", "memorize", "mesmerize", "minimize", "mobilize",
+    "modernize", "monetize", "monopolize", "moralize", "nationalize",
+    "neutralize", "normalize", "optimize", "ostracize", "oxidize",
+    "patronize", "penalize", "personalize", "philosophize",
+    "plagiarize", "polarize", "politicize", "popularize",
+    "pressurize", "prioritize", "privatize", "publicize", "pulverize",
+    "randomize", "rationalize", "revitalize", "revolutionize",
+    "romanticize", "sanitize", "scrutinize", "socialize",
+    "specialize", "stabilize", "standardize", "sterilize",
+    "stigmatize", "subsidize", "summarize", "symbolize", "sympathize",
+    "synchronize", "synthesize", "systematize", "tantalize",
+    "terrorize", "theorize", "traumatize", "trivialize", "utilize",
+    "vandalize", "vaporize", "verbalize", "victimize", "visualize",
+    "vocalize",
+    "advertise", "advise", "analyse", "analyze", "appraise",
+    "chastise", "comprise", "compromise", "condense", "converse",
+    "criticise", "devise", "disclose", "dispense", "dispose",
+    "enclose", "endorse", "franchise", "fuse", "immerse", "improvise",
+    "merchandise", "paraphrase", "parse", "realise", "recognise",
+    "rinse", "sense", "supervise", "surmise", "surprise", "televise",
+    "traverse",
+    "accuse", "acknowledge", "advance", "amaze", "amuse", "approve",
+    "assemble", "bake", "bathe", "behave", "chuckle", "collide",
+    "commute", "conceive", "condone", "configure", "confide",
+    "conspire", "consume", "convene", "converge", "cuddle", "deceive",
+    "derive", "dilute", "dine", "disagree", "dissolve", "distribute",
+    "dodge", "endure", "engrave", "enhance", "enrage", "enslave",
+    "entice", "erase", "erode", "evade", "evolve", "excite",
+    "exclude", "exhale", "explode", "fracture", "gamble", "giggle",
+    "glide", "grieve", "hinge", "ignite", "impose", "incline",
+    "infuse", "inhale", "injure", "inquire", "invade", "invoke",
+    "mingle", "mumble", "muse", "nudge", "nuzzle", "outpace",
+    "overdose", "paddle", "persevere", "persuade", "pierce", "poke",
+    "pounce", "presume", "provoke", "quote", "recede", "recite",
+    "recline", "recycle", "refine", "relieve", "reshape", "reside",
+    "resume", "retrieve", "revive", "revoke", "ridicule", "rumble",
+    "salvage", "scramble", "seclude", "seduce", "sneeze", "snooze",
+    "soothe", "sparkle", "sprinkle", "stumble", "subdue", "submerge",
+    "subscribe", "substitute", "suppose", "swerve", "tangle",
+    "tingle", "topple", "trample", "transcribe", "transpire",
+    "trickle", "trouble", "twinkle", "unite", "untangle", "wiggle",
+    "wobble",
+]
+
+# v: further consonant-doubling -ed/-ing
+EXTRA_DOUBLING_3 = [
+    "acquit", "allot", "annul", "befit", "channel", "concur", "confer",
+    "corral", "debug", "deter", "dim", "dip", "dispel", "distil",
+    "dot", "emit", "enrol", "entrap", "excel", "expel", "extol",
+    "fan", "fulfil", "funnel", "incur", "inter", "jab", "jar", "jet",
+    "jot", "knot", "level", "libel", "lob", "lug", "marvel", "model",
+    "nip", "outwit", "pan", "parallel", "pen", "pot", "propel", "pun",
+    "quarrel", "rebut", "recap", "refit", "remit", "repel", "rev",
+    "shun", "signal", "skin", "slur", "snag", "snip", "squat",
+    "strut", "stud", "sun", "swab", "swat", "swig", "tan", "total",
+    "travel", "vet", "wad", "wed", "wet",
+]
+
+# v: further -y verbs
+EXTRA_Y_VERBS_3 = [
+    "accompany", "amplify", "beautify", "bully", "comply", "crucify",
+    "dally", "dignify", "dirty", "edify", "electrify", "embody",
+    "empty", "falsify", "fancy", "fortify", "glorify", "gratify",
+    "horrify", "indemnify", "liquefy", "lobby", "magnify", "mollify",
+    "mortify", "mummify", "mystify", "nullify", "ossify", "pacify",
+    "parody", "parry", "petrify", "ply", "prophesy", "purify",
+    "putrefy", "quantify", "ratify", "rectify", "remedy", "reunify",
+    "sanctify", "scurry", "shy", "solidify", "specify", "steady",
+    "stratify", "stultify", "stupefy", "sully", "tarry", "tidy",
+    "typify", "vilify", "weary",
+]
+
+# n: singular -s traps (the bare 's' rule would mangle these), fields
+# of study the dictionary keeps plural, lexical plurals, and remaining
+# classical forms
+EXTRA_NOUNS_3 = [
+    ("news", "news"), ("alias", "alias"), ("atlas", "atlas"),
+    ("bias", "bias"), ("canvas", "canvas"), ("chaos", "chaos"),
+    ("cosmos", "cosmos"), ("ethos", "ethos"), ("pathos", "pathos"),
+    ("lens", "lens"), ("kudos", "kudos"), ("gallows", "gallows"),
+    ("shambles", "shambles"), ("summons", "summons"),
+    ("rendezvous", "rendezvous"), ("asbestos", "asbestos"),
+    ("rabies", "rabies"), ("diabetes", "diabetes"), ("herpes", "herpes"),
+    ("clothes", "clothes"), ("pants", "pants"), ("shorts", "shorts"),
+    ("jeans", "jeans"), ("pajamas", "pajamas"),
+    ("binoculars", "binoculars"), ("tights", "tights"),
+    ("earnings", "earnings"), ("savings", "savings"),
+    ("proceeds", "proceeds"), ("riches", "riches"),
+    ("remains", "remains"), ("odds", "odds"), ("suds", "suds"),
+    ("thanks", "thanks"), ("outdoors", "outdoors"), ("alms", "alms"),
+    ("amends", "amends"), ("annals", "annals"), ("arrears", "arrears"),
+    ("bellows", "bellows"),
+    ("statistics", "statistics"), ("ethics", "ethics"),
+    ("genetics", "genetics"), ("aesthetics", "aesthetics"),
+    ("dynamics", "dynamics"), ("mechanics", "mechanics"),
+    ("electronics", "electronics"), ("ergonomics", "ergonomics"),
+    ("thermodynamics", "thermodynamics"),
+    ("aerodynamics", "aerodynamics"), ("robotics", "robotics"),
+    ("analytics", "analytics"), ("logistics", "logistics"),
+    ("demographics", "demographics"), ("diagnostics", "diagnostics"),
+    ("forensics", "forensics"), ("optics", "optics"),
+    ("phonetics", "phonetics"), ("semantics", "semantics"),
+    ("pragmatics", "pragmatics"), ("obstetrics", "obstetrics"),
+    ("pediatrics", "pediatrics"), ("geriatrics", "geriatrics"),
+    ("ballistics", "ballistics"), ("hydraulics", "hydraulics"),
+    ("graphics", "graphics"), ("avionics", "avionics"),
+    ("cybernetics", "cybernetics"), ("geophysics", "geophysics"),
+    ("astrophysics", "astrophysics"), ("biophysics", "biophysics"),
+    ("bioinformatics", "bioinformatics"),
+    ("econometrics", "econometrics"), ("eugenics", "eugenics"),
+    ("calisthenics", "calisthenics"), ("acoustics", "acoustics"),
+    ("aerobics", "aerobics"), ("aeronautics", "aeronautics"),
+    ("tactics", "tactics"), ("civics", "civics"),
+    ("classics", "classics"), ("ceramics", "ceramics"),
+    ("leaves", "leaf"), ("dwarves", "dwarf"),
+    ("corpora", "corpus"), ("genera", "genus"),
+    ("candelabra", "candelabrum"), ("desiderata", "desideratum"),
+    ("simulacra", "simulacrum"), ("ultimata", "ultimatum"),
+    ("corrigenda", "corrigendum"), ("feet", "foot"),
+    ("pence", "penny"), ("paparazzi", "paparazzo"),
+    ("libretti", "libretto"), ("concerti", "concerto"),
+    ("virtuosi", "virtuoso"), ("tempi", "tempo"),
+    ("lemmata", "lemma"),
+]
+
+# a: further identity -er nouns (agent/common nouns the comparative
+# detachment would mangle) and -y adjective comparatives
+IDENTITY_ER_2 = [
+    "bladder", "blender", "blister", "bomber", "broker", "buffer",
+    "bumper", "burner", "butcher", "buyer", "caliber", "catcher",
+    "chandelier", "cheerleader", "cider", "clover", "cobbler",
+    "commander", "commissioner", "composer", "conditioner",
+    "controller", "cooker", "cooler", "cracker", "crawler",
+    "crusader", "cucumber", "dagger", "defender", "diameter",
+    "dishwasher", "divider", "drummer", "ember", "explorer", "fender",
+    "fiber", "fighter", "flier", "follower", "freezer", "gambler",
+    "gardener", "gatekeeper", "geyser", "goalkeeper", "grader",
+    "grandfather", "grandmother", "grocer", "gunner", "gutter",
+    "hanger", "harbinger", "hauler", "header", "healer", "heater",
+    "heather", "hiker", "hipster", "hustler", "interpreter",
+    "jumper", "juniper", "keeper", "kicker", "laborer", "lavender",
+    "lawmaker", "lecturer", "lender", "listener", "locker", "loner",
+    "lover", "manufacturer", "mariner", "marker", "merger",
+    "messenger", "miner", "mixer", "modifier", "multiplier",
+    "observer", "offender", "opener", "organizer", "oyster",
+    "panther", "peddler", "performer", "photographer", "pitcher",
+    "planner", "plumber", "pointer", "pollster", "preacher",
+    "presenter", "propeller", "publisher", "punter", "qualifier",
+    "ranger", "receiver", "recorder", "recruiter", "reminder",
+    "renter", "repeater", "rescuer", "retainer", "retriever",
+    "revolver", "rider", "robber", "rocker", "roller", "rooster",
+    "saucer", "scanner", "scooter", "scorer", "seeker", "seller",
+    "sender", "settler", "shaker", "shipper", "shooter", "shopper",
+    "sitter", "skier", "skyscraper", "sleeper", "slider", "slipper",
+    "smoker", "sneaker", "sniper", "spender", "sprinkler",
+    "sprinter", "stakeholder", "stapler", "sticker", "stockbroker",
+    "stranger", "streamer", "striker", "stroller", "subscriber",
+    "supplier", "supporter", "surfer", "sweater", "swimmer",
+    "tanker", "taxpayer", "teenager", "teller", "tester", "thinker",
+    "thriller", "ticker", "tier", "timer", "tinder", "toaster",
+    "tracker", "transformer", "transmitter", "traveler", "trawler",
+    "treasurer", "trucker", "tumbler", "undertaker",
+    "usher", "villager", "waiter", "walker", "wanderer", "washer",
+    "watcher", "welder", "whaler", "wholesaler", "widower",
+    "wrapper", "wrestler",
+]
+Y_ADJECTIVES_2 = [
+    "bossy", "brainy", "breezy", "bubbly", "catchy", "cheeky",
+    "cheery", "chubby", "chunky", "corny", "crafty", "cranky",
+    "crispy", "curvy", "dainty", "dodgy", "dreamy", "drowsy", "edgy",
+    "feisty", "fiery", "flaky", "flashy", "flimsy", "frosty",
+    "fruity", "gaudy", "glossy", "grainy", "groggy", "gritty",
+    "gutsy", "hasty", "hazy", "jazzy", "jumpy", "lanky", "leafy",
+    "lofty", "lousy", "lumpy", "mangy", "meaty", "merry", "murky",
+    "mushy", "nerdy", "nifty", "nutty", "oily", "pudgy", "pushy",
+    "quirky", "roomy", "rowdy", "sassy", "saucy", "scrawny", "seedy",
+    "shaggy", "shifty", "slimy", "smoggy", "snappy", "soggy",
+    "spooky", "spunky", "squeaky", "stingy", "stuffy", "tacky",
+    "tangy", "tardy", "testy", "thorny", "tipsy", "touchy", "trashy",
+    "wacky", "wiry", "wordy", "zany",
+]
+
 
 def main():
     with open(LEX, encoding="utf-8") as f:
@@ -510,6 +748,39 @@ def main():
         add("a", w, w)
     for w in sorted(set(IDENTITY_EST)):
         add("a", w, w)
+
+    out.append("# --- generated: round-6 silent-e/-ate/-ize -ed/-ing ---")
+    for v in sorted(set(EXTRA_E_VERBS_3)):
+        stem = v[:-1]
+        add("v", f"{stem}ed", v)
+        add("v", f"{stem}ing", v)
+
+    out.append("# --- generated: round-6 consonant-doubling -ed/-ing ---")
+    for v in sorted(set(EXTRA_DOUBLING_3)):
+        d = v[-1]
+        add("v", f"{v}{d}ed", v)
+        add("v", f"{v}{d}ing", v)
+
+    out.append("# --- generated: round-6 -y verbs ---")
+    for v in sorted(set(EXTRA_Y_VERBS_3)):
+        stem = v[:-1]
+        add("v", f"{stem}ied", v)
+        add("v", f"{stem}ies", v)
+        add("v", f"{v}ing", v)
+
+    out.append("# --- generated: round-6 noun widening ---")
+    for form, lemma in EXTRA_NOUNS_3:
+        add("n", form, lemma)
+
+    out.append("# --- generated: round-6 identity -er nouns ---")
+    for w in sorted(set(IDENTITY_ER_2)):
+        add("a", w, w)
+
+    out.append("# --- generated: round-6 -y adjective comparatives ---")
+    for a in sorted(set(Y_ADJECTIVES_2)):
+        stem = a[:-1]
+        add("a", f"{stem}ier", a)
+        add("a", f"{stem}iest", a)
 
     with open(LEX, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
