@@ -119,8 +119,151 @@ object Graph {
     (ranks.df.select(col("id"), col("rank")), it)
   }
 
+  // Randomized-HITS reset probability (Ng/Zheng/Jordan SIGIR '01) —
+  // same value as g1's teleport; gives the round map a structure-
+  // independent L1 contraction of (1−ε)² per iteration, so the loop
+  // terminates within ~40 rounds on ANY graph (and far fewer on a
+  // skewed one). Pure HITS power iteration has NO such bound: on a
+  // near-regular graph EᵀE's top eigenvalues are almost degenerate
+  // and the iterate rotates indefinitely (measured on the g1 fixture
+  // graph: L1 delta plateaus at 3.5e-2, decaying ~0.3 %/round).
+  val HitsReset = 0.15
+
+  /** G2: hubs & authorities over a web-like synthetic link graph —
+    * the complementary frontier signal to g1: PageRank scores global
+    * endorsement, HITS separates "links to good pages" (hub) from
+    * "is linked by good hubs" (authority), the pair a crawl scheduler
+    * actually wants (fetch authorities, expand hubs).
+    *
+    * The variant is randomized HITS (Ng, Zheng & Jordan, "Stable
+    * algorithms for link analysis", SIGIR '01): each half-step is an
+    * ε-reset mixture over degree-normalized contributions, making both
+    * vectors stationary distributions of ergodic chains. That buys two
+    * things pure HITS lacks — stability under small graph
+    * perturbations (their headline result) and GUARANTEED geometric
+    * convergence at rate (1−ε)² regardless of graph spectrum, which is
+    * the property that matters when the input is 100 TB of crawl whose
+    * structure you cannot inspect first. Termination is g1's: L1 delta
+    * of the authority vector < n·1e-8, max-iter guard.
+    *
+    * The edge list is a deterministic skewed synthetic graph (cubed
+    * multiplicative hash → in-degree density ∝ rank^(-2/3)): real link
+    * graphs are power-law, and the skew is what makes hub/authority
+    * scores informative. Rows-only oracle (iterative double
+    * arithmetic); GraphSpec pins star separation, mass conservation,
+    * ring fixed-point, fixture convergence, and determinism.
+    */
+  def g2Hits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    hitsFrame(docs, g2Edges(docs, n))
+      .select(col("id").as("doc_id"),
+        round(col("authority"), 8).as("authority"),
+        round(col("hub"), 8).as("hub"))
+      .orderBy(col("authority").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Deterministic web-like edge list: three out-links per doc, each a
+    * multiplicative hash mapped through u³ so low-id docs collect
+    * in-links with density ∝ rank^(-2/3) — the Zipf-ish in-degree a
+    * real crawl graph has (and the skew HITS needs to be informative).
+    */
+  private[queries] def g2Edges(docs: DataFrame, n: Long): DataFrame = {
+    def skewDst(mult: Long, add: Long) = {
+      val u = pmod(col("id") * mult + add, lit(n)).cast("double") / lit(n.toDouble)
+      floor(u * u * u * lit(n.toDouble)).cast("long")
+    }
+    docs.select(col("id").as("src"),
+      explode(array(skewDst(2654435761L, 1), skewDst(40503L, 7),
+        skewDst(99991L, 13))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Randomized-HITS power iteration over (nodes(id), edges(src, dst)).
+    *
+    * Updates (ε = [[HitsReset]], both vectors sum to 1):
+    * {{{
+    *   a'(j) = ε/n + (1−ε)·( Σ_{i→j} h(i)/outdeg(i) + mH/n )
+    *   h'(i) = ε/n + (1−ε)·( Σ_{i→j} a'(j)/indeg(j) + mA/n )
+    * }}}
+    * where mH is hub mass parked on nodes with no out-links and mA
+    * authority mass on nodes with no in-links — both redistributed
+    * uniformly (g1's dangling treatment), so Σa = Σh = 1 exactly and
+    * the L1-delta termination needs no normalization scalars at all.
+    *
+    * Loop discipline is g1's — each round is ONE job (the checkpoint
+    * materialization) plus ONE cached-block delta scan. Both dangling
+    * masses and the a'-half-step live INSIDE the round's single plan:
+    * they are 1-row aggregates crossJoined in, and the a' groupBy
+    * subtree (referenced by the hub join, the mA aggregate, and the
+    * final authority column) is deduplicated by ReuseExchange — the
+    * shuffle runs once. The checkpoint holds (id, hub, auth, |Δa|);
+    * superseded blocks are released, so executor storage carries one
+    * copy of the state at any time.
+    */
+  private[queries] def hitsFrame(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = PrMaxIters,
+      nodeTol: Double = PrNodeTol): DataFrame =
+    hitsConverged(nodes, edges, maxIters, nodeTol)._1
+
+  private[queries] def hitsConverged(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = PrMaxIters,
+      nodeTol: Double = PrNodeTol): (DataFrame, Int) = {
+    val n = nodes.count()
+    val tol = nodeTol * n
+    val eps = HitsReset
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+    var state = Checkpoints.eager(
+      nodes.select(col("id"), lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth")))
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta >= tol) {
+      // hub mass parked on nodes with no out-links (1-row agg)
+      val mH = state.df
+        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("hub")), lit(0.0)).as("mh"))
+      // a' = εu + (1−ε)(row-normalized hub flow + dangling share);
+      // built over state.df so nodes with no in-links keep their row
+      val inSum = edges
+        .join(state.df.select(col("id").as("src"), col("hub")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), (col("hub") / col("odeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      val aNew = state.df.select(col("id"), col("auth").as("prev_a"))
+        .join(inSum, Seq("id"), "left").crossJoin(mH)
+        .withColumn("a2", lit(eps / n) + lit(1 - eps) *
+          (coalesce(col("in_sum"), lit(0.0)) + col("mh") / n))
+        .select(col("id"), col("a2"), col("prev_a"))
+      // authority mass parked on nodes with no in-links
+      val mA = aNew
+        .join(inDeg.withColumnRenamed("dst", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("a2")), lit(0.0)).as("ma"))
+      val hubSum = edges
+        .join(aNew.select(col("id").as("dst"), col("a2")), Seq("dst"))
+        .join(inDeg, Seq("dst"))
+        .select(col("src").as("id"), (col("a2") / col("ideg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("hub_sum"))
+      val next = Checkpoints.eager(
+        aNew.join(hubSum, Seq("id"), "left").crossJoin(mA)
+          .select(col("id"),
+            (lit(eps / n) + lit(1 - eps) *
+              (coalesce(col("hub_sum"), lit(0.0)) + col("ma") / n)).as("hub"),
+            col("a2").as("auth"),
+            abs(col("a2") - col("prev_a")).as("delta")))
+      delta = next.df.agg(sum(col("delta"))).first().getDouble(0)
+      state.release()
+      state = next
+      it += 1
+    }
+    (state.df.select(col("id"), col("auth").as("authority"), col("hub")), it)
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "g1_pagerank" -> (g1PageRank _),
+    "g2_hits" -> (g2Hits _),
   )
 
   val oracle: ListMap[String, String] = ListMap.empty

@@ -688,6 +688,58 @@ object Relational {
       |SELECT doc_id, change FROM d WHERE change IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Q31: temperature-sampled domain mixture weights — the mixture-
+    * planning table a multi-domain pretraining run derives before
+    * sampling (Devlin/XLM-style temperature rebalancing): each source's
+    * sampling weight is p^α / Σ p^α with α = 0.5, flattening the domain
+    * distribution without q28's hard equalization. `boost` = weight/p is
+    * the over/under-sampling factor a data loader applies per domain.
+    *
+    * Float-vs-oracle doctrine: α = 0.5 makes the power an IEEE sqrt —
+    * correctly rounded in both engines, unlike pow() — and the
+    * normalizer folds in sorted-source order on the driver (the m11/t21
+    * ordered-fold rule), so every double matches DuckDB bit-for-bit.
+    *
+    * 100 TB shape: one map-side-combined count per source; the
+    * per-source counts are a bounded driver value (the domain axis is
+    * low-cardinality by definition) and the output IS the tiny policy
+    * table — no corpus-sized state anywhere.
+    */
+  def q31TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val z = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble / total) }
+    counts.map { case (src, n) =>
+      val p = n.toDouble / total
+      val w = math.sqrt(p) / z
+      (src, n, w, w / p)
+    }.toDF("source", "n_docs", "w", "b")
+      .select(col("source"), col("n_docs"),
+        round(col("w"), 6).as("weight"), round(col("b"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  val q31Sql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+      |), tot AS (SELECT sum(n_s) AS n FROM counts),
+      |z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list(sqrt(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                ORDER BY source)),
+      |         (a, x) -> a + x) AS z
+      |  FROM counts, tot
+      |)
+      |SELECT source, n_s AS n_docs,
+      |  round(sqrt(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) / z, 6) AS weight,
+      |  round(sqrt(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) / z
+      |        / (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS boost
+      |FROM counts, tot, z ORDER BY source""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -719,6 +771,7 @@ object Relational {
     "q28_domain_mix" -> (q28DomainMix _),
     "q29_snapshot_diff" -> (q29SnapshotDiff _),
     "q30_approx_percentiles" -> (q30ApproxPercentiles _),
+    "q31_temperature_mix" -> (q31TemperatureMix _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -750,5 +803,6 @@ object Relational {
     "q27_salted_count" -> q27Sql,
     "q28_domain_mix" -> q28Sql,
     "q29_snapshot_diff" -> q29Sql,
+    "q31_temperature_mix" -> q31Sql,
   )
 }

@@ -76,6 +76,63 @@ class GraphSpec extends AnyFunSuite {
       starRanks.toSeq.sortBy(-_._2).map(_._1).head)
   }
 
+  test("hits: star graph separates the authority from the hubs") {
+    val (df, iters) = Graph.hitsConverged(
+      (0L to 9L).toDF("id"), (1L to 9L).map(i => i -> 0L).toDF("src", "dst"))
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // center is the dominant authority but no hub; spokes the reverse
+    assert(rows(0L)._1 > 5 * rows(1L)._1, s"center authority ${rows(0L)}")
+    (1L to 9L).foreach { i =>
+      assert(rows(i)._2 > rows(0L)._2, s"spoke $i should out-hub the center")
+      // identical spokes → identical scores
+      assert(math.abs(rows(i)._1 - rows(1L)._1) < 1e-12)
+      assert(math.abs(rows(i)._2 - rows(1L)._2) < 1e-12)
+    }
+    // both vectors are probability masses (Σ = 1 exactly — dangling
+    // mass on the center hub / spoke authorities is redistributed)
+    assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(iters < Graph.PrMaxIters, s"must converge, not cap: $iters")
+    // deterministic
+    val (df2, _) = Graph.hitsConverged(
+      (0L to 9L).toDF("id"), (1L to 9L).map(i => i -> 0L).toDF("src", "dst"))
+    assert(df2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet == df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
+  }
+
+  test("hits: ring graph converges in one round to the uniform point") {
+    val n = 10L
+    val (df, iters) = Graph.hitsConverged(
+      (0L until n).toDF("id"),
+      (0L until n).map(i => i -> ((i + 1) % n)).toDF("src", "dst"))
+    assert(iters == 1, s"ring should converge in 1 round: $iters")
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / n) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0 / n) < 1e-9)
+    }
+  }
+
+  test("g2 on the fixture: converges, skewed, top-100 by authority") {
+    // the fixture-scale graph must actually CONVERGE (pure HITS cannot
+    // on a near-regular graph — the reason g2 is randomized HITS)
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"))
+    val n = docs.count()
+    val (_, iters) = Graph.hitsConverged(docs, Graph.g2Edges(docs, n))
+    assert(iters < Graph.PrMaxIters, s"fixture must converge, not cap: $iters")
+
+    val rows = Graph.g2Hits(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 100)
+    val as = rows.map(_._2)
+    assert(as.zip(as.tail).forall { case (x, y) => y <= x })
+    assert(rows.forall(r => r._2 >= 0.0 && r._3 >= 0.0))
+    // the skewed edge map concentrates in-links on low ids → the head
+    // authority towers over the uniform mass 1/n
+    assert(as.head > 5.0 / n, s"head authority ${as.head} vs 1/n ${1.0 / n}")
+  }
+
   test("g1 on the fixture: top-100, ranks descending, all positive") {
     val rows = Graph.g1PageRank(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

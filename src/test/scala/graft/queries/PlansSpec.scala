@@ -229,6 +229,23 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "label join not broadcast")
   }
 
+  test("t24 novelty shuffles fnv64 digests, never gram text") {
+    val plan = executedPlan(Text.t24GramNovelty(spark, dir))
+    assert(plan.contains("fnv64"), "gram digest left the native expression")
+    // the window/agg exchanges must carry (doc_id, h)-shaped rows — the
+    // gram string g dies in the scan-stage projection BELOW the
+    // bottom-most (digest window) exchange, so nothing above it may
+    // reference the g attribute (scope to the final plan: AQE appends
+    // an "Initial Plan" copy after it)
+    val initIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) plan.substring(0, initIdx) else plan
+    val ex = finalPlan.lastIndexOf("Exchange hashpartitioning")
+    assert(ex >= 0, "expected the digest window shuffle")
+    assert(!finalPlan.substring(0, ex).contains("g#"),
+      "gram text survives above the digest exchange")
+    assert(plan.contains("partial_count"), "per-doc counts lost map-side combine")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
