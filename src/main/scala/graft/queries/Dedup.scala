@@ -895,6 +895,57 @@ object Dedup {
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       |ORDER BY vec_id""".stripMargin
 
+  /** D13: SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family (d6/d11/d12 are n-gram overlap). A training
+    * example that paraphrases a benchmark item shares no 4-gram, but its
+    * embedding sits next to the benchmark's — so the modern
+    * decontamination stack (e.g. the contamination audits around
+    * GSM8K/MMLU) adds exactly this pass: flag any training vector whose
+    * max cosine against the held-out set clears a threshold.
+    * `vec_id % 23 == 0` stands in for the benchmark split (same device
+    * as d6's `% 97`), threshold probed against the fixture so the drop
+    * path executes under the oracle hash at both sf0.001 and sf0.01.
+    *
+    * 100 TB shape: a real eval set is a few thousand vectors — it
+    * broadcasts (same contract as d6's benchmark gram set, noted in the
+    * anti-pattern scan: this crossJoin's right side is a bounded eval
+    * dim, never a second corpus). The corpus streams map-only through
+    * the broadcast nested-loop; partial `max` combines map-side, so the
+    * single shuffle carries one (vec_id, max) row per corpus vector —
+    * corpus embeddings never cross the wire. Cosines fold left-to-right
+    * in [[graft.functions.SimFunctions.dot]], matching DuckDB's
+    * list_dot_product bit-for-bit (the d4 doctrine).
+    */
+  val D13Thr = 0.35
+  private[queries] def semanticDecontaminate(e: DataFrame, benchMod: Int,
+      thr: Double): DataFrame = {
+    val n = e.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val bench = n.filter(col("vec_id") % benchMod === 0)
+      .select(col("v").as("bv"), col("nrm").as("bn"))
+    n.filter(col("vec_id") % benchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"))
+      .agg(max(dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("mc"))
+      .filter(col("mc") >= thr)
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  def d13SemanticDecontaminate(s: SparkSession, dir: String): DataFrame =
+    semanticDecontaminate(Tables.embeddings(s, dir), 23, D13Thr)
+
+  val d13Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |bench AS (SELECT v AS bv, nrm AS bn FROM n WHERE vec_id % 23 = 0),
+      |m AS (
+      |  SELECT c.vec_id, max(list_dot_product(c.v, b.bv) / (c.nrm * b.bn)) AS mc
+      |  FROM n c CROSS JOIN bench b WHERE c.vec_id % 23 <> 0 GROUP BY 1
+      |)
+      |SELECT vec_id, round(mc, 6) AS max_cos FROM m WHERE mc >= $D13Thr
+      |ORDER BY vec_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -908,6 +959,7 @@ object Dedup {
     "d10_semdedup_fixed" -> (d10SemDedupFixed _),
     "d11_bloom_decontaminate" -> (d11BloomDecontaminate _),
     "d12_overlap_decontaminate" -> (d12OverlapDecontaminate _),
+    "d13_semantic_decontaminate" -> (d13SemanticDecontaminate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -924,5 +976,6 @@ object Dedup {
     // exactly verified), so d11's twin is d6's exact query
     "d11_bloom_decontaminate" -> d6Sql,
     "d12_overlap_decontaminate" -> d12Sql,
+    "d13_semantic_decontaminate" -> d13Sql,
   )
 }

@@ -499,20 +499,90 @@ object Topics {
       else {
         val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
         out += ((rank, l, r, cnt))
-        seqs = seqs.map { case (syms, c) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              buf += l + r; i += 2
-            } else { buf += syms(i); i += 1 }
-          }
-          (buf.toArray, c)
-        }
+        seqs = seqs.map { case (syms, c) => (applyMerge(syms, l, r), c) }
         rank += 1
       }
     }
     out.toSeq
+  }
+
+  /** One greedy left-to-right pass replacing adjacent (l, r) with l+r —
+    * the single rewrite primitive shared by training ([[bpeMerges]]) and
+    * encoding ([[bpeEncode]]), so an encoded training word reproduces
+    * the training loop's final symbol sequence exactly.
+    */
+  private def applyMerge(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        buf += l + r; i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toArray
+  }
+
+  /** Encode one word against a learned merge table: chars + "</w>", then
+    * each merge applied in rank order — equivalent to the classic
+    * "repeatedly merge the lowest-rank adjacent pair" encoder because
+    * merges learned later can never create an occurrence of an
+    * earlier-rank pair that the earlier pass could have consumed
+    * (symbols grow monotonically; an earlier pair's parts no longer
+    * exist as separate symbols once merged).
+    */
+  private[queries] def bpeEncode(word: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ "</w>"
+    var k = 0
+    while (k < merges.length && syms.length >= 2) {
+      syms = applyMerge(syms, merges(k)._1, merges(k)._2)
+      k += 1
+    }
+    syms
+  }
+
+  /** M13: BPE ENCODING with the m12-trained merge table — the apply
+    * side of the tokenizer family (m8 counts one step's candidates, m12
+    * learns the merge table, m13 runs the tokenizer over the corpus).
+    * Per document: word count and encoded BPE token count, the numbers
+    * a pretraining data pipeline actually bills by (tokens, not words).
+    *
+    * 100 TB shape: the merge table is a vocabulary-scale artifact
+    * (≤ [[BpeMerges]] rows) — it broadcasts; encoding is then map-only
+    * over documents, with a per-task memo (words repeat under Zipf, so
+    * each task encodes each distinct word once). No shuffle at all:
+    * the per-doc counts are computed inside the scan projection.
+    * Rows-only check by design (the iterative merge application has no
+    * SQL twin); TopicsSpec pins a hand-traced encode, the zero-merge
+    * identity, token-count monotonicity in merge count, and
+    * encode==training-final-state consistency.
+    */
+  def m13BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(MaxWords)
+      .as[(String, Long)].collect()
+    val merges = bpeMerges(words, BpeMerges).map(m => (m._2, m._3)).toArray
+    val bc = s.sparkContext.broadcast(merges)
+    // captured empty, deserialized per task, fills across the task's
+    // rows — each task encodes each distinct word it sees once
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    val encLen = udf { (toks: Seq[String]) =>
+      toks.iterator.filter(_.nonEmpty)
+        .map(w => memo.getOrElseUpdate(w, bpeEncode(w, bc.value).length))
+        .sum
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokenize(col("text")), w => w =!= "").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_words"),
+        encLen(col("t")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** M9: vocabulary coverage / OOV rate — per document, the fraction of
@@ -701,6 +771,7 @@ object Topics {
     "m10_tfidf" -> (m10Tfidf _),
     "m11_unigram_logprob" -> (m11UnigramLogprob _),
     "m12_bpe_train" -> (m12BpeTrain _),
+    "m13_bpe_encode" -> (m13BpeEncode _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

@@ -346,4 +346,48 @@ class DedupSpec extends AnyFunSuite {
       assert(members.keySet.min == label)
     }
   }
+
+  test("d13 semantic decontamination flags benchmark clones and spares orthogonal vectors") {
+    // vec_id 0 is benchmark (0 % 5 == 0); 1 is a scaled clone of it
+    // (cos exactly 1), 2 is orthogonal (cos 0), 3 mixes at cos 0.6
+    val dim = 8
+    def basis(i: Int, scale: Float) =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    val rows = Seq(
+      (0L, basis(0, 1.0f)),
+      (1L, basis(0, 2.0f)),
+      (2L, basis(1, 1.0f)),
+      (3L, Seq.tabulate(dim)(j =>
+        if (j == 0) 0.6f else if (j == 1) 0.8f else 0.0f)),
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(df, 5, 0.7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L), s"expected only the clone flagged, got $got")
+    assert(math.abs(got(1L) - 1.0) < 1e-9)
+    // threshold below the mixed vector's 0.6 cosine picks it up too
+    val loose = Dedup.semanticDecontaminate(df, 5, 0.55).collect()
+      .map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 3L))
+  }
+
+  test("d13 on the fixture matches brute-force max-cosine against the benchmark split") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val bench = vecs.filter(_._1 % 23 == 0)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = vecs.filter(_._1 % 23 != 0)
+      .map { case (id, v) => id -> bench.map(b => cos(v, b._2)).max }
+      .filter(_._2 >= Dedup.D13Thr).toMap
+    val got = Dedup.d13SemanticDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, c) => assert(math.abs(c - exp(id)) < 1e-6) }
+    assert(got.nonEmpty, "threshold must bite on the fixture")
+  }
 }

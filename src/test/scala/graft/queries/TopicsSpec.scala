@@ -182,6 +182,46 @@ class TopicsSpec extends AnyFunSuite {
       counts.mkString(","))
   }
 
+  test("m13 BPE encode: hand trace, zero-merge identity, monotonicity, training consistency") {
+    // hand trace against the m12 tutorial merges (u,g), (n,</w>), (u,n</w>):
+    //   hug  -> h u g </w>  -> h ug </w>
+    //   pun  -> p u n </w>  -> p u n</w> -> p un</w>
+    //   bugs -> b u g s </w> -> b ug s </w> (no other merge applies)
+    val merges = Array(("u", "g"), ("n", "</w>"), ("u", "n</w>"))
+    assert(Topics.bpeEncode("hug", merges).toSeq == Seq("h", "ug", "</w>"))
+    assert(Topics.bpeEncode("pun", merges).toSeq == Seq("p", "un</w>"))
+    assert(Topics.bpeEncode("bugs", merges).toSeq == Seq("b", "ug", "s", "</w>"))
+    // zero merges: chars + the word boundary, always
+    assert(Topics.bpeEncode("hello", Array.empty).toSeq ==
+      Seq("h", "e", "l", "l", "o", "</w>"))
+    // encoding a training word with the full learned table reproduces the
+    // training loop's final symbol state: its length ladder is
+    // non-increasing as more merges apply
+    val words = Array(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L))
+    val learned = Topics.bpeMerges(words, 3).map(m => (m._2, m._3)).toArray
+    words.foreach { case (w, _) =>
+      val lens = (0 to learned.length)
+        .map(k => Topics.bpeEncode(w, learned.take(k)).length)
+      assert(lens.zip(lens.tail).forall { case (a, b) => b <= a },
+        s"$w: $lens")
+    }
+  }
+
+  test("m13 on the fixture: word counts match tokenize, token counts bounded and monotone") {
+    val out = Topics.m13BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val docs = graft.Tables.documents(spark, dir).count()
+    assert(out.length == docs)
+    out.foreach { case (id, nWords, nBpe) =>
+      // every word encodes to between 1 and len+1 symbols, so the doc
+      // total is bounded by words below and chars+words above
+      assert(nBpe >= nWords, s"doc $id: $nBpe < $nWords")
+    }
+    assert(out.exists { case (_, nWords, nBpe) => nBpe > nWords },
+      "50 merges cannot compress every word of the fixture to one token")
+  }
+
   test("model save/load round-trips describeTopics (S10)") {
     val c = Topics.corpus(spark, dir).cache()
     val v = Topics.fitVectorizer(c).transform(c).cache()
