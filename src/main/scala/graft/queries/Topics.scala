@@ -585,6 +585,142 @@ object Topics {
       .orderBy(col("doc_id"))
   }
 
+  /** M14: Zipf rank-frequency slope — the standard corpus health check
+    * (a natural-language corpus fits log(count) ≈ intercept +
+    * slope·log(rank) with slope ≈ −1; machine-generated or boilerplate-
+    * heavy corpora bend away from it). Least squares over the top
+    * [[ZipfTopN]] words in log-log space.
+    *
+    * 100 TB shape: the ONLY corpus-scale work is the word-count
+    * aggregation (map-side-combined; the shuffle carries (word, count)
+    * partials). The top-N cut is TakeOrderedAndProject-bounded, and the
+    * regression runs as a driver fold over that policy-scale table in
+    * (count desc, word) order — the q31 doctrine: both engines fold the
+    * same ordered list left-to-right, so the doubles hash-match
+    * (JVM Math.log and DuckDB ln agree bit-for-bit on this platform,
+    * relied on by m11/t21 already).
+    */
+  val ZipfTopN = 1000
+  def m14ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(ZipfTopN)
+      .as[(String, Long)].collect()
+    val m = top.length
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+    var i = 0
+    while (i < m) {
+      val x = math.log(i + 1.0)
+      val y = math.log(top(i)._2.toDouble)
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+      i += 1
+    }
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / m
+    Seq((m.toLong, slope, intercept)).toDF("n_words", "s", "c")
+      .select(col("n_words"), round(col("s"), 6).as("slope"),
+        round(col("c"), 6).as("intercept"))
+  }
+
+  val m14Sql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY 1
+      |), top AS (
+      |  SELECT n FROM counts ORDER BY n DESC, w LIMIT $ZipfTopN
+      |), lists AS (
+      |  SELECT list(ln(n::DOUBLE) ORDER BY n DESC, w) AS ys,
+      |         count(*)::BIGINT AS m
+      |  FROM (SELECT n, w FROM counts ORDER BY n DESC, w LIMIT $ZipfTopN)
+      |), sums AS (
+      |  SELECT m,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, m + 1), i -> ln(i::DOUBLE))), (a, b) -> a + b) AS sx,
+      |    list_reduce(list_prepend(0.0::DOUBLE, ys), (a, b) -> a + b) AS sy,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, m + 1), i -> ln(i::DOUBLE) * ys[i::INT])), (a, b) -> a + b) AS sxy,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, m + 1), i -> ln(i::DOUBLE) * ln(i::DOUBLE))), (a, b) -> a + b) AS sxx
+      |  FROM lists
+      |)
+      |SELECT m AS n_words,
+      |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6) AS intercept
+      |FROM sums""".stripMargin
+
+  /** M15: Heaps-law vocabulary growth — cumulative distinct-word count
+    * against cumulative token count at fixed corpus checkpoints, the
+    * curve V(n) ≈ K·n^β that says how a tokenizer's vocabulary demand
+    * grows with corpus size (and whose flattening flags heavy
+    * duplication: a deduped crawl keeps minting new words, a looped one
+    * doesn't).
+    *
+    * 100 TB shape: "cumulative distinct" is NOT a running scan — each
+    * word contributes at exactly one checkpoint (its FIRST occurrence:
+    * min(doc_id), one map-side-combined shuffle of (word, min) partials,
+    * the m1 doctrine), so cumulative vocab is a cumsum over per-bucket
+    * new-word counts. doc_ids bucket into [[HeapsBuckets]] fixed-width
+    * ranges off the max id (scalar dim riding a crossJoin, the t21
+    * device), so the final cumsum window runs over ≤ 50 rows — a
+    * bounded policy table, never a corpus-wide single-partition window.
+    * All-integer output: hash-exact by construction.
+    */
+  val HeapsBuckets = 50
+  def m15HeapsGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokenize(col("text")), w => w =!= "").as("t"))
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    // integer bucket index in [0, HeapsBuckets): doc_id * B / (max + 1)
+    val bucketed = docs.crossJoin(broadcast(maxId))
+      .withColumn("bucket",
+        (col("doc_id") * HeapsBuckets / (col("mx") + 1)).cast("long"))
+    val tokensPerBucket = bucketed
+      .groupBy(col("bucket")).agg(sum(size(col("t"))).as("b_tokens"))
+    val firstSeen = bucketed
+      .select(col("bucket"), explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("b_new_words"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokensPerBucket.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("b_new_words"))
+      .select(col("bucket"),
+        sum(col("b_tokens")).over(win).as("cum_tokens"),
+        sum(col("b_new_words")).over(win).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  val m15Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    [x for x in string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') if x <> ''] AS t
+      |  FROM documents
+      |), mx AS (SELECT max(doc_id) AS mx FROM docs),
+      |b AS (
+      |  SELECT doc_id, t, (doc_id * $HeapsBuckets // (mx + 1)) AS bucket
+      |  FROM docs, mx
+      |), tpb AS (
+      |  SELECT bucket, sum(len(t)) AS b_tokens FROM b GROUP BY 1
+      |), fs AS (
+      |  SELECT bucket, count(*) AS b_new_words FROM (
+      |    SELECT w, min(bucket) AS bucket FROM (
+      |      SELECT bucket, unnest(t) AS w FROM b) GROUP BY 1
+      |  ) GROUP BY 1
+      |)
+      |SELECT t.bucket,
+      |  sum(t.b_tokens) OVER (ORDER BY t.bucket) AS cum_tokens,
+      |  sum(coalesce(f.b_new_words, 0)) OVER (ORDER BY t.bucket) AS cum_vocab
+      |FROM tpb t LEFT JOIN fs f ON t.bucket = f.bucket
+      |ORDER BY t.bucket""".stripMargin
+
   /** M9: vocabulary coverage / OOV rate — per document, the fraction of
     * raw cleaned tokens (pre stop-word/length filtering) that fall
     * outside the minDF/maxDF modeling vocabulary. The standard tokenizer-
@@ -772,6 +908,8 @@ object Topics {
     "m11_unigram_logprob" -> (m11UnigramLogprob _),
     "m12_bpe_train" -> (m12BpeTrain _),
     "m13_bpe_encode" -> (m13BpeEncode _),
+    "m14_zipf_slope" -> (m14ZipfSlope _),
+    "m15_heaps_growth" -> (m15HeapsGrowth _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -781,5 +919,7 @@ object Topics {
     "m9_oov_rate" -> m9Sql,
     "m10_tfidf" -> m10Sql,
     "m11_unigram_logprob" -> m11Sql,
+    "m14_zipf_slope" -> m14Sql,
+    "m15_heaps_growth" -> m15Sql,
   )
 }

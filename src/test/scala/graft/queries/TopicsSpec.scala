@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.TestSpark
+import graft.functions.TextFunctions.tokenize
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -220,6 +221,47 @@ class TopicsSpec extends AnyFunSuite {
     }
     assert(out.exists { case (_, nWords, nBpe) => nBpe > nWords },
       "50 merges cannot compress every word of the fixture to one token")
+  }
+
+  test("m14 zipf slope matches a brute-force regression and is negative on text") {
+    val row = Topics.m14ZipfSlope(spark, dir).collect().head
+    val (n, slope, icept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    // brute force from the same word counts
+    val counts = graft.Tables.documents(spark, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+      .take(Topics.ZipfTopN)
+    assert(n == counts.length)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val m = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expSlope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(slope - expSlope) < 1e-5, s"$slope vs $expSlope")
+    assert(slope < 0, "rank-frequency slope must be negative on natural text")
+    assert(math.abs(icept - (sy - expSlope * sx) / m) < 1e-5)
+  }
+
+  test("m15 heaps growth: cumulative, bounded buckets, totals match the corpus") {
+    val rows = Topics.m15HeapsGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length <= Topics.HeapsBuckets)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // strictly increasing tokens, non-decreasing vocab
+    rows.sliding(2).foreach { case Array((_, t1, v1), (_, t2, v2)) =>
+      assert(t2 > t1 && v2 >= v1)
+    case _ => ()
+    }
+    // final checkpoint equals whole-corpus totals
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    assert(rows.last._2 == toks.count())
+    assert(rows.last._3 == toks.distinct().count())
   }
 
   test("model save/load round-trips describeTopics (S10)") {
