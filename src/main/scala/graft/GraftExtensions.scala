@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Fnv64, GopherFlags, MinHash128, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
+import graft.expressions.{C4Lines, Fnv64, GopherFlags, MinHash128, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fnv64"),
       new ExpressionInfo("graft.expressions.Fnv64", "fnv64"),
       (children: Seq[Expression]) => Fnv64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("c4_lines"),
+      new ExpressionInfo("graft.expressions.C4Lines", "c4_lines"),
+      (children: Seq[Expression]) => C4Lines(children.head)))
     e.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo("graft.expressions.WordNgrams", "word_ngrams"),

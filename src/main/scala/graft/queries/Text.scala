@@ -809,6 +809,78 @@ object Text {
       |FROM gr JOIN first USING (g)
       |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
 
+  /** T25: the C4 heuristic filter battery (Raffel et al. '20 §2.2) —
+    * the OTHER canonical crawl-cleaning rule set next to t22's Gopher
+    * battery. Line level (native one-pass `c4_lines`, scaladoc there):
+    * terminal-punctuation lines only, ≥ 3 words per line, no
+    * "javascript" mention. Page level, judged on the line-cleaned
+    * page + the original text: ≥ 5 sentences survive ("discarded any
+    * page with fewer than 5 sentences"), no "lorem ipsum", no curly
+    * brace, no bad word (word-boundary match over a bundled shortlist
+    * standing in for C4's LDNOOBW list). C4's three-sentence-span
+    * dedup is deliberately NOT here — that is the d-family's job
+    * (t19/d1/d2 already cover span/doc dedup).
+    *
+    * 100 TB shape: map-only and fused into the scan like t22 — the
+    * line pass is one codegen'd call per row into its OWN projection
+    * (CollapseProject declines to merge it into the consumers because
+    * the non-cheap alias is multiply referenced), so the page rules
+    * reference the materialized kept-lines attribute, never a
+    * re-inlined call. PlansSpec pins the projection split and the
+    * codegen span. Zero shuffle at any corpus size.
+    */
+  val C4BadWords: Seq[String] =
+    Seq("porn", "xxx", "viagra", "casino", "erotic", "nude")
+  def t25C4Filter(s: SparkSession, dir: String): DataFrame =
+    t25C4Frame(Tables.documents(s, dir))
+
+  /** Frame form of t25 for planted-page specs (the d12OverlapFrame
+    * device): `docs` needs (doc_id, text). NOTE the fixture corpus is
+    * single-line punctuation-free word soup, so every fixture page
+    * legitimately keeps 0 lines — the oracle row pins rule wiring and
+    * the NULL contract at corpus width; C4LinesSpec / TextSpec planted
+    * pages exercise each rule's true path.
+    */
+  def t25C4Frame(docs: DataFrame): DataFrame = {
+    val badRe = "\\b(" + C4BadWords.mkString("|") + ")\\b"
+    docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        expr("c4_lines(text)").as("kept"))
+      .select(
+        col("doc_id"),
+        when(col("kept") === "", lit(0))
+          .otherwise(size(split(col("kept"), "\n", -1))).as("n_kept_lines"),
+        regexp_count(col("kept"), lit("[.!?]")).cast("long").as("n_sentences"),
+        (regexp_count(col("kept"), lit("[.!?]")) >= 5 &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{") &&
+          !lower(col("text")).rlike(badRe)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t25Sql: String = {
+    val badRe = "\\b(" + C4BadWords.mkString("|") + ")\\b"
+    s"""WITH d AS (
+      |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+      |), k AS (
+      |  SELECT doc_id, text,
+      |    coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(regexp_replace(l, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$')
+      |        AND len(string_split_regex(regexp_replace(l, '^\\s+|\\s+$$', '', 'g'), '\\s+')) >= 3
+      |        AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS kept
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN kept = '' THEN 0
+      |       ELSE len(string_split(kept, chr(10))) END::INT AS n_kept_lines,
+      |  len(regexp_extract_all(kept, '[.!?]'))::BIGINT AS n_sentences,
+      |  (len(regexp_extract_all(kept, '[.!?]')) >= 5
+      |   AND NOT contains(lower(text), 'lorem ipsum')
+      |   AND NOT contains(text, '{')
+      |   AND NOT regexp_matches(lower(text), '$badRe')) AS keep
+      |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -834,6 +906,7 @@ object Text {
     "t22_gopher_filter" -> (t22GopherFilter _),
     "t23_leakage_safe_split" -> (t23LeakageSafeSplit _),
     "t24_gram_novelty" -> (t24GramNovelty _),
+    "t25_c4_filter" -> (t25C4Filter _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -861,6 +934,7 @@ object Text {
     "t22_gopher_filter" -> t22Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t24_gram_novelty" -> t24Sql,
+    "t25_c4_filter" -> t25Sql,
   )
 
   lazy val t12Sql: String =

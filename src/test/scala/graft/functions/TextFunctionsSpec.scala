@@ -100,6 +100,71 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().head.getInt(0) == 0)
   }
 
+  test("c4_lines: each C4 line rule admits and rejects exactly its cases") {
+    import graft.expressions.C4Lines
+    import org.apache.spark.unsafe.types.UTF8String
+    def kept(s: String): String = C4Lines.compute(UTF8String.fromString(s)).toString
+    // rule 1: terminal punctuation — all four C4 marks admit, others drop
+    assert(kept("He said it was done.") == "He said it was done.")
+    assert(kept("Was it really true?") == "Was it really true?")
+    assert(kept("What a surprise indeed!") == "What a surprise indeed!")
+    assert(kept("He called it \"a fine day\"") == "He called it \"a fine day\"")
+    assert(kept("a header with no punctuation") == "")
+    assert(kept("trailing comma is not terminal,") == "")
+    // trailing whitespace is trimmed before the terminal check, but the
+    // SURVIVING line is the original untrimmed one (list_filter keeps
+    // elements verbatim)
+    assert(kept("Hello there world.   ") == "Hello there world.   ")
+    // rule 2: fewer than 3 words drops even with terminal punctuation
+    assert(kept("Too short.") == "")
+    assert(kept("Exactly three words.") == "Exactly three words.")
+    // rule 3: any javascript mention drops the line, case-insensitive
+    assert(kept("Please enable JavaScript to continue reading.") == "")
+    assert(kept("this javascript warning ends here.") == "")
+    // multi-line page: survivors re-join in order with \n
+    val page = "A first good sentence here.\nmenu\nAnd a second good one!\n" +
+      "Enable javascript now please.\nLast full line stands tall."
+    assert(kept(page) ==
+      "A first good sentence here.\nAnd a second good one!\nLast full line stands tall.")
+    // empty / blank lines never survive
+    assert(kept("") == "")
+    assert(kept("\n\n") == "")
+    // registration + NULL contract: NULL text → empty string, not NULL
+    val viaSql = spark.sql("SELECT c4_lines(CAST(NULL AS STRING))").collect().head
+    assert(!viaSql.isNullAt(0) && viaSql.getString(0) == "")
+  }
+
+  test("t25 planted pages: page-level C4 rules judge the line-cleaned page") {
+    import graft.queries.Text
+    val five = (1 to 5).map(i => s"Good full sentence number $i.").mkString("\n")
+    val docs = Seq(
+      // 0: five surviving sentences, clean page → keep
+      (0L, five),
+      // 1: five sentences but a lorem-ipsum mention anywhere → drop
+      (1L, five + "\nfiller Lorem Ipsum dolor"),
+      // 2: five sentences but a curly brace (template/code page) → drop
+      (2L, five + "\nif (x) { return; }"),
+      // 3: five sentences but a bad word (word-boundary match) → drop
+      (3L, five + "\nbest casino bonus here"),
+      // 4: word-boundary defense — "cassino" must NOT match the
+      //    badword "casino" mid-word, so the page keeps
+      (4L, five + "\nthe cassino battle memorial"),
+      // 5: only four sentences survive the line filter → drop
+      (5L, (1 to 4).map(i => s"Good full sentence number $i.").mkString("\n")),
+      // 6: NULL text → empty page, 0 lines, drop (both engines agree)
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = Text.t25C4Frame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((5, 5L, true)), got(0L).toString)
+    assert(got(1L)._3 == false)
+    assert(got(2L)._3 == false)
+    assert(got(3L)._3 == false)
+    assert(got(4L) == ((5, 5L, true)), got(4L).toString)
+    assert(got(5L) == ((4, 4L, false)), got(5L).toString)
+    assert(got(6L) == ((0, 0L, false)), got(6L).toString)
+  }
+
   test("cleanChain matches the reference regex chain on pinned inputs") {
     assert(runClean(pinned) == pinned.map(refClean))
   }

@@ -213,6 +213,20 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("gopher_flags"), "native bitmask expression lost")
   }
 
+  test("t25 c4 battery is map-only: no exchange below the sort") {
+    val plan = executedPlan(Text.t25C4Filter(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "c4 battery gained a hash shuffle")
+    assert(plan.contains("c4_lines"), "native line-filter expression lost")
+    // the kept-lines column materializes ONCE in its own codegen'd
+    // projection ("*(1) Project [... c4_lines(...) AS kept...") — the
+    // derived columns reference the attribute, not a re-inlined call
+    assert(plan.contains(") Project [doc_id"), "projection structure lost")
+    assert("""c4_lines\(text#\d+\) AS kept""".r.findFirstIn(plan).isDefined,
+      "kept alias no longer materialized in its own projection")
+    assert(plan.contains("*("), "battery fell out of whole-stage codegen")
+  }
+
   test("q29 snapshot diff joins digests, never text") {
     val plan = executedPlan(Relational.q29SnapshotDiff(spark, dir))
     // the join's output/input attributes must be digest+key only — the
