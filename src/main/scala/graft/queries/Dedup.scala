@@ -946,6 +946,114 @@ object Dedup {
       |SELECT vec_id, round(mc, 6) AS max_cos FROM m WHERE mc >= $D13Thr
       |ORDER BY vec_id""".stripMargin
 
+  /** D14: exact-substring span dedup (Lee et al. '21, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * tool's criterion, re-expressed for Spark). A word position is
+    * DUPLICATED iff some [[D14SpanK]]-word gram covering it occurs ≥ 2
+    * times in the corpus (including twice in the same document — memoir
+    * boilerplate repeats itself); maximal runs of duplicated positions
+    * are the removable spans. Per document: span count, duplicated word
+    * count, duplicated fraction — the accounting a curation pipeline
+    * bills before cutting. Lee et al. find duplicated substrings this
+    * way with a corpus-wide suffix array; K-gram coverage is the
+    * equivalent criterion for spans of length ≥ K (every length-≥K
+    * duplicated substring is a union of duplicated K-grams, and
+    * conversely), which unlike a suffix array is embarrassingly
+    * partition-parallel.
+    *
+    * K = 10 words (Lee's 50 BPE tokens ≈ 35 words; the fixture's
+    * planted near-dup families share 10-word spans, so the fixture
+    * exercises the true path — documented divergence).
+    *
+    * 100 TB shape: grams leave the scan as (doc_id, pos, fnv64) — the
+    * gram TEXT never shuffles (the t24/d2 digest doctrine). The
+    * frequency pass is one map-side-combined count on digests; the
+    * flag-back join is digest-keyed (AQE picks broadcast when the
+    * duplicated set is small); span assembly is a per-document keyed
+    * window — partitioned by doc_id, never global. Collision note: two
+    * different grams sharing an fnv64 value could phantom-flag a span
+    * (P ≈ n²/2⁶⁴ — the accepted t24/d2 trade; DuckDB's twin groups the
+    * gram text itself, so the fixture gate would catch a collision).
+    */
+  val D14SpanK = 10
+  def d14SubstrSpans(s: SparkSession, dir: String): DataFrame =
+    d14SpanFrame(Tables.documents(s, dir))
+
+  /** Frame form of d14 for planted-span specs: `docs` needs
+    * (doc_id, text). */
+  def d14SpanFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokenize(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"),
+        posexplode(shingles(col("t"), D14SpanK)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        GraftNative.column(graft.expressions.Fnv64(
+          GraftNative.expression(col("g")))).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val flagged = grams.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= D14SpanK, 0)
+          .otherwise(1))
+      .withColumn("span", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("s0"),
+        (max(col("pos")) + D14SpanK - 1).as("e0"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("dup_words"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_words"))
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        col("dup_words"),
+        round(col("dup_words").cast("double") / col("n_words"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d14Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(t[pos:pos+${D14SpanK - 1}], ' ') AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, len(t) - ${D14SpanK} + 2)) AS pos
+      |        FROM toks WHERE len(t) >= ${D14SpanK})
+      |), dup AS (
+      |  SELECT g FROM grams GROUP BY 1 HAVING count(*) >= 2
+      |), flagged AS (
+      |  SELECT doc_id, pos FROM grams JOIN dup USING (g)
+      |), brks AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |              <= ${D14SpanK} THEN 0 ELSE 1 END AS brk
+      |  FROM flagged
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      |  FROM brks
+      |), spans AS (
+      |  SELECT doc_id, span, min(pos) AS s0, max(pos) + ${D14SpanK - 1} AS e0
+      |  FROM isl GROUP BY 1, 2
+      |), per AS (
+      |  SELECT doc_id, count(*) AS n_spans,
+      |    CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_words
+      |  FROM spans GROUP BY 1
+      |)
+      |SELECT t.doc_id, len(t.t)::BIGINT AS n_words,
+      |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+      |  coalesce(p.dup_words, 0)::BIGINT AS dup_words,
+      |  round(coalesce(p.dup_words, 0)::DOUBLE / len(t.t), 6) AS dup_frac
+      |FROM toks t LEFT JOIN per p USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -960,6 +1068,7 @@ object Dedup {
     "d11_bloom_decontaminate" -> (d11BloomDecontaminate _),
     "d12_overlap_decontaminate" -> (d12OverlapDecontaminate _),
     "d13_semantic_decontaminate" -> (d13SemanticDecontaminate _),
+    "d14_substr_spans" -> (d14SubstrSpans _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -977,5 +1086,6 @@ object Dedup {
     "d11_bloom_decontaminate" -> d6Sql,
     "d12_overlap_decontaminate" -> d12Sql,
     "d13_semantic_decontaminate" -> d13Sql,
+    "d14_substr_spans" -> d14Sql,
   )
 }

@@ -228,6 +228,45 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("d14 planted spans: exact boundaries, island merge, intra-doc repeats") {
+    val K = Dedup.D14SpanK
+    assert(K == 10, "span accounting below is written for K=10")
+    def w(prefix: String, n: Int): String =
+      (1 to n).map(prefix + _).mkString(" ")
+    // a 14-word span shared by docs 0 and 1 (planted mid-document):
+    // 5 covering grams each merge into ONE span of exactly 14 words
+    val shared = w("s", 14)
+    val docs = Seq(
+      (0L, w("a", 20) + " " + shared + " " + w("b", 20)),
+      (1L, w("c", 7) + " " + shared + " " + w("d", 31)),
+      // 2: unique vocabulary throughout → zero spans
+      (2L, w("e", 60)),
+      // 3: TWO disjoint shared spans (with doc 4), gap 20 > K → 2 islands
+      (3L, w("x", 11) + " " + w("g", 20) + " " + w("y", 11)),
+      (4L, w("p", 5) + " " + w("x", 11) + " " + w("q", 25) + " " + w("y", 11)),
+      // 5: intra-doc repetition — the same 10-word run twice in ONE doc
+      //    counts as duplicated even though no other doc shares it
+      (5L, w("r", 10) + " " + w("z", 15) + " " + w("r", 10)),
+    ).toDF("doc_id", "text")
+    val got = Dedup.d14SpanFrame(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def check(id: Long, nWords: Long, nSpans: Long, dupWords: Long): Unit = {
+      val (w0, s0, d0, f0) = got(id)
+      assert((w0, s0, d0) == ((nWords, nSpans, dupWords)), got(id).toString)
+      assert(math.abs(f0 - dupWords.toDouble / nWords) < 5e-7, got(id).toString)
+    }
+    // docs 0/1: one span, exactly the 14 shared words
+    check(0L, 54L, 1L, 14L)
+    check(1L, 52L, 1L, 14L)
+    check(2L, 60L, 0L, 0L)
+    // docs 3/4: two 11-word islands each (gap >> K keeps them apart)
+    check(3L, 42L, 2L, 22L)
+    check(4L, 52L, 2L, 22L)
+    // doc 5: both copies of the repeated run are duplicated positions
+    check(5L, 35L, 2L, 20L)
+  }
+
   test("d12 overlap-ratio decontamination flags clones, spares light overlap") {
     // bench doc 0; doc 1 = verbatim clone (ratio 1.0 ⇒ flagged); doc 2 =
     // one shared trigram out of 12 (< 10% ⇒ unflagged); doc 3 = disjoint

@@ -227,6 +227,22 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("*("), "battery fell out of whole-stage codegen")
   }
 
+  test("d14 substring spans shuffle digests and window per doc, never text") {
+    val plan = executedPlan(Dedup.d14SubstrSpans(spark, dir))
+    assert(plan.contains("fnv64"), "gram digesting left the native expression")
+    // every shuffle keys on a digest or doc_id — the gram text dies in
+    // the scan-stage projection, before any exchange
+    val exKeys = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exKeys.nonEmpty && exKeys.subsetOf(Set("h", "doc_id")),
+      s"unexpected shuffle keys $exKeys")
+    // span assembly windows are doc-keyed, never a global partition
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(plan).isDefined,
+      "span window lost doc keying")
+    assert(!plan.contains("windowspecdefinition(pos#"),
+      "window without doc partition key")
+  }
+
   test("q29 snapshot diff joins digests, never text") {
     val plan = executedPlan(Relational.q29SnapshotDiff(spark, dir))
     // the join's output/input attributes must be digest+key only — the
