@@ -524,6 +524,139 @@ object Similarity {
       .toDF("rank", "vec_id", "radius")
   }
 
+  /** S9: product-quantization search with exact rerank (Jégou et al.
+    * TPAMI '11) — the FAISS IVF-PQ code path's core: each UNIT vector
+    * splits into [[PqM]] subspaces of [[PqSub]] dims; every subspace
+    * gets a [[PqC]]-entry codebook; a vector's code is its per-subspace
+    * nearest centroid; query-to-corpus distance is the ADC sum of
+    * per-subspace lookup-table entries (‖q_m − cent[code_m]‖², the
+    * asymmetric form — query stays full precision). Top-[[S7Rerank]]
+    * ADC candidates then rerank by exact cosine, the s7 doctrine.
+    *
+    * Codebooks here are DATA-DERIVED but fixed without iteration — the
+    * subvectors of vec_ids 0..15 — so both engines derive identical
+    * codebooks relationally and the whole pipeline is hash-checked
+    * end-to-end (k-means-trained codebooks would be a rows-only query;
+    * s3 already covers the trained-clustering path and this query's
+    * plan is codebook-source-agnostic). Argmin tie-breaks are pinned by
+    * min(struct(dist, cid)) / ORDER BY dist, cid on both sides.
+    *
+    * Scale shape: codebooks are O(M·C·SUB) — a broadcast dim however
+    * large the corpus. Encoding is one broadcast join + map-side-
+    * combined min(struct) partial agg; the shuffle carries
+    * (vec_id, m, dist, cid) tuples, never vectors. Corpus codes are
+    * M small ints per vector — the 32× memory cut that lets a 100 TB
+    * corpus's index live in RAM. The ADC join is code-keyed against a
+    * broadcast NQ·M·C lookup table; the per-pair sum map-side-combines
+    * into the bounded TopKAggregator, and only NQ × rerank rows ever
+    * touch full vectors again.
+    */
+  val PqM = 8    // subspaces
+  val PqSub = 8  // dims per subspace (PqM * PqSub = 64)
+  val PqC = 16   // centroids per subspace codebook
+  def s9PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .cache()
+    val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
+    // (m, cid, c_sub): codebook = subvectors of the first PqC vectors
+    val cents = all.filter(col("vec_id") < PqC)
+      .select(col("vec_id").as("cid"), col("u"))
+      .select(col("cid"), ms, col("u"))
+      .select(col("m"), col("cid"),
+        slice(col("u"), col("m") * PqSub + 1, lit(PqSub)).as("c_sub"))
+    val sub = all
+      .select(col("vec_id"), ms, col("u"))
+      .select(col("vec_id"), col("m"),
+        slice(col("u"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+    val sqDist = aggregate(
+      zip_with(col("sub"), col("c_sub"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // per-(vector, subspace) nearest centroid; min(struct) pins ties
+    val enc = sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(sqDist.as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dc")).as("mc"))
+      .select(col("vec_id").as("id2"), col("m"), col("mc.cid").as("cid"))
+    // query ADC lookup table: every (query, subspace, centroid) distance
+    val lut = sub.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("m"), col("sub"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("id1"), col("m"), col("cid"), sqDist.as("pd"))
+    // ADC sum folds in ascending-m order (sort_array on (m, pd) structs)
+    // so the double is summation-order-independent — the m11/t21
+    // doctrine; a plain sum()'s partition-order fold could flip the
+    // rank-50 boundary by an ulp against the oracle
+    val cand = enc.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pd")))).as("ps"))
+      .select(col("id1"), col("id2"),
+        aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("pd")).as("adist"))
+      .groupBy(col("id1"))
+      .agg(TopK.topK(S7Rerank)(-col("adist"), col("id2")).as("top"))
+      .select(col("id1"), explode(col("top.id")).as("id2"))
+    val full = all.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    val qfull = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    cand.join(full, Seq("id2")).join(broadcast(qfull), Seq("id1"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .groupBy(col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  val s9Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |un AS (SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS u FROM n),
+       |sub AS (
+       |  SELECT vec_id, m, u[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sv
+       |  FROM un, range(0, $PqM) r(m)
+       |), cents AS (
+       |  SELECT m, vec_id AS cid, sv AS c_sub FROM sub WHERE vec_id < $PqC
+       |), dists AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    list_sum(list_transform(range(1, $PqSub + 1),
+       |      i -> (s.sv[i] - c.c_sub[i]) * (s.sv[i] - c.c_sub[i]))) AS d
+       |  FROM sub s JOIN cents c USING (m)
+       |), enc AS (
+       |  SELECT vec_id AS id2, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), lut AS (
+       |  SELECT vec_id AS id1, m, cid, d AS pd FROM dists WHERE vec_id < $NQ
+       |), adc AS (
+       |  SELECT l.id1, e2.id2,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(l.pd ORDER BY l.m)),
+       |      (a, b) -> a + b) AS adist
+       |  FROM enc e2 JOIN lut l USING (m, cid)
+       |  WHERE l.id1 <> e2.id2 GROUP BY 1, 2
+       |), topc AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |      row_number() OVER (PARTITION BY id1 ORDER BY adist, id2) AS rn
+       |    FROM adc) WHERE rn <= $S7Rerank
+       |), rer AS (
+       |  SELECT t.id1, t.id2,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM topc t JOIN un q ON q.vec_id = t.id1
+       |               JOIN un c ON c.vec_id = t.id2
+       |), ranked AS (
+       |  SELECT id1, id2, cos,
+       |    row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM rer
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY id1, rank""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -533,6 +666,7 @@ object Similarity {
     "s6_lsh_topk" -> (s6LshTopK _),
     "s7_quantized_topk" -> (s7QuantizedTopK _),
     "s8_kcenter_sample" -> (s8KCenterSample _),
+    "s9_pq_topk" -> (s9PqTopK _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -542,5 +676,6 @@ object Similarity {
     "s5_quantize" -> s5Sql,
     "s6_lsh_topk" -> s6Sql,
     "s7_quantized_topk" -> s7Sql,
+    "s9_pq_topk" -> s9Sql,
   )
 }

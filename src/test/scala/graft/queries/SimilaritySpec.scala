@@ -103,6 +103,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 $recall")
   }
 
+  test("s9 pq-adc rerank: exact scores, substantial recall, full rank shape") {
+    val exact = bruteTopK(5, 20)
+    val got = Similarity.s9PqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // every query returns exactly K ranked rows, ranks 1..K, scores
+    // non-increasing within a query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to 5), s"query $q ranks")
+      val ordered = rows.sortBy(_._4).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone")
+    }
+    // reranked scores are full-precision cosines — pairs shared with the
+    // exact answer must agree
+    got.foreach { case (id1, id2, cos, _) =>
+      exact(id1).find(_._1 == id2).foreach { case (_, ecos) =>
+        assert(math.abs(cos - ecos) < 2e-6)
+      }
+    }
+    // 16-cell × 8-subspace ADC over 500 vectors with a 50-deep rerank
+    // pool: most of the true top-5 survives the quantization
+    val exactPairs = exact.flatMap { case (q, t) => t.map(x => (q, x._1)) }.toSet
+    val gotPairs = got.map(g => (g._1, g._2)).toSet
+    val recall = exactPairs.intersect(gotPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
   test("s3 kmeans-ivf: exact scores, recall monotone in nprobe, exact at full probe") {
     val exact = bruteTopK(5, 20)
     val exactPairs = exact.flatMap { case (q, tops) => tops.map(t => (q, t._1)) }.toSet
