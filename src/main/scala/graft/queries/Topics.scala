@@ -721,6 +721,59 @@ object Topics {
       |FROM tpb t LEFT JOIN fs f ON t.bucket = f.bucket
       |ORDER BY t.bucket""".stripMargin
 
+  /** M16: tokenizer fertility per language — the dataset-card numbers
+    * that decide whether a tokenizer is fit for a multilingual corpus:
+    * BPE tokens per whitespace word (fertility; > ~2 for a language
+    * means the vocabulary under-serves it) and bytes per BPE token
+    * (compression). Tokens counted with the t17 GPT-2-style
+    * pre-tokenizer regex — deterministic, so unlike an m13 trained-
+    * merge count the whole query is SQL-twinned; t18 covers the plain
+    * alnum-run totals, m16 the tokenizer-facing ratios.
+    *
+    * 100 TB shape: one map pass (regex counts fused into the scan),
+    * one map-side-combined |langs|-row aggregation. Ratios are single
+    * double divisions of exact integer sums — the w1/q15 doctrine, so
+    * rounding is a no-op boundary risk only at the 1e-6 grid both
+    * engines share.
+    */
+  def m16Fertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Text.BpePattern
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(filter(tokenize(col("text")), w => w =!= ""))
+          .cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("b"),
+        octet_length(col("text")).cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"),
+        sum(col("b")).as("bpe_tokens"),
+        sum(col("y")).as("bytes"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        col("bytes"),
+        round(col("bpe_tokens").cast("double") / col("words"), 6)
+          .as("fertility"),
+        round(col("bytes").cast("double") / col("bpe_tokens"), 6)
+          .as("bytes_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val m16Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    len([x for x in string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') if x <> ''])::BIGINT AS w,
+      |    len(regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))::BIGINT AS b,
+      |    strlen(text)::BIGINT AS y
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs, sum(w)::BIGINT AS words,
+      |  sum(b)::BIGINT AS bpe_tokens, sum(y)::BIGINT AS bytes,
+      |  round(sum(b)::DOUBLE / sum(w), 6) AS fertility,
+      |  round(sum(y)::DOUBLE / sum(b), 6) AS bytes_per_token
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   /** M9: vocabulary coverage / OOV rate — per document, the fraction of
     * raw cleaned tokens (pre stop-word/length filtering) that fall
     * outside the minDF/maxDF modeling vocabulary. The standard tokenizer-
@@ -910,6 +963,7 @@ object Topics {
     "m13_bpe_encode" -> (m13BpeEncode _),
     "m14_zipf_slope" -> (m14ZipfSlope _),
     "m15_heaps_growth" -> (m15HeapsGrowth _),
+    "m16_fertility" -> (m16Fertility _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -921,5 +975,6 @@ object Topics {
     "m11_unigram_logprob" -> m11Sql,
     "m14_zipf_slope" -> m14Sql,
     "m15_heaps_growth" -> m15Sql,
+    "m16_fertility" -> m16Sql,
   )
 }

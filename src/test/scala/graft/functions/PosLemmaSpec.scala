@@ -121,6 +121,42 @@ class PosLemmaSpec extends AnyFunSuite {
     assert(lemmatize("spookiest", "JJS") == "spooky")
   }
 
+  test("round-6b widening: probe-driven identity, agents, -ses nouns") {
+    // probe-driven identity entries: words the JJR/JJS/RB detachments
+    // demonstrably mangled ("other"->"oth", "never"->"nev") before the
+    // round-6b table
+    assert(lemmatize("other", "JJR") == "other")
+    assert(lemmatize("never", "RB") == "never")
+    assert(lemmatize("however", "RB") == "however")
+    assert(lemmatize("together", "RB") == "together")
+    assert(lemmatize("clever", "JJR") == "clever")
+    assert(lemmatize("digest", "JJS") == "digest")
+    assert(lemmatize("invest", "JJS") == "invest")
+    assert(lemmatize("priest", "JJS") == "priest")
+    // agent nominalizations survive the comparative stripper
+    assert(lemmatize("attacker", "JJR") == "attacker")
+    assert(lemmatize("translator", "NN") == "translator")
+    assert(lemmatize("reviewer", "JJR") == "reviewer")
+    assert(lemmatize("interviewer", "JJR") == "interviewer")
+    // -ses noun traps: the bare ses->s rule gave "hous"
+    assert(lemmatize("houses", "NNS") == "house")
+    assert(lemmatize("promises", "NNS") == "promise")
+    assert(lemmatize("licenses", "NNS") == "license")
+    assert(lemmatize("responses", "NNS") == "response")
+    // round-6b classical plurals
+    assert(lemmatize("data", "NNS") == "datum")
+    assert(lemmatize("media", "NNS") == "medium")
+    assert(lemmatize("corpora", "NNS") == "corpus")
+    assert(lemmatize("sarcophagi", "NNS") == "sarcophagus")
+    // silent-e / -y verb widening
+    assert(lemmatize("seized", "VBD") == "seize")
+    assert(lemmatize("plunging", "VBG") == "plunge")
+    assert(lemmatize("queried", "VBD") == "query")
+    // deliberate original mappings still win over identity widening
+    assert(lemmatize("upper", "JJR") == "up")
+    assert(lemmatize("latter", "JJR") == "late")
+  }
+
   test("verb lemmatization strips inflection") {
     assert(lemmatize("studies", "VB") == "study")
     assert(lemmatize("talking", "VBG") == "talk")

@@ -664,6 +664,260 @@ Y_ADJECTIVES_2 = [
 ]
 
 
+# --- round-6b widening: probe-driven identity entries -----------------
+# Every word here was OBSERVED mangled by the JJR/JJS/RB detachment
+# rules (spark-shell probe over PosLemma.posTag+lemmatize): "other" ->
+# "oth", "never" -> "nev", "digest" -> "dig". Identity entries are the
+# offline substitute for morphy's dictionary validation.
+IDENTITY_ER_3 = [
+    "other", "another", "rather", "never", "however", "moreover",
+    "together", "whatever", "whenever", "wherever", "whoever", "ever",
+    "clever", "eager", "proper", "super", "upper", "inner", "outer",
+    "former", "latter", "bitter", "utter", "sober", "tender", "slender",
+    "meager", "somber", "amber", "anger", "archer", "avenger", "badger",
+    "banker", "bearer", "beaver", "believer", "bidder", "binder",
+    "blogger", "boiler", "boxer", "camper", "carpenter", "caterer",
+    "chandler", "charger", "checker", "climber", "coroner", "crooner",
+    "cruiser", "dancer", "debater", "december", "decoder", "diner",
+    "drifter", "driller", "examiner", "exporter", "fisher", "flanker",
+    "forager", "forerunner", "forester", "fryer", "gather", "geezer",
+    "glider", "gopher", "grinder", "hacker", "handler", "hawker",
+    "helper", "herder", "homer", "hoover", "hopper", "hunter",
+    "importer", "intruder", "invader", "jester", "joker", "juggler",
+    "kayaker", "lander", "learner", "lodger", "logger", "looper",
+    "milker", "miller", "mover", "mower", "november", "october",
+    "outlier", "pacer", "packer", "parser", "peter", "picker",
+    "planter", "plotter", "porter", "potter", "programmer", "promoter",
+    "raider", "rancher", "rapper", "reformer", "renderer", "responder",
+    "rover", "rower", "runner", "rusher", "seater", "september",
+    "shaper", "sharper", "shower", "skater", "slayer", "solder",
+    "spencer", "stalker", "steamer", "stinger", "stoker", "stopper",
+    "streaker", "sweeper", "taker", "talker", "tanner", "taster",
+    "teaser", "thrower", "tracer", "trapper", "trier", "turner",
+    "tweeter", "twister", "typer", "verifier", "voyager", "wager",
+    "waiver", "warder", "waver", "weaver", "whopper", "wielder",
+    "winder", "wiper",
+]
+# -er VERBS the JJR route mangles ("recover" -> "recov", "offer" ->
+# "off"): NLTK's tagger would tag them VB (dropped), our suffix tagger
+# keeps them as JJR, so they must lemmatize to themselves
+VERB_ER_IDENTITY = [
+    "recover", "discover", "deliver", "remember", "consider", "offer",
+    "suffer", "differ", "infer", "confer", "linger", "ponder", "render",
+    "surrender", "hinder", "enter", "administer", "banter", "barter",
+    "cater", "flatter", "falter", "foster", "garner", "hamper", "hover",
+    "muster", "pamper", "pester", "prosper", "scatter", "shimmer",
+    "shiver", "simmer", "slither", "smother", "sputter", "stagger",
+    "stutter", "tamper", "totter", "wither", "flicker", "glimmer",
+    "glitter", "hanker", "tinker", "loiter", "saunter", "slumber",
+    "stammer", "swagger", "bicker", "clatter", "conquer", "decipher",
+    "empower", "engender", "flounder", "gunpowder", "meander",
+    "plaster", "plunder", "shelter", "shudder", "smolder",
+    "squander", "whimper",
+]
+IDENTITY_EST_2 = [
+    "armrest", "attest", "bequest", "detest", "digest", "everest",
+    "headrest", "infest", "ingest", "invest", "manifest", "midwest",
+    "northwest", "southwest", "suggest", "priest", "backrest",
+    "budapest", "bucharest",
+]
+
+# --- round-6b: agent nominalizations (verb+er / verb+r identity) ------
+# Real agent nouns the comparative stripper mangles; generated from the
+# verb so the family reads as what it is. Doubling agents are spelled
+# explicitly where the consonant doubles.
+AGENT_VERBS = [
+    "adapt", "attack", "bak", "blend", "boost", "borrow", "breed",
+    "brew", "broadcast", "call", "camp", "cast", "clean",
+    "climb", "coach", "collect", "command", "comment", "commut",
+    "compil", "compos", "comput", "conduct", "consum", "contain",
+    "contend", "crawl", "creat", "cultivat", "deal", "defend",
+    "deliver", "demand", "design", "destroy", "detect", "develop",
+    "dream", "drink", "eat", "edit", "educat", "elect", "employ",
+    "enforc", "engineer", "entertain", "explor", "farm",
+    "feed", "fight", "film", "find", "follow", "found", "gain",
+    "gather", "giv", "govern", "grow", "guard", "hat", "haul", "heal",
+    "hik", "hold", "hunt", "illustrat", "import", "innovat", "insur",
+    "interview", "invent", "invest", "keep", "kill", "land", "launch",
+    "lay", "lead", "learn", "lend", "lift", "listen", "load", "mak",
+    "manag", "mark", "mentor", "mind", "mourn", "narrat", "negotiat",
+    "offend", "own", "paint", "perform", "pick", "pitch", "plann",
+    "play", "preach", "predict", "present", "pretend", "print",
+    "produc", "protect", "protest", "provid", "publish", "rac",
+    "read", "record", "recruit", "report", "rescu", "research",
+    "resell", "retail", "review", "rid", "rul", "sav", "scor",
+    "scout", "search", "sell", "send", "serv", "settl", "shap",
+    "ship", "shoot", "sign", "sing", "sleep", "smok", "sort", "speak",
+    "spend", "sponsor", "spray", "stream", "strik", "support",
+    "surviv", "teach", "tend", "test", "think", "throw",
+    "toast", "tour", "track", "trad", "train", "translat", "travel",
+    "treat", "us", "view", "visit", "vot", "wait", "walk", "wander",
+    "wash", "watch", "weld", "whistl", "work", "writ",
+]
+
+# --- round-6b: further silent-e verbs ---------------------------------
+EXTRA_E_VERBS_4 = [
+    "abate", "abuse", "accommodate", "ache", "admire", "adore",
+    "aspire", "assemble", "attribute", "authenticate", "awe",
+    "backfire", "bale", "barge", "baste", "bite", "blaze", "boogie",
+    "bore", "bottle", "brace", "braise", "brake", "breeze", "bribe",
+    "bridge", "browse", "bruise", "budge", "bulge", "cache", "cage",
+    "cake", "calve", "carve", "cascade", "cease", "chafe",
+    "chance", "chime", "choke", "chrome", "cleanse", "clone",
+    "clue", "coerce", "coincide", "collapse", "collude",
+    "combine", "commence", "compose", "compute", "concede",
+    "confine", "confiscate", "conjure", "connote", "conserve",
+    "console", "contrive", "convince", "corrode", "couple", "course",
+    "crane", "crave", "cringe", "crinkle", "critique", "crumble",
+    "crusade", "curse", "curve", "dabble", "damage", "dangle", "daze",
+    "decelerate", "decode", "decompose", "decrease", "deduce", "defame",
+    "deflate", "defuse", "degrade", "delete", "delude", "demote",
+    "denote", "deplete", "deprive", "desecrate", "despise", "devote",
+    "diagnose", "dive", "divorce", "doodle", "dose", "douse", "downgrade",
+    "dangle", "drape", "drizzle", "drone", "dupe", "dwindle", "elope",
+    "elude", "embrace", "emigrate", "encase", "encode", "enforce",
+    "engage", "enrage", "enshrine", "entangle", "erase", "escape",
+    "estimate", "evoke", "examine", "excavate", "excuse", "expose",
+    "extradite", "exude", "fable", "fare", "fatigue", "faze",
+    "finagle", "finance", "flake", "flare", "fondle", "forage",
+    "forge", "fumble", "fume", "gauge", "gaze", "gesture", "glare",
+    "glaze", "gore", "gouge", "graze", "grate", "grimace", "grope",
+    "guzzle", "haggle", "hassle", "hibernate", "hinge", "hobble",
+    "hone", "hustle", "hype", "idle", "illuminate", "immerse",
+    "impale", "improvise", "incite", "indulge", "infringe", "intrude",
+    "jostle", "juggle", "jumble", "knuckle", "lace", "lapse", "lecture",
+    "liaise", "loathe", "lounge", "lure", "mangle",
+    "manufacture", "marinate", "massage", "mate", "meddle",
+    "menace", "microwave", "mime", "mistake", "muddle",
+    "mutilate", "muzzle", "nestle", "obligate", "oblige", "ooze",
+    "outline", "outpace", "outrage", "overrule", "overstate",
+    "pace", "package", "pasture", "perfume", "peruse",
+    "phase", "pirate", "plague", "pledge", "plume",
+    "plunge", "pollute", "pore", "pose", "postpone", "precede",
+    "preclude", "prescribe", "presage", "preside", "prize", "probe",
+    "procure", "profile", "pronounce", "prune", "puncture", "purchase",
+    "purse", "quake", "ramble", "rattle", "rave", "recharge",
+    "reconcile", "recreate", "recuse", "redefine", "redouble",
+    "reduce", "refine", "refuse", "rehearse", "reimburse", "rekindle",
+    "relapse", "relive", "rename", "renounce", "reorganize", "rephrase",
+    "reprise", "repute", "reschedule", "reshuffle", "restate",
+    "restructure", "reunite", "revere", "revile", "revise", "ridicule",
+    "rifle", "rinse", "ripple", "rouse", "rue", "rumble", "rummage",
+    "rupture", "sabotage", "sample", "scare", "scavenge", "schmooze",
+    "scrounge", "sculpture", "scuttle", "seethe", "seize", "serenade",
+    "shackle", "shame", "shuffle", "sideline", "sidle", "singe",
+    "sizzle", "skate", "smuggle", "snore", "snuggle", "spike",
+    "splice", "sprinkle", "squabble", "stake", "stampede", "stifle",
+    "stoke", "stone", "strangle", "stripe", "stroke", "subside",
+    "summarise", "surprise", "swindle", "tame", "tangle",
+    "taste", "tease", "telephone", "terrace", "thrive", "tile",
+    "tiptoe", "tolerate", "torture", "trample", "transpose", "tremble",
+    "undermine", "underscore", "underwrite", "untie", "upstage",
+    "venture", "wade", "wane", "waste", "wedge", "wheeze",
+    "whine", "wince", "wrinkle",
+]
+
+# --- round-6b: further -y verbs and -y adjectives ---------------------
+EXTRA_Y_VERBS_4 = [
+    "ally", "atrophy", "belly", "body", "curry", "decry", "descry",
+    "eddy", "espy", "harry", "jelly", "misapply", "miscarry", "muddy",
+    "query", "ready", "recertify", "reclassify", "remarry",
+    "reoccupy", "requalify", "resupply", "retry", "revivify",
+    "sally", "scarify", "transmogrify",
+]
+Y_ADJECTIVES_3 = [
+    "achy", "airy", "artsy", "baggy", "balmy", "bony", "bouncy",
+    "brawny", "briny", "bristly", "bulky", "burly", "bushy",
+    "buttery", "chalky", "chatty", "choppy", "clingy",
+    "comfy", "crabby", "creaky", "crumbly", "crunchy", "cuddly",
+    "dingy", "dowdy", "droopy", "dumpy", "earthy", "faulty",
+    "fidgety", "filthy", "fishy", "fizzy", "fleshy", "floppy",
+    "flowery", "fluffy", "foamy", "frilly", "frisky", "funky",
+    "furry", "fussy", "gassy", "gawky", "giddy", "glitzy", "gloopy",
+    "gooey", "goofy", "grassy", "greasy", "grouchy", "grubby",
+    "grungy", "gusty", "homely", "horny", "husky", "inky", "jerky",
+    "kinky", "knobby", "lacy", "leaky", "leggy", "limy", "loopy",
+    "mousy", "muggy", "musty", "nippy", "paltry", "pasty",
+    "peppy", "perky", "pesky", "petty", "plucky", "pointy", "portly",
+    "prickly", "puffy", "pulpy", "punchy", "raspy", "ratty", "ritzy",
+    "rosy", "runny", "sandy", "scaly", "scratchy", "scruffy",
+    "shady", "sketchy", "sly", "smoky", "snazzy",
+    "snooty", "soapy", "soupy", "spongy", "spotty",
+    "springy", "squishy", "starchy", "stealthy", "stocky",
+    "stringy", "stubby", "sulky", "surly", "swanky", "tatty",
+    "tawdry", "teary", "tinny", "twitchy", "wheezy", "whiny",
+    "wily", "wonky", "woody", "woolly", "yucky", "zesty",
+]
+
+# --- round-6b: further nouns ------------------------------------------
+EXTRA_NOUNS_4 = [
+    ("data", "datum"), ("media", "medium"), ("trivia", "trivium"),
+    ("opera", "opera"), ("insignia", "insigne"),
+    ("stamina", "stamina"), ("agenda", "agenda"),
+    ("propaganda", "propaganda"), ("memorabilia", "memorabilia"),
+    ("paraphernalia", "paraphernalia"), ("regalia", "regalia"),
+    ("marginalia", "marginalia"), ("militia", "militia"),
+    ("inertia", "inertia"), ("suburbia", "suburbia"),
+    ("utopia", "utopia"), ("academia", "academia"),
+    ("anesthesia", "anesthesia"), ("amnesia", "amnesia"),
+    ("nostalgia", "nostalgia"), ("hysteria", "hysteria"),
+    ("cafeteria", "cafeteria"),
+    ("chateaus", "chateau"), ("plateaus", "plateau"),
+    ("bureaus", "bureau"), ("tableaus", "tableau"),
+    ("beaux", "beau"), ("gateaux", "gateau"),
+    ("soliloquies", "soliloquy"), ("obsequies", "obsequy"),
+    ("colloquia", "colloquium"), ("effluvia", "effluvium"),
+    ("elysia", "elysium"), ("emporia", "emporium"),
+    ("encomia", "encomium"), ("planetaria", "planetarium"),
+    ("sanatoria", "sanatorium"), ("auditoria", "auditorium"),
+    ("crematoria", "crematorium"), ("sensoria", "sensorium"),
+    ("interregna", "interregnum"), ("opprobria", "opprobrium"),
+    ("vacua", "vacuum"), ("velaria", "velarium"),
+    ("scholia", "scholium"), ("trapezia", "trapezium"),
+    ("vivaria", "vivarium"), ("herbaria", "herbarium"),
+    ("rostra", "rostrum"), ("plectra", "plectrum"),
+    ("tympana", "tympanum"), ("fulcra", "fulcrum"),
+    ("labra", "labrum"), ("haustoria", "haustorium"),
+    ("sputa", "sputum"), ("scrota", "scrotum"),
+    ("frusta", "frustum"), ("vela", "velum"),
+    ("dicta", "dictum"), ("arcana", "arcanum"),
+    ("organa", "organum"), ("exempla", "exemplum"),
+    ("magi", "magus"), ("styli", "stylus"), ("stamens", "stamen"),
+    ("thrombi", "thrombus"), ("tori", "torus"),
+    ("umbilici", "umbilicus"), ("uteri", "uterus"),
+    ("calculi", "calculus"), ("abaci", "abacus"),
+    ("trochlei", "trochlea"), ("bronchi", "bronchus"),
+    ("hippopotami", "hippopotamus"), ("narcissi", "narcissus"),
+    ("obeli", "obelus"), ("platypi", "platypus"),
+    ("sarcophagi", "sarcophagus"), ("esophagi", "esophagus"),
+    ("lumina", "lumen"), ("foramina", "foramen"),
+    ("specimina", "specimen"),
+    ("corpses", "corpse"), ("eclipses", "eclipse"),
+    ("collapses", "collapse"), ("relapses", "relapse"),
+    ("glimpses", "glimpse"), ("lapses", "lapse"),
+    ("impulses", "impulse"), ("pulses", "pulse"),
+    ("horses", "horse"), ("houses", "house"), ("nurses", "nurse"),
+    ("purses", "purse"), ("causes", "cause"), ("clauses", "clause"),
+    ("pauses", "pause"), ("phrases", "phrase"), ("phases", "phase"),
+    ("praises", "praise"), ("premises", "premise"),
+    ("promises", "promise"), ("franchises", "franchise"),
+    ("exercises", "exercise"), ("enterprises", "enterprise"),
+    ("surprises", "surprise"), ("diseases", "disease"),
+    ("releases", "release"), ("increases", "increase"),
+    ("decreases", "decrease"), ("creases", "crease"),
+    ("leases", "lease"), ("cases", "case"),
+    ("vases", "vase"), ("chases", "chase"), ("doses", "dose"),
+    ("roses", "rose"), ("noses", "nose"), ("hoses", "hose"),
+    ("poses", "pose"), ("purposes", "purpose"),
+    ("courses", "course"), ("sources", "source"),
+    ("verses", "verse"), ("universes", "universe"),
+    ("expenses", "expense"), ("defenses", "defense"),
+    ("offenses", "offense"), ("licenses", "license"),
+    ("senses", "sense"), ("responses", "response"),
+    ("collages", "collage"), ("messages", "message"),
+]
+
+
 def main():
     with open(LEX, encoding="utf-8") as f:
         lines = [l.rstrip("\n") for l in f]
@@ -781,6 +1035,41 @@ def main():
         stem = a[:-1]
         add("a", f"{stem}ier", a)
         add("a", f"{stem}iest", a)
+
+    out.append("# --- generated: round-6b probe-driven identity -er/-est ---")
+    for w in sorted(set(IDENTITY_ER_3)):
+        add("a", w, w)
+    for w in sorted(set(VERB_ER_IDENTITY)):
+        add("a", w, w)
+    for w in sorted(set(IDENTITY_EST_2)):
+        add("a", w, w)
+
+    out.append("# --- generated: round-6b agent nominalizations ---")
+    for v in sorted(set(AGENT_VERBS)):
+        add("a", f"{v}er", f"{v}er")
+
+    out.append("# --- generated: round-6b silent-e -ed/-ing ---")
+    for v in sorted(set(EXTRA_E_VERBS_4)):
+        stem = v[:-1]
+        add("v", f"{stem}ed", v)
+        add("v", f"{stem}ing", v)
+
+    out.append("# --- generated: round-6b -y verbs ---")
+    for v in sorted(set(EXTRA_Y_VERBS_4)):
+        stem = v[:-1]
+        add("v", f"{stem}ied", v)
+        add("v", f"{stem}ies", v)
+        add("v", f"{v}ing", v)
+
+    out.append("# --- generated: round-6b -y adjective comparatives ---")
+    for a in sorted(set(Y_ADJECTIVES_3)):
+        stem = a[:-1]
+        add("a", f"{stem}ier", a)
+        add("a", f"{stem}iest", a)
+
+    out.append("# --- generated: round-6b noun widening ---")
+    for form, lemma in EXTRA_NOUNS_4:
+        add("n", form, lemma)
 
     with open(LEX, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
