@@ -21,18 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Requires `spark.sql.legacy.parquet.nanosAsLong=true` set at
-    * session build (Verify/Bench/test harness do this — a per-read
-    * `conf.set` here would be a racy side effect on shared session state).
-    * The raw long nanos are floor-converted to a microsecond TimestampType
-    * — the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
-    * keeping oracle comparisons aligned. Integer `div` (not `/`) avoids
-    * double-precision loss on ~1.7e18 ns.
+  /** events.ts has shipped as two encodings across testdata generations:
+    * parquet TIMESTAMP(NANOS) (reads as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Verify/Bench/test
+    * harness all set — Spark's vectorized reader rejects nanos otherwise)
+    * and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Dispatch on the
+    * scanned type so both load to the same microsecond TimestampType:
+    * long nanos are floor-divided (`div`, not `/` — double precision would
+    * lose bits on ~1.7e18 ns), matching DuckDB's TIMESTAMP_NS → TIMESTAMP
+    * truncation; NTZ micros cast 1:1 under the harness's UTC session zone.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
