@@ -59,67 +59,94 @@ object Dedup {
       |)""".stripMargin
 
   /** D1: exact n-gram Jaccard near-dup pairs (threshold 0.2) via an
-    * inverted shingle index with a DOC-FREQUENCY CAP: shingles appearing
-    * in more than `maxDfFrac` of all docs are dropped from the index
+    * inverted shingle index with an ABSOLUTE doc-frequency cap: shingles
+    * appearing in more than [[D1MaxDf]] docs are dropped from the index
     * BEFORE the self-join (a stop-word shingle pairs every doc with every
-    * doc — the classic hot-key explosion; round 2 without the cap ran
+    * doc — the classic hot-key explosion; round 2 without any cap ran
     * 45 s at sf0.1, dominated by common-shingle pairs that the Jaccard
-    * threshold then discarded). The hot set is found by one map-side-
-    * combined count per shingle and is tiny (bounded by 1/maxDfFrac ×
-    * skew), so it broadcasts into an anti-join — no extra big shuffle.
+    * threshold then discarded). The cap must be ABSOLUTE, not fractional:
+    * a fractional cap (rounds 2–6 used df > 10% of corpus) admits
+    * shingles whose df grows linearly with the corpus, so per-shingle
+    * pair fan-out grows quadratically — measured 4.1 s → 53.8 s when the
+    * docs fixture grew 10×. With df ≤ [[D1MaxDf]] the fan-out per kept
+    * shingle is ≤ D1MaxDf² and total candidate pairs ≤ D1MaxDf × kept
+    * postings — LINEAR in corpus size, the Broder (1997) / CCNet
+    * frequency-pruning practice. The hot set is found by one
+    * map-side-combined count per shingle and broadcasts into the tag
+    * join — no extra big shuffle.
     *
     * The cap prunes CANDIDATE GENERATION only; surviving pairs are
     * verified with the exact Jaccard over the FULL shingle sets (same
     * candidates-then-verify shape as d2), so reported VALUES are always
-    * exact. SMALL documents (≤ [[D1SmallDoc]] shingles) keep their hot
-    * shingles in the index: a short near-identical pair can overlap on
-    * stop-shingles alone (two tweet-length dups made of common phrases),
-    * and without retention it would never reach the verify stage — the
-    * hot-key explosion stays bounded because only small docs re-join on
-    * hot keys. The residual (documented) approximation: a pair where one
-    * side is LARGE and every shared shingle is hot is still skipped —
-    * for j ≥ 0.2 such a pair must share > n/6 corpus-stop-shingles,
-    * which is vocabulary overlap, not duplication (Broder 1997's
+    * exact. The pruning filter before that verify uses a PER-DOC sound
+    * bound: `h` = how many hot shingles a doc contains, so a pair's true
+    * intersection exceeds its capped count by at most min(h1, h2) —
+    * strictly tighter than the corpus-wide hot-count bound it replaces
+    * (which degrades to no pruning once the hot set is large, exactly
+    * the regime an absolute cap creates). SMALL documents
+    * (≤ [[D1SmallDoc]] shingles) keep their hot shingles in the index: a
+    * short near-identical pair can overlap on stop-shingles alone (two
+    * tweet-length dups made of common phrases), and without retention it
+    * would never reach the verify stage — the hot-key explosion stays
+    * bounded because only small docs re-join on hot keys. The residual
+    * (documented) approximation: a pair where one side is LARGE and
+    * every shared shingle is hot is still skipped — for j ≥ 0.2 such a
+    * pair must share > n/6 corpus-frequent shingles (each in > D1MaxDf
+    * other docs), which is vocabulary overlap, not duplication (Broder's
     * standard frequency-pruning argument). SPEC-PINNED: DedupSpec's
     * "documented residual" test plants exactly such a pair family and
     * asserts d1 skips it and nothing else (d2's capless MinHash path
     * is the recall complement for that class).
     */
   val D1SmallDoc = 10
+  val D1MaxDf = 64L
   def d1JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val maxDfFrac = 0.10
     val sh = shingleSets(s, dir).cache()
-    val nDocs = sh.count() // cached; cheap scalar for the absolute cap
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val hot = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(math.max(1L, (maxDfFrac * nDocs).toLong)))
+      .filter(col("df") > lit(D1MaxDf))
       .select(col("shingle"))
       .cache()
-    val nHot = hot.count() // tiny by construction (≤ 1/maxDfFrac × skew)
-    val kept = inv
-      .join(broadcast(hot.withColumn("is_hot", lit(1))), Seq("shingle"), "left")
-      .filter(col("is_hot").isNull || col("n") <= D1SmallDoc)
-      .drop("is_hot")
-    val common = kept
-      .select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
-      .join(kept.select(col("doc_id").as("id2"), col("n").as("n2"),
-        col("shingle")), Seq("shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("common"))
+    val nHot = hot.count() // corpus-frequent shingles; one small scalar job
     val result =
       if (nHot == 0L) {
-        // no shingle was capped → capped common IS the exact common
+        // no shingle was capped → the inverted-index common IS exact
+        val common = inv
+          .select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
+          .join(inv.select(col("doc_id").as("id2"), col("n").as("n2"),
+            col("shingle")), Seq("shingle"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+          .agg(count(lit(1)).as("common"))
         common.withColumn("j",
           col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       } else {
-        // a pair can share at most all nHot hot shingles beyond its
-        // capped common, so j ≤ (common+nHot)/(n1+n2-common-nHot) — prune
-        // with that sound bound, then verify survivors exactly against
-        // the full shingle sets (candidates-then-verify, like d2)
-        val ub = least(col("common") + lit(nHot),
+        val tagged = inv.join(
+          broadcast(hot.withColumn("is_hot", lit(1))), Seq("shingle"), "left")
+        // per-doc hot-shingle count: the capped index can hide at most
+        // h shared shingles from any pair this doc is part of
+        val hotCnt = tagged.groupBy(col("doc_id"))
+          .agg(sum(when(col("is_hot").isNotNull, 1L).otherwise(0L)).as("h"))
+        val kept = tagged
+          .filter(col("is_hot").isNull || col("n") <= D1SmallDoc)
+          .drop("is_hot")
+          .join(hotCnt, Seq("doc_id")) // co-partitioned on doc_id
+        val common = kept
+          .select(col("doc_id").as("id1"), col("n").as("n1"),
+            col("h").as("h1"), col("shingle"))
+          .join(kept.select(col("doc_id").as("id2"), col("n").as("n2"),
+            col("h").as("h2"), col("shingle")), Seq("shingle"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2"), col("n1"), col("n2"),
+            col("h1"), col("h2"))
+          .agg(count(lit(1)).as("common"))
+        // true common ≤ capped common + min(h1, h2) (a hidden shared
+        // shingle is hot in BOTH docs), and ≤ min(n1, n2); prune with
+        // that sound j upper bound, then verify survivors exactly
+        // against the full shingle sets (candidates-then-verify, d2)
+        val ub = least(col("common") + least(col("h1"), col("h2")),
           least(col("n1"), col("n2")).cast("long"))
         common
           .filter(ub.cast("double") / (col("n1") + col("n2") - ub) >= 0.2)
@@ -833,22 +860,30 @@ object Dedup {
     semDedup(all, SemDedupThr)
   }
 
-  /** D10: d9's pipeline under s2's deterministic first-16-centroid
+  /** D10: d9's pipeline under a deterministic first-k-centroid
     * quantizer, which makes the WHOLE flow (assign → cell-local pair
     * scan → drop higher id → anti-join) SQL-twinnable and hash-checked —
     * including the drop path, which executes at both fixture scales
     * because [[SemDedupThr]] sits below the max intra-cell cosine. This
     * is the oracle-equivalence variant; the declared scale path is d9's
-    * trained quantizer (a fixed cell count would leave each cell N/16
-    * wide — quadratic, merely rescaled).
+    * trained quantizer.
+    *
+    * The cell count is CORPUS-PROPORTIONAL, d9's rule: k = max(16,
+    * ⌈n/256⌉), so expected cell width stays ≤ ~256 vectors as the corpus
+    * grows and the cell-local self-join stays linear-in-n. (Rounds 2–6
+    * fixed k = 16, which left each cell n/16 wide — the within-cell pair
+    * scan was quadratic, merely rescaled; the 10× fixture regen measured
+    * it 26× slower.) The rule is a pure integer expression of count(*),
+    * so the DuckDB twin states it verbatim and the hash check covers it.
     */
   def d10SemDedupFixed(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
-    val NCELL = 16
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val cents = all.filter(col("vec_id") < NCELL)
+      .cache() // scalar count + centroid filter + assignment all read it
+    val nCell = math.max(16L, (all.count() + 255L) / 256L)
+    val cents = all.filter(col("vec_id") < nCell)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val assigned = all.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
@@ -873,7 +908,8 @@ object Dedup {
   val d10Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+      |k AS (SELECT greatest(16, (count(*) + 255) // 256) AS k FROM n),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n, k WHERE vec_id < k.k),
       |sims AS (
       |  SELECT a.vec_id, c.cent_id,
       |         round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6) AS cs

@@ -716,8 +716,8 @@ object Topics {
       |  ) GROUP BY 1
       |)
       |SELECT t.bucket,
-      |  sum(t.b_tokens) OVER (ORDER BY t.bucket) AS cum_tokens,
-      |  sum(coalesce(f.b_new_words, 0)) OVER (ORDER BY t.bucket) AS cum_vocab
+      |  sum(t.b_tokens) OVER (ORDER BY t.bucket)::BIGINT AS cum_tokens,
+      |  sum(coalesce(f.b_new_words, 0)) OVER (ORDER BY t.bucket)::BIGINT AS cum_vocab
       |FROM tpb t LEFT JOIN fs f ON t.bucket = f.bucket
       |ORDER BY t.bucket""".stripMargin
 

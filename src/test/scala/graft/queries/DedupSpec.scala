@@ -42,15 +42,15 @@ class DedupSpec extends AnyFunSuite {
 
   test("d1 hot-shingle cap branch stays exact when a shingle exceeds the df cap") {
     // synthetic corpus where one shingle ("hot hot hot") is in EVERY doc
-    // (df = 100% > 10% cap → nHot > 0 → the bounded-verify branch runs);
-    // docs 0/1 are near-identical, the rest are disjoint apart from the
-    // hot shingle
+    // (df = 80 > D1MaxDf = 64 → nHot > 0 → the bounded-verify branch
+    // runs); docs 0/1 are near-identical, the rest are disjoint apart
+    // from the hot shingle
     val mkDoc = (i: Int, words: Seq[String]) =>
       (i.toLong, ("hot hot hot " + words.mkString(" ")))
     val docs = Seq(
       mkDoc(0, (0 until 30).map(k => s"a$k")),
       mkDoc(1, (0 until 30).map(k => if (k == 17) "zzz" else s"a$k")),
-    ) ++ (2 until 20).map(i => mkDoc(i, (0 until 30).map(k => s"u${i}_$k")))
+    ) ++ (2 until 80).map(i => mkDoc(i, (0 until 30).map(k => s"u${i}_$k")))
     val tmp = java.nio.file.Files.createTempDirectory("d1hot").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
@@ -73,18 +73,19 @@ class DedupSpec extends AnyFunSuite {
 
   test("d1 documented residual: all-hot intersection between large docs is skipped") {
     // Pin the ONE approximation d1's scaladoc documents (the Broder
-    // frequency-pruning residual): docs 0..3 share a 16-word block, so
-    // every shared shingle has df = 4 > the 10% cap over 20 docs (hot),
-    // and all four docs are LARGE (> D1SmallDoc shingles) — their
-    // pairwise Jaccard is real (≈0.26 ≥ 0.2) but consists of hot
+    // frequency-pruning residual): docs 0..69 share a 16-word block, so
+    // every block shingle has df = 70 > the absolute cap D1MaxDf = 64
+    // (hot), and all seventy docs are LARGE (> D1SmallDoc shingles) —
+    // their pairwise Jaccard is real (≈0.26 ≥ 0.2) but consists of hot
     // shingles only, so the pairs never reach candidate generation.
     // d1 must (a) skip exactly those pairs and (b) stay exact on
     // everything else. The miss class is corpus-frequent-phrase
     // overlap, which d2's capless MinHash path covers at its threshold.
+    val nBlock = 70
     val block = (0 until 16).map(k => s"c$k").mkString(" ")
-    val docs = (0 until 4).map(i =>
+    val docs = (0 until nBlock).map(i =>
       (i.toLong, block + " " + (0 until 20).map(k => s"u${i}_$k").mkString(" "))) ++
-      (4 until 20).map(i =>
+      (nBlock until nBlock + 16).map(i =>
         (i.toLong, (0 until 34).map(k => s"v${i}_$k").mkString(" ")))
     val tmp = java.nio.file.Files.createTempDirectory("d1big").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
@@ -98,7 +99,8 @@ class DedupSpec extends AnyFunSuite {
       j = inter.toDouble / (s1.size + s2.size - inter)
       if j >= 0.2
     } yield (i1, i2)).toSet
-    val residual = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toSet
+    val residual = (for (a <- 0L until nBlock; b <- 0L until nBlock if a < b)
+      yield (a, b)).toSet
     assert(residual.subsetOf(exp), "fixture must plant qualifying large pairs")
     // all four docs exceed the small-doc retention bound
     sets.take(4).foreach { case (id, s) =>

@@ -54,14 +54,29 @@ class PlansSpec extends AnyFunSuite {
   }
 
   test("d1's hot-shingle cap applies via a broadcast join, not a shuffle") {
-    // the hot set now joins as a broadcast LEFT join with an is_hot
-    // marker (small docs retain hot shingles); the cap must never cost
-    // a corpus-scale shuffle
-    val plan = executedPlan(Dedup.d1JaccardPairs(spark, dir))
+    // exercised on a synthetic corpus whose shared shingle exceeds the
+    // ABSOLUTE cap (df = 80 > D1MaxDf = 64) — the fixture corpora are
+    // too small to produce a hot shingle under an absolute cap, and the
+    // nHot == 0 fast path intentionally has no tag join to pin. The hot
+    // set joins as a broadcast LEFT join with an is_hot marker (small
+    // docs retain hot shingles); the cap must never cost a corpus-scale
+    // shuffle
+    import spark.implicits._
+    val docs = (0 until 80).map(i =>
+      (i.toLong, "hot hot hot " + (0 until 30).map(k => s"u${i}_$k").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("d1plan").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val plan = executedPlan(Dedup.d1JaccardPairs(spark, tmp))
     assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined,
       "hot-shingle marker join is not a broadcast left join")
     assert(!"SortMergeJoin.*LeftOuter".r.findFirstIn(plan).isDefined,
       "hot-shingle cap degraded to a shuffle join")
+    // the nHot == 0 fast path on the real fixture must stay join-lean:
+    // no outer tag join at all (the cap costs nothing when nothing is hot)
+    val fast = executedPlan(Dedup.d1JaccardPairs(spark, dir))
+    assert(!"LeftOuter".r.findFirstIn(fast).isDefined,
+      "nHot==0 path still pays the hot-tag join")
   }
 
   test("x2 extraction runs on xml_fields, never per-field xpath") {
