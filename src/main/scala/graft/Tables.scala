@@ -32,12 +32,20 @@ object Tables {
     * truncation; NTZ micros cast 1:1 under the harness's UTC session zone.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
+      case TimestampNTZType | TimestampType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail loudly: a silent cast of an unexpected encoding (string,
+        // double, ...) would produce nulls and surface as downstream
+        // oracle mismatches instead of a clear load error
+        throw new IllegalStateException(
+          s"events.ts scanned as unsupported type $other; expected " +
+            "LONG (nanos under nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -154,4 +154,40 @@ class QueriesSpec extends AnyFunSuite {
       assert(p50 <= p90 && p90 <= p99, s"$et percentile ordering broken")
     }
   }
+
+  test("Tables.events loads both shipped ts encodings to identical micros") {
+    // The testdata generator has flip-flopped events.ts between parquet
+    // TIMESTAMP(NANOS) (scanned as a raw nanosecond LONG under the
+    // harness's nanosAsLong flag) and TIMESTAMP(MICROS)/NTZ. Pin the
+    // dispatch: the same instants written in each encoding must load to
+    // the same microsecond timestamps, and an unexpected encoding must
+    // fail loudly instead of silently casting to nulls.
+    import java.nio.file.Files
+    import spark.implicits._
+    val micros = Seq(1700000000123456L, 1700000111222333L, 1711111111999999L)
+    val base = Files.createTempDirectory("events_enc").toString
+
+    val nanosDir = s"$base/nanos"
+    micros.map(m => m * 1000L).toDF("ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .write.parquet(s"$nanosDir/events.parquet")
+    val ntzDir = s"$base/ntz"
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .withColumn("event_id", monotonically_increasing_id())
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    def loaded(d: String): Seq[Long] =
+      Tables.events(spark, d).select(unix_micros(col("ts")))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(loaded(nanosDir) == micros, "nanos-as-long path mangled instants")
+    assert(loaded(ntzDir) == micros, "NTZ micros path mangled instants")
+
+    val badDir = s"$base/bad"
+    Seq("2023-11-14 22:13:20").toDF("ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .write.parquet(s"$badDir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, badDir))
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+  }
 }
