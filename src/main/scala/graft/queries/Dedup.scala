@@ -1090,6 +1090,59 @@ object Dedup {
       |FROM toks t LEFT JOIN per p USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** D15: cluster-representative selection — for every d7 near-dup
+    * cluster, keep the BEST-QUALITY member (t10's score; ties break to
+    * the smallest doc_id), not an arbitrary min-id survivor. This is
+    * the curation-stack refinement of "drop all but one": when a dup
+    * cluster mixes a clean original with boilerplate-injected copies,
+    * the quality-priority representative is the one worth training on
+    * (the practice in CCNet-style dedup, which keeps the best-perplexity
+    * member of each cluster).
+    *
+    * 100 TB shape: d7's star-contraction labels (O(log n) keyed-shuffle
+    * rounds) + t10's map-only quality pass, joined co-partitioned on
+    * doc_id, then ONE map-side-combined max_by per cluster — the argmax
+    * never shuffles document text, only (cluster, doc_id, quality)
+    * triples. Fully SQL-twinnable because both the label (min reachable
+    * id) and the quality score are deterministic.
+    */
+  def d15ClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val labels = d7DupClusters(s, dir)
+    val quality = graft.queries.Text.t10QualityScore(s, dir)
+    labels.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("members"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("rep_id"),
+        max(col("quality")).as("rep_quality"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Twin: d7's recursive-CTE labels nested as one CTE (DuckDB allows a
+    * WITH RECURSIVE inside a CTE body — the d7-in-base device), t10's
+    * quality chain nested as another, argmax via row_number.
+    */
+  val d15Sql: String = {
+    val lbl = d7Sql.substring(0, d7Sql.lastIndexOf("ORDER BY"))
+    s"""WITH lbl AS (
+       |$lbl
+       |), qual AS (
+       |${graft.queries.Text.t10Sql}
+       |), j AS (
+       |  SELECT l.cluster, l.doc_id, q.quality
+       |  FROM lbl l JOIN qual q USING (doc_id)
+       |)
+       |SELECT cluster, members, doc_id AS rep_id, quality AS rep_quality
+       |FROM (
+       |  SELECT cluster, doc_id, quality,
+       |    count(*) OVER (PARTITION BY cluster)::BIGINT AS members,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY quality DESC, doc_id) AS rn
+       |  FROM j)
+       |WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -1105,6 +1158,7 @@ object Dedup {
     "d12_overlap_decontaminate" -> (d12OverlapDecontaminate _),
     "d13_semantic_decontaminate" -> (d13SemanticDecontaminate _),
     "d14_substr_spans" -> (d14SubstrSpans _),
+    "d15_cluster_reps" -> (d15ClusterReps _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1123,5 +1177,6 @@ object Dedup {
     "d12_overlap_decontaminate" -> d12Sql,
     "d13_semantic_decontaminate" -> d13Sql,
     "d14_substr_spans" -> d14Sql,
+    "d15_cluster_reps" -> d15Sql,
   )
 }

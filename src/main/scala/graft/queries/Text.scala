@@ -881,6 +881,59 @@ object Text {
       |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** T26: deterministic temperature-rebalanced mix sampling — realize
+    * m17's source weights as an actual subsample. Source i keeps each
+    * document at rate min(1, w_i · T / c_i), where T = [[MixSampleFrac]]
+    * × total corpus tokens is the target budget, w_i the m17 weight and
+    * c_i the source's token count — i.e. expected kept tokens per source
+    * ∝ w_i, which IS the mT5/XLM-R temperature-sampling step run as a
+    * batch op: the output is the training mix. Per-document keep/drop
+    * uses the t20 md5-bucket device (content-stable, so the same doc is
+    * kept or dropped identically on every run and on both engines), NOT
+    * rand() — resumable curation needs replayable sampling.
+    *
+    * 100 TB shape: the rate table is |sources| rows and broadcasts; the
+    * corpus pass is map-only (hash + compare fused into the scan), no
+    * shuffle at all beyond m17's bounded aggregation. Double math is
+    * twin-safe: w_i is already on the 1e-6 round grid, sqrt/÷/× are
+    * IEEE-identical, and the floor(rate·1e6) integer compare is the
+    * proven t20 boundary device.
+    */
+  val MixSampleFrac = 0.5
+  def t26MixSample(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.queries.Topics.m17SourceMix(s, dir)
+    val tot = w.agg(sum(col("tokens")).as("tt"))
+    val rates = w.crossJoin(tot).select(col("source"),
+      least(lit(1.0),
+        col("weight") * lit(MixSampleFrac) * col("tt") / col("tokens"))
+        .as("rate"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    Tables.documents(s, dir)
+      .join(broadcast(rates), Seq("source"))
+      .filter(bucket < floor(col("rate") * 1000000).cast("long"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t26Sql: String = {
+    val mix = graft.queries.Topics.m17Sql
+    val core = mix.substring(0, mix.lastIndexOf("ORDER BY"))
+    s"""WITH w AS (
+       |$core
+       |), tot AS (SELECT sum(tokens)::BIGINT AS tt FROM w),
+       |r AS (
+       |  SELECT source,
+       |    least(1.0, weight * $MixSampleFrac * tt / tokens) AS rate
+       |  FROM w, tot
+       |)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN r USING (source)
+       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+       |      < CAST(floor(rate * 1000000) AS BIGINT)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -907,6 +960,7 @@ object Text {
     "t23_leakage_safe_split" -> (t23LeakageSafeSplit _),
     "t24_gram_novelty" -> (t24GramNovelty _),
     "t25_c4_filter" -> (t25C4Filter _),
+    "t26_mix_sample" -> (t26MixSample _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -935,6 +989,7 @@ object Text {
     "t23_leakage_safe_split" -> t23Sql,
     "t24_gram_novelty" -> t24Sql,
     "t25_c4_filter" -> t25Sql,
+    "t26_mix_sample" -> t26Sql,
   )
 
   lazy val t12Sql: String =

@@ -774,6 +774,56 @@ object Topics {
       |  round(sum(y)::DOUBLE / sum(b), 6) AS bytes_per_token
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** M17: temperature-smoothed source-mixing weights — the dataset-card
+    * "sampling ratio" table that decides how much of each source a
+    * training run draws: weight_i = √c_i / Σ_j √c_j over per-source
+    * token counts (t9's alnum-run convention). Exponent α = 0.5
+    * (sampling temperature T = 1/α = 2) is the standard multilingual-
+    * pretraining rebalancing: low-token sources are up-weighted relative
+    * to their raw share so the head sources don't drown them. α = 0.5
+    * specifically because IEEE 754 defines sqrt as correctly rounded —
+    * both engines produce bit-identical weights, so the twin is
+    * hash-checkable (pow with an arbitrary fractional exponent is NOT
+    * correctly rounded and could drift across libm implementations).
+    * The Σ√c normalizer folds in source-sorted order (the m11 device),
+    * making the double sum order-independent.
+    *
+    * 100 TB shape: one map-side-combined |sources|-row aggregation (the
+    * token counting fuses into the scan); the fold runs over the bounded
+    * policy table (sources are dozens, not millions — the
+    * Topics.scala:668 single-partition-window doctrine).
+    */
+  def m17SourceMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text")).cast("long")).as("tokens"))
+    val norm = per.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"), col("tokens")))),
+          x => sqrt(x.getField("tokens").cast("double"))),
+        lit(0.0), (a, x) => a + x).as("z"))
+    per.crossJoin(norm)
+      .select(col("source"), col("tokens"),
+        round(sqrt(col("tokens").cast("double")) / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val m17Sql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT AS tokens
+      |  FROM documents GROUP BY 1
+      |), z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list(tokens ORDER BY source), x -> sqrt(x::DOUBLE))),
+      |    (a, x) -> a + x) AS z
+      |  FROM s
+      |)
+      |SELECT source, tokens, round(sqrt(tokens::DOUBLE) / z.z, 6) AS weight
+      |FROM s, z ORDER BY source""".stripMargin
+
   /** M9: vocabulary coverage / OOV rate — per document, the fraction of
     * raw cleaned tokens (pre stop-word/length filtering) that fall
     * outside the minDF/maxDF modeling vocabulary. The standard tokenizer-
@@ -964,6 +1014,7 @@ object Topics {
     "m14_zipf_slope" -> (m14ZipfSlope _),
     "m15_heaps_growth" -> (m15HeapsGrowth _),
     "m16_fertility" -> (m16Fertility _),
+    "m17_source_mix" -> (m17SourceMix _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -976,5 +1027,6 @@ object Topics {
     "m14_zipf_slope" -> m14Sql,
     "m15_heaps_growth" -> m15Sql,
     "m16_fertility" -> m16Sql,
+    "m17_source_mix" -> m17Sql,
   )
 }

@@ -364,6 +364,24 @@ class DedupSpec extends AnyFunSuite {
     assert(d9 > 0 && d9 <= in)
   }
 
+  test("d15 picks the max-quality member per cluster, min-id on ties") {
+    val labels = Dedup.d7DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = Text.t10QualityScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exp = labels.groupBy(_._2).map { case (cluster, members) =>
+      val ms = members.map(_._1)
+      // max quality, ties to smallest doc_id
+      val rep = ms.minBy(id => (-quality(id), id))
+      cluster -> (ms.length.toLong, rep, quality(rep))
+    }
+    val got = Dedup.d15ClusterReps(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == exp)
+    assert(exp.nonEmpty, "fixture must produce at least one dup cluster")
+  }
+
   test("d7 clusters equal brute-force union-find over the d2 pair graph") {
     val pairs = Dedup.d2MinHashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -231,4 +231,52 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(out.size == embs.map(_._1).distinct.length * dims)
   }
+
+  test("m17 weights: sum to 1, temperature-flattened vs raw token share") {
+    val rows = Topics.m17SourceMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == docs.map(_._4).distinct.length)
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // sqrt-temperature COMPRESSES shares: the max/min weight ratio must
+    // sit strictly between 1 and the raw token-share ratio (the whole
+    // point of sampling-temperature rebalancing), and equal √ of it
+    val (cMax, cMin) = (rows.map(_._2).max, rows.map(_._2).min)
+    val (wMax, wMin) = (rows.map(_._3).max, rows.map(_._3).min)
+    assert(cMax > cMin, "fixture sources are exactly uniform — test is vacuous")
+    val rawRatio = cMax.toDouble / cMin
+    val wRatio = wMax / wMin
+    assert(wRatio < rawRatio && wRatio > 1.0, s"$wRatio vs raw $rawRatio")
+    assert(math.abs(wRatio - math.sqrt(rawRatio)) < 1e-3)
+    // monotone: more tokens never means less weight
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array((_, _, w1), (_, _, w2)) =>
+      assert(w2 >= w1 - 1e-9)
+    }
+  }
+
+  test("t26 mix sample equals driver-side replay of rate table + md5 device") {
+    val weights = Topics.m17SourceMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val totTokens = weights.map(_._2).sum
+    val rate = weights.map { case (src, toks, w) =>
+      src -> math.min(1.0, w * Text.MixSampleFrac * totTokens / toks)
+    }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = docs.flatMap { case (id, _, _, src) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.take(8), 16) % 1000000L
+      if (bucket < math.floor(rate(src) * 1000000).toLong) Some((id, src))
+      else None
+    }.toSet
+    val got = Text.t26MixSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp)
+    // the sample must actually subsample (budget < corpus) yet keep
+    // every source represented at these fixture sizes
+    assert(got.size < docs.length)
+    assert(got.map(_._2) == docs.map(_._4).toSet,
+      "a source fell out of the mix entirely")
+  }
 }
