@@ -37,7 +37,8 @@ object PosLemma {
     "toward", "towards", "against", "along", "across", "behind", "beyond",
     "except", "despite", "among", "amid", "via", "per")
   private val conjunctions = Set("and", "or", "but", "nor", "so", "yet",
-    "although", "because", "if", "while", "unless", "whereas", "though")
+    "although", "because", "if", "while", "unless", "whereas", "though",
+    "whether")
   private val pronouns = Set("i", "you", "he", "she", "it", "we", "they",
     "me", "him", "her", "us", "them", "my", "your", "his", "its", "our",
     "their", "mine", "yours", "hers", "ours", "theirs", "myself",

@@ -152,6 +152,34 @@ class PosLemmaSpec extends AnyFunSuite {
     assert(lemmatize("seized", "VBD") == "seize")
     assert(lemmatize("plunging", "VBG") == "plunge")
     assert(lemmatize("queried", "VBD") == "query")
+  }
+
+  test("round-7 widening: golden-corpus probe families") {
+    // silent-e gerunds ("living" -> "liv" before the round-7 table)
+    assert(lemmatize("living", "VBG") == "live")
+    assert(lemmatize("driving", "VBG") == "drive")
+    assert(lemmatize("leaving", "VBG") == "leave")
+    assert(lemmatize("starving", "VBG") == "starve")
+    // participial adjectives the VBD route mangled
+    assert(lemmatize("bereaved", "VBD") == "bereave")
+    assert(lemmatize("unsolved", "VBD") == "unsolved")
+    // -er/-est nouns and UK proper nouns off the comparative route
+    assert(lemmatize("manchester", "JJR") == "manchester") // was "manchest"
+    assert(lemmatize("newspaper", "JJR") == "newspaper")   // was "newspap"
+    assert(lemmatize("inquest", "JJS") == "inquest")       // was "inqu"
+    assert(lemmatize("tower", "JJR") == "tower")
+    assert(lemmatize("forever", "JJR") == "forever")
+    // silent-e adjective comparatives
+    assert(lemmatize("largest", "JJS") == "large")         // was "larg"
+    assert(lemmatize("closer", "JJR") == "close")          // was "clos"
+    assert(lemmatize("safest", "JJS") == "safe")
+    // invariant / proper-noun -s forms off the plural route
+    assert(lemmatize("wales", "NN") == "wales")            // was "wale"
+    assert(lemmatize("thames", "NN") == "thames")          // was "thame"
+    assert(lemmatize("olympics", "NN") == "olympics")
+    assert(lemmatize("commons", "NN") == "commons")
+    // "whether" joined the closed conjunction class (dropped, like NLTK)
+    assert(posTag("whether") == "CC" && !keep("CC"))
     // deliberate original mappings still win over identity widening
     assert(lemmatize("upper", "JJR") == "up")
     assert(lemmatize("latter", "JJR") == "late")

@@ -918,6 +918,85 @@ EXTRA_NOUNS_4 = [
 ]
 
 
+# --- round-7: probe-driven widening (tools LemmaProbe over the golden
+# corpus title vocabulary, freq >= 2 divergences curated by hand) ------
+# silent-e verbs whose gerunds the -ing rule truncates ("living"->"liv")
+R7_E_VERBS = [
+    "live", "leave", "give", "drive", "starve", "pave", "shelve",
+    "carve", "weave", "glaze", "graze", "thrive", "strive",
+]
+# participial adjectives the VBD route mangles; NLTK tags them JJ
+R7_VERB_PAIRS = [
+    ("bereaved", "bereave"), ("unsolved", "unsolved"),
+    ("beloved", "beloved"), ("renowned", "renowned"),
+]
+# -er/-est NOUNS and proper nouns the comparative stripper mangles
+# ("manchester"->"manchest", "inquest"->"inqu"); identity entries
+R7_IDENTITY_ER = [
+    "manchester", "newspaper", "leicester", "inquest", "starmer",
+    "tower", "gloucester", "doncaster", "worcester", "pincher",
+    "footballer", "biker", "twitter", "colchester", "manslaughter",
+    "dover", "campaigner", "carer", "cricketer", "westminster",
+    "murderer", "adviser", "ulster", "transgender", "griner", "litter",
+    "takeover", "handover", "chester", "cyber", "fundraiser",
+    "jennifer", "danger", "kidderminster", "humber", "blunder",
+    "alexander", "abuser", "harvester", "makeover", "rayner", "sewer",
+    "ryder", "thatcher", "bridgwater", "lancaster", "youtuber",
+    "firefighter", "fraudster", "alzheimer", "taser", "forever",
+    "undercover", "christopher", "dorchester", "cirencester", "parker",
+    "cooper", "fletcher", "prayer", "ullswater", "underwater",
+    "minster", "traveller", "carter", "camber", "roger", "ladybower",
+    "topper", "belper", "accuser", "gower", "whistleblower",
+    "headliner", "mckeever", "sufferer", "wildflower", "unrest",
+    "wastewater", "paddleboarder", "sunflower", "rollercoaster",
+    "harper", "cromer", "oliver", "holidaymaker", "pinner",
+    "stepfather", "uncover", "barrister", "caretaker", "gallagher",
+    "tiktoker", "helier", "winchester", "leaver", "barber", "trekker",
+    "diver", "clipper", "stranraer", "granddaughter", "fertiliser",
+    "otter", "bieber", "weightlifter", "crater", "customer", "tipper",
+    "hairdresser", "brancaster", "butter", "ferrier", "wagner",
+    "scrambler", "pensioner", "bolsover", "forrest", "natwest",
+    "rimmer", "tyler", "reconsider", "byker", "lister", "axminster",
+    "hoarder", "haulier", "xavier", "tether", "voucher", "warner",
+    "upfest", "hanover", "bowler", "skinner", "bulger", "poacher",
+    "changer", "lifesaver", "vlogger", "pfizer", "midsomer",
+    "bulldozer", "manger", "freshwater", "balwinder", "organiser",
+    "londoner", "fiddler", "trafficker", "breaker", "brewster",
+    "emmer", "hurler", "caister", "wafer", "upper", "rioter", "esher",
+    "freediver", "spotter", "lineker", "jagger", "alder", "wynter",
+    "heckler", "godfather", "domer", "liner", "digger", "rainforest",
+    "flyover", "repairer", "launderer", "wingwalker", "kielder",
+    "golfer", "connswater", "grainger", "bower", "seamer", "exeter",
+]
+# silent-e adjectives whose -er/-est the stripper truncates
+# ("largest"->"larg", "closer"->"clos")
+R7_E_ADJECTIVES = [
+    "large", "close", "safe", "nice", "wide", "rare", "pure", "brave",
+    "simple", "gentle", "loose", "dense", "wise", "pale", "ripe",
+    "rude", "late", "fine", "white", "stale", "able", "noble", "idle",
+    "sparse", "scarce", "severe", "sincere", "mature", "secure",
+]
+# invariant / proper-noun -s forms the plural rule mangles
+# ("wales"->"wale", "thames"->"thame"), plus -ses restorations
+R7_NOUN_PAIRS = [
+    ("wales", "wales"), ("leeds", "leeds"), ("james", "james"),
+    ("midlands", "midlands"), ("thames", "thames"),
+    ("phillips", "phillips"), ("jones", "jones"),
+    ("commons", "commons"), ("williams", "williams"),
+    ("hughes", "hughes"), ("andrews", "andrews"),
+    ("olympics", "olympics"), ("paralympics", "paralympics"),
+    ("evans", "evans"), ("rogers", "rogers"),
+    ("hastings", "hastings"), ("jenkins", "jenkins"),
+    ("athens", "athens"), ("stevens", "stevens"), ("rees", "rees"),
+    ("roberts", "roberts"), ("afrikaans", "afrikaans"),
+    ("euromillions", "euromillions"), ("starbucks", "starbucks"),
+    ("brussels", "brussels"), ("naples", "naples"),
+    ("davies", "davies"), ("wilkins", "wilkins"),
+    ("hopkins", "hopkins"), ("watkins", "watkins"),
+    ("perkins", "perkins"), ("exposes", "expose"),
+]
+
+
 def main():
     with open(LEX, encoding="utf-8") as f:
         lines = [l.rstrip("\n") for l in f]
@@ -1069,6 +1148,32 @@ def main():
 
     out.append("# --- generated: round-6b noun widening ---")
     for form, lemma in EXTRA_NOUNS_4:
+        add("n", form, lemma)
+
+    out.append("# --- generated: round-7 silent-e gerunds ---")
+    for v in sorted(set(R7_E_VERBS)):
+        stem = v[:-1]
+        add("v", f"{stem}ed", v)
+        add("v", f"{stem}ing", v)
+
+    out.append("# --- generated: round-7 participial adjectives ---")
+    for form, lemma in R7_VERB_PAIRS:
+        if ("v", form) not in existing:
+            existing.add(("v", form))
+            out.append(f"v\t{form}\t{lemma}")
+
+    out.append("# --- generated: round-7 probe-driven identity -er/-est ---")
+    for w in sorted(set(R7_IDENTITY_ER)):
+        add("a", w, w)
+
+    out.append("# --- generated: round-7 silent-e adjective comparatives ---")
+    for a in sorted(set(R7_E_ADJECTIVES)):
+        stem = a[:-1]
+        add("a", f"{stem}er", a)
+        add("a", f"{stem}est", a)
+
+    out.append("# --- generated: round-7 invariant -s nouns ---")
+    for form, lemma in R7_NOUN_PAIRS:
         add("n", form, lemma)
 
     with open(LEX, "w", encoding="utf-8") as f:
