@@ -774,24 +774,27 @@ object Topics {
       |  round(sum(y)::DOUBLE / sum(b), 6) AS bytes_per_token
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** M17: temperature-smoothed source-mixing weights — the dataset-card
-    * "sampling ratio" table that decides how much of each source a
-    * training run draws: weight_i = √c_i / Σ_j √c_j over per-source
-    * token counts (t9's alnum-run convention). Exponent α = 0.5
-    * (sampling temperature T = 1/α = 2) is the standard multilingual-
-    * pretraining rebalancing: low-token sources are up-weighted relative
-    * to their raw share so the head sources don't drown them. α = 0.5
-    * specifically because IEEE 754 defines sqrt as correctly rounded —
-    * both engines produce bit-identical weights, so the twin is
-    * hash-checkable (pow with an arbitrary fractional exponent is NOT
-    * correctly rounded and could drift across libm implementations).
-    * The Σ√c normalizer folds in source-sorted order (the m11 device),
-    * making the double sum order-independent.
+  /** M17: TOKEN-budget source-mixing weights — the token-denominated
+    * sibling of q31's doc-count temperature mixture: weight_i =
+    * √c_i / Σ_j √c_j where c_i is the source's TOKEN count (t9's
+    * alnum-run convention), because pretraining budgets (and therefore
+    * the mix a sampler must realize) are token-denominated, not
+    * doc-denominated — two sources with equal doc counts but 5× average
+    * length must not sample equally. Exponent α = 0.5 (sampling
+    * temperature T = 1/α = 2) is the standard multilingual-pretraining
+    * rebalancing; α = 0.5 specifically because IEEE 754 defines sqrt as
+    * correctly rounded — both engines produce bit-identical weights, so
+    * the twin is hash-checkable (pow with an arbitrary fractional
+    * exponent is NOT correctly rounded and could drift across libm
+    * implementations).
     *
-    * 100 TB shape: one map-side-combined |sources|-row aggregation (the
-    * token counting fuses into the scan); the fold runs over the bounded
-    * policy table (sources are dozens, not millions — the
-    * Topics.scala:668 single-partition-window doctrine).
+    * Unlike q31 (driver fold over a collected ≤|sources| table — fine
+    * for a planning query), m17 stays fully distributed: the normalizer
+    * folds INSIDE one aggregation in source-sorted order (the m11
+    * device, order-independent doubles), so the same frame feeds t26's
+    * sampler without a driver round-trip. 100 TB shape: one
+    * map-side-combined |sources|-row aggregation, token counting fused
+    * into the scan.
     */
   def m17SourceMix(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenCount
