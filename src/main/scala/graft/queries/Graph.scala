@@ -86,7 +86,14 @@ object Graph {
       nodeTol: Double = PrNodeTol): (DataFrame, Int) = {
     val n = nodes.count()
     val tol = nodeTol * n
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the edge list and degree table are STATIC across rounds — pin both
+    // once (r7: each round's checkpoint job was otherwise re-running the
+    // edge derivation incl. its distinct() shuffle and the degree
+    // groupBy, ~2 redundant shuffles × rounds; at cluster scale this is
+    // the difference between O(1) and O(rounds) passes over the graph)
+    val eEdges = Checkpoints.eager(edges)
+    val outDeg = Checkpoints.eager(
+      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var ranks = Checkpoints.eager(
       nodes.select(col("id"), lit(1.0 / n).as("rank")))
     var it = 0
@@ -96,11 +103,11 @@ object Graph {
       // agg cross-joined in), so each round is one full job — the
       // checkpoint materialization — plus a cached-block delta scan
       val dangling = ranks.df
-        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .join(outDeg.df.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
-      val contribs = edges
+      val contribs = eEdges.df
         .join(ranks.df.select(col("id").as("src"), col("rank")), Seq("src"))
-        .join(outDeg, Seq("src"))
+        .join(outDeg.df, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
       val next = Checkpoints.eager(
@@ -116,6 +123,7 @@ object Graph {
       ranks = next
       it += 1
     }
+    eEdges.release(); outDeg.release()
     (ranks.df.select(col("id"), col("rank")), it)
   }
 
@@ -214,8 +222,14 @@ object Graph {
     val n = nodes.count()
     val tol = nodeTol * n
     val eps = HitsReset
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+    // static across rounds — pin once (g1's r7 rationale: the synthetic
+    // edge derivation's distinct() shuffle and both degree groupBys were
+    // re-running inside every round's checkpoint job)
+    val eEdges = Checkpoints.eager(edges)
+    val outDeg = Checkpoints.eager(
+      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val inDeg = Checkpoints.eager(
+      eEdges.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")))
     var state = Checkpoints.eager(
       nodes.select(col("id"), lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth")))
     var it = 0
@@ -223,13 +237,13 @@ object Graph {
     while (it < maxIters && delta >= tol) {
       // hub mass parked on nodes with no out-links (1-row agg)
       val mH = state.df
-        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .join(outDeg.df.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("hub")), lit(0.0)).as("mh"))
       // a' = εu + (1−ε)(row-normalized hub flow + dangling share);
       // built over state.df so nodes with no in-links keep their row
-      val inSum = edges
+      val inSum = eEdges.df
         .join(state.df.select(col("id").as("src"), col("hub")), Seq("src"))
-        .join(outDeg, Seq("src"))
+        .join(outDeg.df, Seq("src"))
         .select(col("dst").as("id"), (col("hub") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
       val aNew = state.df.select(col("id"), col("auth").as("prev_a"))
@@ -239,11 +253,11 @@ object Graph {
         .select(col("id"), col("a2"), col("prev_a"))
       // authority mass parked on nodes with no in-links
       val mA = aNew
-        .join(inDeg.withColumnRenamed("dst", "id"), Seq("id"), "left_anti")
+        .join(inDeg.df.withColumnRenamed("dst", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("a2")), lit(0.0)).as("ma"))
-      val hubSum = edges
+      val hubSum = eEdges.df
         .join(aNew.select(col("id").as("dst"), col("a2")), Seq("dst"))
-        .join(inDeg, Seq("dst"))
+        .join(inDeg.df, Seq("dst"))
         .select(col("src").as("id"), (col("a2") / col("ideg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("hub_sum"))
       val next = Checkpoints.eager(
