@@ -99,6 +99,19 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "stats join shuffles the corpus")
   }
 
+  test("t26 joins the rate table broadcast; the corpus never shuffles for it") {
+    val plan = executedPlan(Text.t26MixSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "rate table not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "mix-sample rate join degraded to a corpus shuffle")
+  }
+
+  test("d15 representative argmax combines map-side (partial max_by)") {
+    val plan = executedPlan(Dedup.d15ClusterReps(spark, dir))
+    assert(plan.contains("partial_max_by"),
+      "cluster-representative argmax lost its map-side combine")
+  }
+
   test("m8 top-100 pairs is a partial-agg + TakeOrderedAndProject plan") {
     val plan = executedPlan(Topics.m8BpePairs(spark, dir))
     assert(plan.contains("partial_count") || plan.contains("partial count"),
