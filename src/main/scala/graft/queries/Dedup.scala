@@ -1105,9 +1105,19 @@ object Dedup {
     * never shuffles document text, only (cluster, doc_id, quality)
     * triples. Fully SQL-twinnable because both the label (min reachable
     * id) and the quality score are deterministic.
+    *
+    * The cluster labels are the SHARED fingerprint-keyed artifact t23
+    * also serves ("d7labels"): a real pipeline derives the clustering
+    * once and reuses it for splitting AND survivor selection — warm
+    * runs read the label table, cold runs (Bench reports both) pay the
+    * full d2+CC derivation.
     */
   def d15ClusterReps(s: SparkSession, dir: String): DataFrame = {
-    val labels = d7DupClusters(s, dir)
+    val fp = Topics.fingerprint(s, dir)
+    val path = Topics.artifactPath(dir, fp, "d7labels")
+    val labels =
+      if (Topics.artifactExists(s, path)) s.read.parquet(path)
+      else graft.Artifacts.publishParquet(d7DupClusters(s, dir), path)
     val quality = graft.queries.Text.t10QualityScore(s, dir)
     labels.join(quality, Seq("doc_id"))
       .groupBy(col("cluster"))
