@@ -7,7 +7,7 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir parquet tables,
 sorts columns by name and rows by all columns, and compares values.
 """
-import sys, os, json, math
+import sys, os, json, math, time
 import duckdb
 import pandas as pd
 
@@ -48,6 +48,10 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    # per-query DuckDB seconds: lets the "within 2x per query" criterion be
+    # audited from this run's committed artifact instead of a separate pass
+    oracle_times = {}
+    results = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -59,20 +63,26 @@ def main():
         if name not in oracle:
             status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY-EMPTY"
             print(f"{status:18s} {name} rows={len(spark_df)}")
+            results[name] = {"status": status, "rows": len(spark_df)}
             continue
         try:
+            t0 = time.monotonic()
             duck_df = con.execute(oracle[name]).df()
+            oracle_times[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"{'ORACLE-ERR':18s} {name}: {e}")
+            results[name] = {"status": "ORACLE-ERR", "err": str(e)}
             n_fail += 1
             continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"{'SCHEMA-MISMATCH':18s} {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            results[name] = {"status": "SCHEMA-MISMATCH"}
             n_fail += 1
             continue
         if len(a) != len(b):
             print(f"{'ROWCOUNT-MISMATCH':18s} {name}: spark={len(a)} duck={len(b)}")
+            results[name] = {"status": "ROWCOUNT-MISMATCH"}
             n_fail += 1
             continue
         bad = None
@@ -86,11 +96,19 @@ def main():
         if bad:
             c, i, x, y = bad
             print(f"{'VALUE-MISMATCH':18s} {name}: col={c} row={i} spark={x!r} duck={y!r}")
+            results[name] = {"status": "VALUE-MISMATCH", "col": c, "row": i}
             n_fail += 1
         else:
             print(f"{'PASS':18s} {name} rows={len(a)}")
+            results[name] = {"status": "PASS", "rows": len(a)}
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    summary = {"pass": n_pass, "fail": n_fail, "sf_dir": sf_dir,
+               "oracle_times": oracle_times, "results": results}
+    with open(os.path.join(out_dir, "oracle_check.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"\n{n_pass} pass, {n_fail} fail "
+          f"(oracle total {sum(oracle_times.values()):.1f}s, "
+          f"per-query times in {out_dir}/oracle_check.json)")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
