@@ -23,10 +23,20 @@ import scala.util.control.NonFatal
   */
 object Fetch {
 
-  /** One URL → body, None on any failure. */
-  def fetchString(url: String): Option[String] =
+  /** One URL → body, None on any failure (bad URL, refused connection,
+    * non-200 after redirects, connect/read timeout). HttpURLConnection
+    * follows same-protocol redirects itself, so a 301/302 chain that
+    * lands on a 200 is a success, matching `requests.get`'s default. The
+    * timeouts exist because a stalled peer would otherwise hang the
+    * driver-side fetch loop forever — the reference inherits requests'
+    * no-timeout default and has exactly that exposure.
+    */
+  def fetchString(url: String, connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): Option[String] =
     try {
       val conn = new java.net.URI(url).toURL.openConnection()
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
       conn match {
         case h: java.net.HttpURLConnection if h.getResponseCode != 200 =>
           h.disconnect(); None

@@ -49,6 +49,18 @@ object Sinks {
     * use dropDuplicates, matching the reference's first-write-wins).
     * Returns the number of rows actually written.
     *
+    * SINGLE-WRITER CONTRACT: uniqueness is enforced by the read-then-
+    * anti-join, not by the store — the reference enforces it at the store
+    * (pipelines.py:64's unique Mongo index), where two racing writers
+    * would both be caught. Here two appendUnique calls that OVERLAP in
+    * time can each read the sink before the other's append lands and both
+    * write the same key. One writer at a time (the reference DAG's
+    * 30-minute sequential schedule — and any Airflow/cron-style batch
+    * cadence) gets exactly-once keys, re-feeding included; concurrent
+    * writers are out of contract and need a store-side constraint or a
+    * coordination layer (e.g. one Delta/Iceberg MERGE per feed) instead.
+    * SinksSpec pins the sequential exactly-once behavior.
+    *
     * `partitionCol`: optional ingest-date-style layout column. The sink
     * is written partitionBy(partitionCol) and the anti-join's
     * existing-keys read prunes to the incoming batch's partition values.

@@ -35,6 +35,23 @@ class SinksSpec extends AnyFunSuite {
     assert(stored.select("doc_id").distinct().count() == 150)
   }
 
+  test("appendUnique single-writer contract: a re-fed batch is exactly-once") {
+    // The contract (scaladoc on appendUnique): SEQUENTIAL writers get
+    // exactly-once keys — the reference gets the same guarantee from its
+    // store-side unique index (pipelines.py:64), here it comes from the
+    // read-then-anti-join, which is why OVERLAPPING writers (both reading
+    // before either's append lands) are out of contract.
+    val path = tmp("refeed")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+      .filter(col("doc_id") < 80)
+    val n1 = Sinks.appendUnique(spark, docs, path, "doc_id")
+    assert(n1 == 80)
+    // the DAG's next 30-minute tick re-fetches the same sitemap: no-op
+    val n2 = Sinks.appendUnique(spark, docs, path, "doc_id")
+    assert(n2 == 0)
+    assert(spark.read.parquet(path).count() == 80)
+  }
+
   test("appendUnique dedups within the incoming batch too (O-D1)") {
     val path = tmp("unique2")
     val docs = Tables.documents(spark, dir).select("doc_id", "source")
