@@ -272,6 +272,10 @@ object Graph {
       state = next
       it += 1
     }
+    // release the static pins like pageRankConverged does — a long-lived
+    // caller would otherwise leak three corpus-scale checkpoint sets per
+    // invocation (the exact class behind round 3's 13-40x bench inflation)
+    eEdges.release(); outDeg.release(); inDeg.release()
     (state.df.select(col("id"), col("auth").as("authority"), col("hub")), it)
   }
 

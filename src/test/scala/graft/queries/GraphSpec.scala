@@ -141,4 +141,30 @@ class GraphSpec extends AnyFunSuite {
     assert(rs.zip(rs.tail).forall { case (x, y) => y <= x })
     assert(rs.forall(_ > 0.0))
   }
+
+  test("checkpoint discipline: both loops leave only the final state pinned") {
+    // The iterative loops pin per-round localCheckpoints plus static
+    // edge/degree tables via Checkpoints.eager; every superseded or
+    // static pin must be released on exit or a long-lived caller grows
+    // executor storage by three corpus-scale sets per invocation (the
+    // leak class behind round 3's 13-40x bench inflation). Same pin as
+    // CCSpec's storage test: only the returned frame's own checkpoint
+    // may remain. ~40-node graph so both loops run multiple rounds.
+    val nodes = (0L until 40L).toDF("id")
+    val edges = ((0L until 40L).map(i => i -> ((i + 1) % 40)) ++
+      (0L until 40L by 3).map(i => i -> ((i * 7 + 2) % 40)))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (pr, prIters) = Graph.pageRankConverged(nodes, edges)
+    pr.count()
+    val afterPr = sc.getPersistentRDDs.keySet -- before
+    assert(prIters > 1 && afterPr.size <= 2,
+      s"pagerank ($prIters rounds) leaked ${afterPr.size} persistent RDD pins")
+    val (hits, hIters) = Graph.hitsConverged(nodes, edges)
+    hits.count()
+    val afterHits = sc.getPersistentRDDs.keySet -- before -- afterPr
+    assert(hIters > 1 && afterHits.size <= 2,
+      s"hits ($hIters rounds) leaked ${afterHits.size} persistent RDD pins")
+  }
 }
