@@ -100,6 +100,29 @@ class TopicsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1, "coherence curve is flat")
   }
 
+  test("k=32: the reference's best published configuration trains and coheres") {
+    // The reference's README reports its best coherence, c_v = 0.54, at
+    // k = 32 (README.md:120) — a k the sweep grid (2..14) never touches.
+    // Bounded probe (maxIter=5, shared-artifact cached like every other
+    // model): the shape must hold — 32 topics, finite per-topic c_v in
+    // [-1, 1], and genuinely distinct topic-word lists, not one topic
+    // cloned 32 times.
+    val c = Topics.corpus(spark, dir).cache()
+    val cv = Topics.sharedVectorizer(c, dir)
+    val lda = Topics.sharedLda(cv.transform(c), dir, k = 32, maxIter = 5)
+    val words = Topics.topTopicWords(lda, cv.vocabulary, 10)
+    assert(words.length == 32)
+    assert(words.forall(_.length == 10))
+    val distinctTopics = words.map(_.toSet).distinct.length
+    assert(distinctTopics > 16,
+      s"only $distinctTopics/32 distinct topic-word sets — degenerate fit")
+    val coh = graft.functions.Coherence.cv(
+      c.select(col("doc_id"), col("tokens")), words)
+    assert(coh.length == 32)
+    coh.foreach(s => assert(!s.isNaN && s >= -1.0 && s <= 1.0, s"c_v=$s"))
+    c.unpersist(blocking = false)
+  }
+
   test("sweep on the 2-topic toy corpus scores the true k cohesively") {
     // lda_toy_corpus.jsonl (FIXTURES §B): two disjoint 10-word
     // vocabularies, 20 docs each — at k=2 both topics' top words come
