@@ -2,6 +2,15 @@
 # Fast runner: java against compiled classes + Spark jars (skips sbt startup).
 # Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 CLS="$1"; shift
+# Default heap = half of physical RAM clamped to [8g, 48g] (same rule as
+# build.sbt); SPARK_DRIVER_MEM overrides — see BASELINE.md.
+if [ -z "$SPARK_DRIVER_MEM" ]; then
+  mem_kb=$(awk '/^MemTotal:/{print $2}' /proc/meminfo 2>/dev/null)
+  half_gb=$(( ${mem_kb:-16777216} / 2097152 ))
+  [ "$half_gb" -lt 8 ] && half_gb=8
+  [ "$half_gb" -gt 48 ] && half_gb=48
+  SPARK_DRIVER_MEM="${half_gb}g"
+fi
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
@@ -18,6 +27,6 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-48g} \
+  -Xmx${SPARK_DRIVER_MEM} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
