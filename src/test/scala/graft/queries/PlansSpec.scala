@@ -304,6 +304,23 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), "per-doc counts lost map-side combine")
   }
 
+  test("d10 assignment broadcasts √k panels; the pair scan joins on both cells") {
+    // The round-8 two-level quantizer's contract: centroid panels are
+    // tiny (kc+kf ≈ 2√k) and must reach the corpus as BROADCAST
+    // nested-loop joins (the argmax input is n·2√k rows — a refactor
+    // that shuffles the corpus against the panels, or reverts to one
+    // flat n·k panel, changes this plan), and the cell-local self-join
+    // must key on BOTH cell columns so cells stay product-sized.
+    val plan = executedPlan(Dedup.d10SemDedupFixed(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      "both panel assignments must broadcast the centroid panel")
+    assert(plan.contains("cell_c") && plan.contains("cell_f"),
+      "pair scan lost the two-level product cell key")
+    // the dropped-id anti-join stays broadcast too: drops ≪ corpus
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      "survivor anti-join not broadcast")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
