@@ -373,6 +373,109 @@ object Topics {
       .orderBy(col("topic"), col("rank"))
   }
 
+  /** Pure driver-side intertopic geometry: pairwise Jensen–Shannon
+    * divergence between topic-term distributions, projected to 2D by
+    * classical MDS (PCoA) — pyLDAvis' default `js_PCoA` projection
+    * (Sievert & Shirley 2014). Model-sized data only (k×V input, k²
+    * distances); exposed for direct spec testing of the geometry.
+    * Degenerate axes (non-positive eigenvalues — e.g. k=2 has a single
+    * positive coordinate) collapse to 0 rather than NaN.
+    */
+  private[queries] def jsPcoa(topics: Array[Array[Double]]): Array[(Double, Double)] = {
+    val k = topics.length
+    def jsd(p: Array[Double], q: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < p.length) {
+        val m = 0.5 * (p(i) + q(i))
+        if (p(i) > 0) acc += 0.5 * p(i) * math.log(p(i) / m)
+        if (q(i) > 0) acc += 0.5 * q(i) * math.log(q(i) / m)
+        i += 1
+      }
+      math.max(acc, 0.0)
+    }
+    val d2 = breeze.linalg.DenseMatrix.tabulate(k, k) { (i, j) =>
+      if (i == j) 0.0 else { val v = jsd(topics(i), topics(j)); v * v }
+    }
+    // classical MDS: double-center the squared distances, top-2 eigenpairs
+    val rowMean = Array.tabulate(k)(i => (0 until k).map(j => d2(i, j)).sum / k)
+    val totMean = rowMean.sum / k
+    val b = breeze.linalg.DenseMatrix.tabulate(k, k)((i, j) =>
+      -0.5 * (d2(i, j) - rowMean(i) - rowMean(j) + totMean))
+    val es = breeze.linalg.eigSym(b) // eigenvalues ascending
+    def axis(rank: Int): Int => Double = {
+      val idx = k - 1 - rank
+      if (idx < 0 || es.eigenvalues(idx) <= 1e-12) _ => 0.0
+      else {
+        val s = math.sqrt(es.eigenvalues(idx)); t => es.eigenvectors(t, idx) * s
+      }
+    }
+    val (ax, ay) = (axis(0), axis(1))
+    Array.tabulate(k)(t => (ax(t), ay(t)))
+  }
+
+  /** M18: the intertopic-distance map DATA behind pyLDAvis' left panel
+    * (the reference's saved ldaplot_topics_12.html,
+    * topic_modelling.ipynb cells 17-20): per topic its 2D PCoA
+    * coordinates over pairwise Jensen–Shannon divergence of the
+    * topic-term rows ([[jsPcoa]]), plus the corpus-marginal topic
+    * proportion — the token-weighted mean of the inferred doc-topic
+    * mixtures, pyLDAvis' bubble area. Rows-only oracle (an
+    * eigen-decomposition isn't SQL); TopicsSpec pins the geometry on
+    * synthetic distributions and the fixture payload's invariants.
+    * [[graft.sources.HtmlReport.saveIntertopicHtml]] renders this plus
+    * m7's relevance table as the self-contained S11 artifact.
+    *
+    * Scale: the only corpus pass is the inference transform feeding the
+    * proportion aggregate — k weights per doc, posexploded and summed
+    * with map-side partial aggregation, so the shuffle carries k rows
+    * per partition. JSD/PCoA run on the driver-local k×V topic matrix
+    * (the same class of model-sized data as describeTopics). The whole
+    * payload is a fingerprint-keyed artifact like m2/m3: warm runs read
+    * k rows of parquet.
+    */
+  def m18Intertopic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = fingerprint(s, dir)
+    val path = artifactPath(dir, fp, "intertopic")
+    val payload =
+      if (artifactExists(s, path)) s.read.parquet(path)
+      else {
+        val c = corpus(s, dir).cache()
+        val cv = sharedVectorizer(c, dir)
+        val vectorized = cv.transform(c)
+        val lda = sharedLda(vectorized, dir)
+        val k = lda.getK
+        val nV = cv.vocabulary.length
+        val phi = lda.topicsMatrix // V × k, columns are term weights
+        val topics = Array.tabulate(k) { t =>
+          val a = Array.tabulate(nV)(w => phi(w, t))
+          val sm = a.sum
+          a.map(_ / sm)
+        }
+        val coords = jsPcoa(topics)
+        // token-weighted topic mass: one corpus pass → k rows
+        val weightsUdf = udf { (theta: MlVector, feats: MlVector) =>
+          val n = feats.toArray.sum
+          theta.toArray.map(_ * n)
+        }
+        val mass = lda.transform(vectorized)
+          .select(posexplode(weightsUdf(col("topicDistribution"), col("features")))
+            .as(Seq("topic", "w")))
+          .groupBy("topic").agg(sum(col("w")).as("mass"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val total = math.max(mass.values.sum, 1e-12)
+        def r6(v: Double): Double =
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = (0 until k).map { t =>
+          (t, r6(coords(t)._1), r6(coords(t)._2),
+            r6(mass.getOrElse(t, 0.0) / total))
+        }
+        graft.Artifacts.publishParquet(
+          rows.toDF("topic", "x", "y", "proportion"), path)
+      }
+    payload.orderBy(col("topic"))
+  }
+
   /** M6 (O-A6): doc2bow — per-document bag-of-words statistics off the
     * CountVectorizer sparse vector (ipynb line 323: dictionary.doc2bow
     * per doc). n_terms = distinct vocabulary terms present, n_tokens =
@@ -1018,6 +1121,7 @@ object Topics {
     "m15_heaps_growth" -> (m15HeapsGrowth _),
     "m16_fertility" -> (m16Fertility _),
     "m17_source_mix" -> (m17SourceMix _),
+    "m18_intertopic" -> (m18Intertopic _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

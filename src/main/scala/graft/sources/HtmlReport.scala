@@ -41,4 +41,85 @@ object HtmlReport {
     sb ++= "</table></body></html>\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
+
+  /** S11, pyLDAvis parity: the intertopic distance map (left panel) plus
+    * per-topic relevance term bars (right panel) as ONE self-contained
+    * HTML file — inline SVG and a few lines of vanilla JS for topic
+    * selection, no external assets, filling the role of the reference's
+    * committed ldaplot_topics_12.html (topic_modelling.ipynb cells
+    * 17-20) without shipping d3. `coords` is the m18 payload
+    * (topic, x, y, proportion); `relevance` the m7 payload
+    * (topic, rank, term, relevance). Driver-side by design: both inputs
+    * are model-sized (k and k×topN rows).
+    */
+  def saveIntertopicHtml(coords: DataFrame, relevance: DataFrame,
+      path: String, title: String): Unit = {
+    val cs = coords.select("topic", "x", "y", "proportion").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val termsByTopic = relevance.select("topic", "rank", "term", "relevance")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val (w, h, pad) = (520.0, 520.0, 70.0)
+    val xs = cs.map(_._2); val ys = cs.map(_._3)
+    def scale(v: Double, lo: Double, hi: Double, outMax: Double): Double =
+      if (hi - lo < 1e-12) outMax / 2
+      else pad + (v - lo) / (hi - lo) * (outMax - 2 * pad)
+    val maxProp = math.max(cs.map(_._4).max, 1e-12)
+    val svg = new StringBuilder
+    svg ++= s"""<svg id="map" viewBox="0 0 ${w.toInt} ${h.toInt}" width="${w.toInt}" height="${h.toInt}">"""
+    svg ++= s"""<line x1="${(w / 2).toInt}" y1="0" x2="${(w / 2).toInt}" y2="${h.toInt}" stroke="#ddd"/>"""
+    svg ++= s"""<line x1="0" y1="${(h / 2).toInt}" x2="${w.toInt}" y2="${(h / 2).toInt}" stroke="#ddd"/>"""
+    cs.foreach { case (t, x, y, p) =>
+      val cx = scale(x, xs.min, xs.max, w)
+      val cy = scale(y, ys.min, ys.max, h)
+      val r = 8 + 40 * math.sqrt(p / maxProp) // area ∝ proportion
+      svg ++= f"""<circle class="topic" id="c$t" cx="$cx%.1f" cy="$cy%.1f" r="$r%.1f" fill="#4a90d9" fill-opacity="0.45" stroke="#1c5a96" onmouseover="show($t)"/>"""
+      svg ++= f"""<text x="$cx%.1f" y="$cy%.1f" text-anchor="middle" dominant-baseline="middle" font-size="12" pointer-events="none">$t</text>"""
+    }
+    svg ++= "</svg>"
+    val panels = new StringBuilder
+    cs.foreach { case (t, _, _, p) =>
+      val ts = termsByTopic.getOrElse(t, Array.empty)
+      val rels = ts.map(_._4)
+      val (rLo, rHi) = if (rels.isEmpty) (0.0, 1.0) else (rels.min, rels.max)
+      panels ++= s"""<div class="terms" id="p$t" style="display:none"><h2>Topic $t"""
+      panels ++= f""" <small>(${100 * p}%.1f%% of tokens)</small></h2>"""
+      ts.foreach { case (_, rank, term, rel) =>
+        val frac = if (rHi - rLo < 1e-12) 1.0 else 0.15 + 0.85 * (rel - rLo) / (rHi - rLo)
+        panels ++= f"""<div class="bar"><span class="lbl">$rank. ${esc(term)}</span>"""
+        panels ++= f"""<span class="fill" style="width:${(260 * frac).toInt}px"></span>"""
+        panels ++= f"""<span class="val">$rel%.3f</span></div>"""
+      }
+      panels ++= "</div>"
+    }
+    val first = cs.headOption.map(_._1).getOrElse(0)
+    val html = s"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"/><title>${esc(title)}</title><style>
+body{font-family:sans-serif;display:flex;gap:24px;margin:16px}
+h1{font-size:18px} h2{font-size:15px}
+.bar{display:flex;align-items:center;gap:6px;margin:2px 0;font-size:13px}
+.lbl{width:130px;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
+.fill{display:inline-block;height:12px;background:#4a90d9}
+.val{color:#666;font-size:11px}
+circle.topic:hover{fill-opacity:0.8;cursor:pointer}
+</style></head><body>
+<div><h1>${esc(title)}</h1>$svg
+<p><small>Intertopic distance map: Jensen–Shannon divergence, classical MDS.
+Area &#8733; marginal topic proportion. Hover a topic for its relevance terms
+(&#955;=0.6).</small></p></div>
+<div>$panels</div>
+<script>
+var cur=-1;
+function show(t){
+  if(cur>=0){document.getElementById('p'+cur).style.display='none';}
+  document.getElementById('p'+t).style.display='block';cur=t;
+}
+show($first);
+</script>
+</body></html>
+"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+  }
 }

@@ -123,6 +123,39 @@ class TopicsSpec extends AnyFunSuite {
     c.unpersist(blocking = false)
   }
 
+  test("jsPcoa geometry: near-identical topics project close, distinct ones far") {
+    // 4 distributions over 6 terms: two near-clones (a, a2) and two
+    // sitting on disjoint term pairs — the 2D embedding must keep the
+    // clone pair's distance below every cross-pair distance
+    val a = Array(0.45, 0.45, 0.025, 0.025, 0.025, 0.025)
+    val a2 = Array(0.44, 0.46, 0.025, 0.025, 0.025, 0.025)
+    val b = Array(0.025, 0.025, 0.45, 0.45, 0.025, 0.025)
+    val c = Array(0.025, 0.025, 0.025, 0.025, 0.45, 0.45)
+    val xy = Topics.jsPcoa(Array(a, a2, b, c))
+    def d(i: Int, j: Int) =
+      math.hypot(xy(i)._1 - xy(j)._1, xy(i)._2 - xy(j)._2)
+    assert(d(0, 1) < d(0, 2) && d(0, 1) < d(0, 3) && d(0, 1) < d(2, 3),
+      xy.mkString(", "))
+    xy.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
+    // classical MDS coordinates are centered at the origin
+    assert(math.abs(xy.map(_._1).sum) < 1e-9)
+    assert(math.abs(xy.map(_._2).sum) < 1e-9)
+  }
+
+  test("m18 intertopic payload: k rows, finite spread coords, proportions sum to 1") {
+    val rows = Topics.m18Intertopic(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0 until 12))
+    rows.foreach { case (t, x, y, p) =>
+      assert(!x.isNaN && !y.isNaN, s"topic $t coords")
+      assert(p >= 0.0 && p <= 1.0, s"topic $t proportion $p")
+    }
+    // token-weighted topic masses are a partition of the corpus
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    // 12 fitted topics can't all collapse onto one point
+    assert(rows.map(r => (r._2, r._3)).distinct.length > 1)
+  }
+
   test("sweep on the 2-topic toy corpus scores the true k cohesively") {
     // lda_toy_corpus.jsonl (FIXTURES §B): two disjoint 10-word
     // vocabularies, 20 docs each — at k=2 both topics' top words come

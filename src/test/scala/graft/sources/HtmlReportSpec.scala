@@ -24,6 +24,32 @@ class HtmlReportSpec extends AnyFunSuite {
     assert("<tr>".r.findAllIn(html).size == 3) // header + 2 rows
   }
 
+  test("intertopic map: one bubble + one term panel per topic, self-contained") {
+    val coords = Seq((0, -0.12, 0.05, 0.5), (1, 0.1, -0.02, 0.3),
+      (2, 0.02, 0.2, 0.2)).toDF("topic", "x", "y", "proportion")
+    val relevance = Seq(
+      (0, 1, "council", -2.1), (0, 2, "road <b>", -2.5),
+      (1, 1, "minister", -1.9), (1, 2, "vote", -2.2),
+      (2, 1, "match", -2.0), (2, 2, "league", -2.4)
+    ).toDF("topic", "rank", "term", "relevance")
+    val path = java.nio.file.Files.createTempDirectory("intertopic")
+      .resolve("map.html").toString
+    HtmlReport.saveIntertopicHtml(coords, relevance, path, "LDA map <12>")
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<title>LDA map &lt;12&gt;</title>"))
+    // one SVG circle and one hidden term panel per topic
+    (0 to 2).foreach { t =>
+      assert(html.contains(s"""id="c$t""""), s"bubble for topic $t missing")
+      assert(html.contains(s"""id="p$t""""), s"panel for topic $t missing")
+    }
+    assert("<circle".r.findAllIn(html).size == 3)
+    assert(html.contains("road &lt;b&gt;"), "term text not escaped")
+    // self-contained: no external assets of any kind
+    assert(!html.contains("http://") && !html.contains("https://cdn") &&
+      !html.contains("<script src"), "artifact must not reference the network")
+  }
+
   test("maxRows bounds the report") {
     val df = (1 to 50).map(i => (i, s"row$i")).toDF("id", "v")
     val path = java.nio.file.Files.createTempDirectory("report2")
