@@ -38,6 +38,7 @@ object TrainingPipeline {
       outPath: Option[String] = None,
       minQuality: Double = 0.25,
       gopherGate: Boolean = false,
+      semanticDedup: Boolean = false,
       shards: Int = 8): (DataFrame, Seq[(String, Long)]) = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // each stage boundary CHECKPOINTS (localCheckpoint: materialize +
@@ -83,7 +84,7 @@ object TrainingPipeline {
     val exact = stage("exact_dedup",
       sampled.join(keepers, Seq("doc_id"), "left_semi"))
 
-    val chunks = backHalf(s, dir, exact, stage)
+    val chunks = backHalf(s, dir, exact, stage, semanticDedup)
 
     outPath.foreach(p =>
       graft.sources.Sinks.writeRangeSharded(chunks, p, "doc_id", shards))
@@ -91,7 +92,8 @@ object TrainingPipeline {
   }
 
   /** The corpus-global BACK HALF of curation — near-dup cluster drop →
-    * benchmark decontamination → paragraph dedup → chunking — over an
+    * (optional) semantic dedup → benchmark decontamination → paragraph
+    * dedup → chunking — over an
     * already quality-gated, exactly-deduped survivor frame. Shared
     * verbatim by the all-batch [[curate]] and the streaming-front
     * hybrid (StreamCuration's sink feeds straight into this;
@@ -106,7 +108,8 @@ object TrainingPipeline {
     */
   def backHalf(s: SparkSession, dir: String, exact: DataFrame,
       stage: (String, DataFrame) => DataFrame =
-        (_, df) => Checkpoints.eager(df).df): DataFrame = {
+        (_, df) => Checkpoints.eager(df).df,
+      semanticDedup: Boolean = false): DataFrame = {
     // near-dup clusters: keep exactly one member per cluster. The
     // canonical member is chosen AMONG THIS RUN'S SURVIVORS — the
     // corpus-wide min doc_id may already have fallen to the quality
@@ -128,10 +131,34 @@ object TrainingPipeline {
     // frame's pinned blocks right away
     ccHandle.release()
 
+    // OPTIONAL semantic dedup (SemDeDup, the modern stack's extra pass):
+    // an embedding-space clone shares no shingle with its source, so the
+    // text-side near-dup stage above can't see it. The two-level d9
+    // quantizer runs over the CURRENT SURVIVORS' vectors only (vec_id
+    // aligns with doc_id in this corpus, TESTDATA.md), and the drop set
+    // — non-survivors of this stage's own input — broadcasts like every
+    // other drop list here. A document without an embedding row is
+    // never dropped (the drop set is built from the embedding side).
+    val semDeduped =
+      if (!semanticDedup) deduped
+      else {
+        import graft.functions.SimFunctions.{toDoubleVec, l2Norm}
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .withColumn("nrm", l2Norm(col("v")))
+          .join(deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        val keep = Dedup.semDedup(emb, Dedup.SemDedupThr)
+          .select(col("vec_id").as("doc_id"))
+        val dropSet = emb.select(col("vec_id").as("doc_id"))
+          .join(keep, Seq("doc_id"), "left_anti")
+        stage("semantic_dedup",
+          deduped.join(broadcast(dropSet), Seq("doc_id"), "left_anti"))
+      }
+
     // benchmark decontamination: drop flagged ids (same broadcast shape)
     val contaminated = Dedup.d6Decontaminate(s, dir)
     val clean = stage("decontaminate",
-      deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+      semDeduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
     // corpus-wide paragraph dedup (t19's core): strip spans already seen
     // at a lower (doc_id, idx); a document reduced to nothing drops out

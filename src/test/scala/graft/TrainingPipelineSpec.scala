@@ -122,6 +122,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(order == plain.map(_._1), "stage list changed")
   }
 
+  test("semantic dedup stage drops exactly semDedup's non-survivors, opt-in only") {
+    val (_, plain) = TrainingPipeline.curate(spark, dir)
+    val (_, sem) = TrainingPipeline.curate(spark, dir, semanticDedup = true)
+    // opt-in: the default stage list is untouched
+    assert(!plain.map(_._1).contains("semantic_dedup"))
+    val order = sem.map(_._1)
+    assert(order == Seq("ingest", "quality_gate", "stratified_sample",
+      "exact_dedup", "near_dup_drop", "semantic_dedup", "decontaminate",
+      "paragraph_dedup", "chunk"), order.toString)
+    val s = sem.toMap; val p = plain.toMap
+    // the head of the pipeline is identical; the new stage only drops
+    assert(s("near_dup_drop") == p("near_dup_drop"))
+    assert(s("semantic_dedup") <= s("near_dup_drop"))
+    assert(s("decontaminate") <= s("semantic_dedup"))
+    // deterministic: the trained quantizer uses fixed seeds and
+    // lowest-id training samples, so a re-run reproduces every count
+    val (_, sem2) = TrainingPipeline.curate(spark, dir, semanticDedup = true)
+    assert(sem2 == sem, "semantic-dedup run not deterministic")
+  }
+
   test("curate writes readable range-sharded output") {
     val (chunks, _) = result
     val back = spark.read.parquet(outDir)
