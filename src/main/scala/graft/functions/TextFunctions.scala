@@ -195,4 +195,45 @@ object TextFunctions {
   def shingles(tokens: Column, n: Int = 3): Column =
     GraftNative.column(graft.expressions.WordNgrams(
       GraftNative.expression(tokens), GraftNative.expression(lit(n))))
+
+  /** Crawl-frontier URL canonicalization — the normalization a 100 TB
+    * crawl dedups its frontier and its fetched pages by (the CommonCrawl/
+    * Scrapy `w3lib.url.canonicalize_url` family, RFC 3986 §6 syntax-based
+    * normalization plus the usual curation extras):
+    *
+    *   1. fragment dropped (`#…` never reaches the server),
+    *   2. scheme + authority lowercased (RFC 3986 §6.2.2.1; path/query
+    *      case is significant and preserved),
+    *   3. leading `www.` stripped,
+    *   4. default ports stripped (`:443` for https, `:80` for http),
+    *   5. trailing path slashes stripped,
+    *   6. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *      `ref`) and the surviving query pairs sorted bytewise, so
+    *      param order never splits a URL into two frontier entries.
+    *
+    * Pure built-in Column combinator (regex + split/filter/array_sort) —
+    * stays inside whole-stage codegen, map-only at any scale. Each
+    * intermediate is referenced at most twice, so alias re-inlining (the
+    * PERF-TRAP class) is bounded at a small constant of regex passes per
+    * row — the same cost class as [[cleanText]]'s 9-regex chain.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*", 0)
+    val authCanon = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(auth), "^(https?://)www\\.", "$1"),
+        "^(https://[^/:]+):443$", "$1"),
+      "^(http://[^/:]+):80$", "$1")
+    val rest = noFrag.substr(length(auth) + lit(1), lit(1 << 20))
+    val path = substring_index(rest, "?", 1)
+    val pathCanon = regexp_replace(path, "/+$", "")
+    val query = when(length(rest) > length(path),
+      rest.substr(length(path) + lit(2), lit(1 << 20))).otherwise(lit(""))
+    val kept = filter(split(query, "&"), x =>
+      (length(x) > 0) && !x.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="))
+    val qCanon = array_join(array_sort(kept), "&")
+    concat(authCanon, pathCanon,
+      when(length(qCanon) > 0, concat(lit("?"), qCanon)).otherwise(lit("")))
+  }
 }

@@ -109,13 +109,71 @@ object Extraction {
       |       array_to_string(kept_paras, ' ') AS body
       |FROM synth ORDER BY doc_id""".stripMargin
 
+  /** X3: crawl-frontier URL canonicalization + dedup
+    * ([[graft.functions.TextFunctions.canonicalUrl]]) — the pass a crawl
+    * pipeline runs before the frontier anti-join (S7) and before page-
+    * level dedup, so `HTTPS://WWW.x.COM:443/a/?b=2&a=1#f` and
+    * `https://x.com/a?a=1&b=2` count as ONE page. Following x1/x2's
+    * doctrine the fixture synthesizes three messy variants per document
+    * (tracking params, shuffled query order, uppercase authority,
+    * default port, trailing slash, fragment) and the REAL operator —
+    * canonicalize, group, count variants, min-id representative — runs
+    * distributed: map-only scalar chain + one map-side-combined groupBy
+    * whose shuffle carries canonical strings and counts, never pages.
+    */
+  def x3UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.canonicalUrl
+    val base = concat(col("source"), lit("/"), col("doc_id").cast("string"))
+    val variants = array(
+      concat(lit("HTTPS://WWW.Example.COM:443/news/"), base,
+        lit("/?utm_source=feed&b=2&a=1#frag")),
+      concat(lit("https://www.example.com/news/"), base, lit("?a=1&b=2")),
+      concat(lit("https://example.com/news/"), base,
+        lit("?b=2&ref=home&a=1#x")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(variants).as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_id"))
+      .orderBy(col("canon_url"))
+  }
+
+  val x3Sql: String =
+    """WITH urls AS (
+      |  SELECT doc_id, unnest([
+      |    'HTTPS://WWW.Example.COM:443/news/' || source || '/' || doc_id || '/?utm_source=feed&b=2&a=1#frag',
+      |    'https://www.example.com/news/' || source || '/' || doc_id || '?a=1&b=2',
+      |    'https://example.com/news/' || source || '/' || doc_id || '?b=2&ref=home&a=1#x'
+      |  ]) AS url FROM documents
+      |),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM urls),
+      |s2 AS (SELECT *, regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') AS auth FROM s1),
+      |s3 AS (SELECT *,
+      |  regexp_replace(regexp_replace(regexp_replace(lower(auth),
+      |    '^(https?://)www\.', '\1'),
+      |    '^(https://[^/:]+):443$', '\1'),
+      |    '^(http://[^/:]+):80$', '\1') AS auth_c,
+      |  substr(nofrag, length(auth) + 1) AS rest FROM s2),
+      |s4 AS (SELECT *,
+      |  regexp_replace(CASE WHEN contains(rest, '?') THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END, '/+$', '') AS path_c,
+      |  CASE WHEN contains(rest, '?') THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q FROM s3),
+      |s5 AS (SELECT *,
+      |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |    x -> length(x) > 0 AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS q_c
+      |  FROM s4)
+      |SELECT auth_c || path_c || CASE WHEN length(q_c) > 0 THEN '?' || q_c ELSE '' END AS canon_url,
+      |       count(*) AS n_variants, min(doc_id) AS first_id
+      |FROM s5 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "x1_sitemap_parse" -> (x1SitemapParse _),
     "x2_html_extract" -> (x2HtmlExtract _),
+    "x3_url_canonical" -> (x3UrlCanonical _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "x1_sitemap_parse" -> x1Sql,
     "x2_html_extract" -> x2Sql,
+    "x3_url_canonical" -> x3Sql,
   )
 }

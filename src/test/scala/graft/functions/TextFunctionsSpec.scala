@@ -276,4 +276,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     val out = Seq(prose, junk).toDF("text").select(qualityScore($"text")).as[Double].collect()
     assert(out(0) > out(1))
   }
+
+  test("canonicalUrl: RFC 3986 normalization + tracking-param strip, idempotent") {
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(canonicalUrl($"u")).as[String].collect().toSeq
+    // the three messy shapes x3 synthesizes all collapse to one form
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/news/a/1/?utm_source=feed&b=2&a=1#frag",
+      "https://www.example.com/news/a/1?a=1&b=2",
+      "https://example.com/news/a/1?b=2&ref=home&a=1#x"
+    ).distinct == Seq("https://example.com/news/a/1?a=1&b=2"))
+    // authority lowercases; PATH AND QUERY CASE IS PRESERVED
+    assert(canon("http://A.B/Path?X=Y") == Seq("http://a.b/Path?X=Y"))
+    // default port is scheme-specific: http:443 and https:8443 are real
+    assert(canon("http://x.com:80/a", "http://x.com:443/a",
+      "https://x.com:8443/a") ==
+      Seq("http://x.com/a", "http://x.com:443/a", "https://x.com:8443/a"))
+    // all-tracking query drops the '?' entirely; fragment-only too
+    assert(canon("https://x.com/a?utm_source=s&fbclid=1", "https://x.com/a#top",
+      "https://x.com/a") == Seq("https://x.com/a", "https://x.com/a",
+      "https://x.com/a"))
+    // idempotence: canonical output is its own fixed point
+    val messy = Seq(
+      "HTTPS://WWW.Example.COM:443/news/a/1/?utm_source=feed&b=2&a=1#frag",
+      "http://A.B:80/Path/?ref=r&z=26&y=25", "https://x.com/")
+    val once = canon(messy: _*)
+    assert(canon(once: _*) == once)
+  }
 }
