@@ -87,6 +87,14 @@ object Analytics {
   /** A1: per-document sentiment struct (ipynb lines 262-263: two derived
     * columns). Map-only, one projection; the UDF breaks codegen locally
     * but the stage stays a single narrow pass.
+    *
+    * Perf note (round-8 isolation of the r7 "a1 0.81→1.55 s" flag):
+    * isolated bench runs at sf0.1 put a1 at 2.2 s against 2.0–2.6 s for
+    * t9_token_count — a plain codegen'd token count over the SAME text
+    * column — so the query is parquet-text-scan-bound and the scorer UDF
+    * adds ≲0.2 s. The r6→r7 delta was suite-context noise (this VM swings
+    * the same query 2 s↔15 s run-to-run); promoting the scorer to a
+    * codegen Expression would not move the number, so the UDF stays.
     */
   def a1Sentiment(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
