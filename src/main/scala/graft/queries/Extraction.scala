@@ -165,15 +165,129 @@ object Extraction {
       |       count(*) AS n_variants, min(doc_id) AS first_id
       |FROM s5 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X4: robots.txt politeness filter (RFC 9309) — the crawl-side gate
+    * between x3's frontier canonicalization and the fetch (S1): per
+    * domain, parse the Allow/Disallow/Crawl-delay directives, then give
+    * every frontier URL the verdict of its LONGEST-matching path rule
+    * (most-specific wins; on an equal-length Allow/Disallow tie, Allow
+    * wins — RFC 9309 §2.2.2's least-restrictive rule), defaulting to
+    * allow when no rule matches. The reference's DAG fetches BBC
+    * unconditionally (bbc_news_dag.py:22-25); any multi-domain crawl
+    * needs this pass before S1.
+    *
+    * Following the x1/x2/x3 doctrine the fixture synthesizes both sides
+    * (a 4-line robots.txt per source-as-domain; four frontier path
+    * shapes per document that exercise no-match, Disallow, the
+    * prefix-overlap pair Disallow /news/draft vs Allow
+    * /news/draft-public, and Crawl-delay extraction) and the REAL
+    * operator runs distributed: the directive parse is a per-domain
+    * explode (robots files are KBs — the rule table is |domains|·|rules|
+    * rows, broadcast), the frontier pass is one broadcast left join with
+    * the prefix predicate fused into the join condition, and the single
+    * shuffle is the per-URL longest-match argmax — map-side-combined
+    * max_by carrying (url, rule-length, kind), never page text. A 100 TB
+    * frontier scales linearly; the rule side stays driver-small.
+    */
+  def x4RobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val domains = Tables.documents(s, dir)
+      .select(col("source").as("domain")).distinct()
+    val robotsTxt = concat(
+      lit("User-agent: *\nDisallow: /private/\nDisallow: /news/draft\n"),
+      lit("Allow: /news/draft-public\nCrawl-delay: "),
+      (lit(2) + length(col("domain")) % 5).cast("string"))
+    val lines = domains.select(col("domain"), robotsTxt.as("txt"))
+      .select(col("domain"), explode(split(col("txt"), "\n")).as("line"))
+    val rules = lines
+      .filter(col("line").rlike("^(Allow|Disallow): "))
+      .select(col("domain"),
+        lower(regexp_extract(col("line"), "^(Allow|Disallow): (\\S+)$", 1)).as("kind"),
+        regexp_extract(col("line"), "^(Allow|Disallow): (\\S+)$", 2).as("rule_path"))
+    val delays = lines
+      .filter(col("line").rlike("^Crawl-delay: "))
+      .select(col("domain"),
+        regexp_extract(col("line"), "^Crawl-delay: (\\d+)$", 1)
+          .cast("long").as("crawl_delay"))
+    val path =
+      when(col("doc_id") % 4 === 0,
+        concat(lit("/news/"), col("source"), lit("-"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/p"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/news/draft"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/news/draft-public/"), col("doc_id").cast("string")))
+    val frontier = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source").as("domain"), path.as("path"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        concat(lit("https://"), col("domain"), lit(".example.com"), col("path")).as("url"))
+    val r = broadcast(rules)
+    // prefix predicate fused into the broadcast join; unmatched URLs keep
+    // a null rule row so max_by's null-ordering drop yields verdict=allow
+    val joined = frontier.join(r,
+      frontier("domain") === r("domain") && frontier("path").startsWith(r("rule_path")),
+      "left")
+      .select(col("url"), frontier("domain").as("domain"),
+        col("kind"), col("rule_path"),
+        length(col("rule_path")).as("plen"),
+        when(col("kind") === "allow", 1).otherwise(0).as("is_allow"))
+    val best = joined.groupBy(col("url"), col("domain"))
+      .agg(max_by(struct(col("kind"), col("rule_path")),
+        struct(col("plen"), col("is_allow"))).as("m"))
+    best.join(broadcast(delays), Seq("domain"))
+      .select(col("url"), col("domain"),
+        coalesce(col("m.kind"), lit("allow")).as("verdict"),
+        col("m.rule_path").as("rule"), col("crawl_delay"))
+      .orderBy(col("url"))
+  }
+
+  val x4Sql: String =
+    """WITH domains AS (SELECT DISTINCT source AS domain FROM documents),
+      |robots AS (
+      |  SELECT domain,
+      |    'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+      |    'Disallow: /news/draft' || chr(10) || 'Allow: /news/draft-public' ||
+      |    chr(10) || 'Crawl-delay: ' || (2 + length(domain) % 5) AS txt
+      |  FROM domains),
+      |lines AS (SELECT domain, unnest(string_split(txt, chr(10))) AS line FROM robots),
+      |rules AS (
+      |  SELECT domain,
+      |    lower(regexp_extract(line, '^(Allow|Disallow): (\S+)$', 1)) AS kind,
+      |    regexp_extract(line, '^(Allow|Disallow): (\S+)$', 2) AS rule_path
+      |  FROM lines WHERE regexp_matches(line, '^(Allow|Disallow): ')),
+      |delays AS (
+      |  SELECT domain, CAST(regexp_extract(line, '^Crawl-delay: (\d+)$', 1) AS BIGINT) AS crawl_delay
+      |  FROM lines WHERE regexp_matches(line, '^Crawl-delay: ')),
+      |frontier AS (
+      |  SELECT doc_id, source AS domain,
+      |    CASE WHEN doc_id % 4 = 0 THEN '/news/' || source || '-' || doc_id
+      |         WHEN doc_id % 4 = 1 THEN '/private/p' || doc_id
+      |         WHEN doc_id % 4 = 2 THEN '/news/draft' || doc_id
+      |         ELSE '/news/draft-public/' || doc_id END AS path
+      |  FROM documents),
+      |f AS (SELECT doc_id, domain, path,
+      |        'https://' || domain || '.example.com' || path AS url FROM frontier),
+      |best AS (
+      |  SELECT url, domain, kind, rule_path,
+      |    row_number() OVER (PARTITION BY url
+      |      ORDER BY length(rule_path) DESC, kind ASC) AS rn
+      |  FROM (SELECT f.url, f.domain, r.kind, r.rule_path
+      |        FROM f JOIN rules r USING (domain)
+      |        WHERE starts_with(f.path, r.rule_path)))
+      |SELECT f.url, f.domain,
+      |  coalesce(b.kind, 'allow') AS verdict, b.rule_path AS rule, d.crawl_delay
+      |FROM f
+      |LEFT JOIN (SELECT url, kind, rule_path FROM best WHERE rn = 1) b USING (url)
+      |JOIN delays d USING (domain)
+      |ORDER BY url""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "x1_sitemap_parse" -> (x1SitemapParse _),
     "x2_html_extract" -> (x2HtmlExtract _),
     "x3_url_canonical" -> (x3UrlCanonical _),
+    "x4_robots_filter" -> (x4RobotsFilter _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "x1_sitemap_parse" -> x1Sql,
     "x2_html_extract" -> x2Sql,
     "x3_url_canonical" -> x3Sql,
+    "x4_robots_filter" -> x4Sql,
   )
 }

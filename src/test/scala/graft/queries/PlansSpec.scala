@@ -112,6 +112,15 @@ class PlansSpec extends AnyFunSuite {
       "cluster-representative argmax lost its map-side combine")
   }
 
+  test("x4 robots rules join broadcast; the longest-match argmax combines map-side") {
+    val plan = executedPlan(Extraction.x4RobotsFilter(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "rule table not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "robots rule join degraded to a frontier shuffle")
+    assert(plan.contains("partial_max_by"),
+      "longest-match argmax lost its map-side combine")
+  }
+
   test("m8 top-100 pairs is a partial-agg + TakeOrderedAndProject plan") {
     val plan = executedPlan(Topics.m8BpePairs(spark, dir))
     assert(plan.contains("partial_count") || plan.contains("partial count"),

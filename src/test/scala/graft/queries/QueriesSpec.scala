@@ -190,4 +190,38 @@ class QueriesSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](Tables.events(spark, badDir))
     assert(e.getMessage.contains("unsupported type"), e.getMessage)
   }
+
+  test("x4 robots verdicts follow RFC 9309 longest-match with Allow tie-break") {
+    val rows = Extraction.x4RobotsFilter(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs, "one verdict per frontier URL")
+    rows.foreach { r =>
+      val url = r.getString(0); val domain = r.getString(1)
+      val verdict = r.getString(2)
+      val rule = if (r.isNullAt(3)) None else Some(r.getString(3))
+      val delay = r.getLong(4)
+      assert(delay == 2 + domain.length % 5, s"crawl-delay wrong for $domain")
+      val path = url.stripPrefix(s"https://$domain.example.com")
+      // re-derive the expected verdict by brute-force longest-match
+      val ruleSet = Seq(("disallow", "/private/"), ("disallow", "/news/draft"),
+        ("allow", "/news/draft-public"))
+      val matches = ruleSet.filter { case (_, p) => path.startsWith(p) }
+      if (matches.isEmpty) {
+        assert(verdict == "allow" && rule.isEmpty, s"$url: no-match must default allow")
+      } else {
+        // longest path wins; equal-length ties resolve to allow
+        val best = matches.maxBy { case (k, p) => (p.length, k == "allow") }
+        assert(verdict == best._1, s"$url: expected ${best._1}, got $verdict")
+        assert(rule.contains(best._2), s"$url: wrong matched rule $rule")
+      }
+    }
+    // every synthesized shape occurs: allow-by-default, plain disallow,
+    // and the overlapping Allow-beats-shorter-Disallow pair
+    val byVerdictRule = rows.groupBy(r => (r.getString(2), Option(r.getString(3))))
+    assert(byVerdictRule.contains(("allow", None)), "no-match shape missing")
+    assert(byVerdictRule.contains(("disallow", Some("/private/"))), "disallow shape missing")
+    assert(byVerdictRule.contains(("disallow", Some("/news/draft"))), "prefix disallow missing")
+    assert(byVerdictRule.contains(("allow", Some("/news/draft-public"))),
+      "longest-match allow override missing")
+  }
 }
