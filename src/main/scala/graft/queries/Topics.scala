@@ -1103,6 +1103,108 @@ object Topics {
       "       / sum(cnt), 6) AS nll\n" +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** Interpolation weight on the bigram term of [[m19BigramNll]]'s
+    * Jelinek-Mercer model. The unigram weight is its OWN literal (not
+    * `1.0 - M19Lambda`, which is 0.30000000000000004 in IEEE doubles and
+    * would diverge from the twin's parsed `0.3` literal); both constants
+    * are interpolated into the SQL so there is one source of truth.
+    */
+  val M19Lambda = 0.7
+  val M19Mu = 0.3
+
+  /** M19: interpolated-bigram LM quality score — the step up from m11's
+    * unigram stand-in toward the 5-gram-KenLM filter CCNet runs
+    * (Wenzek '20 §4.3): per document, the mean negative log-probability
+    * of its token BIGRAMS under a Jelinek-Mercer-interpolated model
+    * trained on the corpus itself,
+    *   p(w2|w1) = λ·cb(w1,w2)/c1(w1) + (1−λ)·(cu(w2)+1)/(N+V),
+    * with λ = [[M19Lambda]], cb/c1 the bigram and bigram-left counts,
+    * and the add-one unigram of m11 as the back-off. High nll = the
+    * document's word TRANSITIONS are improbable for the corpus (word
+    * salad, boilerplate, wrong language) even when its word MIX is
+    * unremarkable — the signal m11 cannot see.
+    *
+    * Scale shape: the model tables span every distinct corpus bigram —
+    * far beyond broadcast at 100 TB — so all model joins are keyed
+    * equi-joins left to AQE (m11's doctrine), and every shuffle carries
+    * (gram, count) or (doc_id, double) pairs. The per-doc sum folds over
+    * the doc's DISTINCT bigrams in (w1, w2)-sorted order, so it is
+    * summation-order-independent (the m11/q15 boundary-drift hardening);
+    * λ-interpolation and ln are written with identical operand
+    * association in the DuckDB twin, so the doubles hash-match on the
+    * round-6 grid.
+    */
+  def m19BigramNll(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val bigrams = c
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tokens"), lit(1), size(col("tokens")) - 1),
+          slice(col("tokens"), lit(2), size(col("tokens")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val uni = c.select(explode(col("tokens")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("total"), count(lit(1)).as("v")).head()
+    val total = totals.getLong(0); val v = totals.getLong(1)
+    val model = cb.join(c1, Seq("w1")).join(uni, Seq("w2"))
+      .select(col("w1"), col("w2"),
+        log(lit(M19Lambda) * (col("cb") / col("c1")) +
+          lit(M19Mu) * ((col("cu") + lit(1.0)) / lit((total + v).toDouble)))
+          .as("lp"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("w1", "w2"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_big"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("w1"), col("w2"), col("cnt"), col("lp")))),
+            x => x.getField("cnt") * x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_big"),
+        round(-(col("s") / col("n_big")), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m19Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), bgz AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z\n" +
+      "  FROM toks WHERE len(toks) >= 2\n" +
+      "), bg AS (\n" +
+      "  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz\n" +
+      "), cb AS (\n" +
+      "  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2\n" +
+      "), c1 AS (\n" +
+      "  SELECT w1, sum(cb) AS c1 FROM cb GROUP BY 1\n" +
+      "), flat AS (\n" +
+      "  SELECT unnest(toks) AS w2 FROM toks\n" +
+      "), uni AS (\n" +
+      "  SELECT w2, count(*) AS cu FROM flat GROUP BY 1\n" +
+      "), tot AS (\n" +
+      "  SELECT sum(cu) AS total, count(*) AS v FROM uni\n" +
+      "), model AS (\n" +
+      "  SELECT w1, w2,\n" +
+      s"    ln($M19Lambda * (cb / c1) + $M19Mu * ((cu + 1.0) / (total + v))) AS lp\n" +
+      "  FROM cb JOIN c1 USING (w1) JOIN uni USING (w2), tot\n" +
+      "), per AS (\n" +
+      "  SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3\n" +
+      "), j AS (\n" +
+      "  SELECT doc_id, w1, w2, cnt, lp FROM per JOIN model USING (w1, w2)\n" +
+      ")\n" +
+      "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_big,\n" +
+      "  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n" +
+      "       list(cnt * lp ORDER BY w1, w2)), (a, x) -> a + x))\n" +
+      "       / sum(cnt), 6) AS nll\n" +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -1122,6 +1224,7 @@ object Topics {
     "m16_fertility" -> (m16Fertility _),
     "m17_source_mix" -> (m17SourceMix _),
     "m18_intertopic" -> (m18Intertopic _),
+    "m19_bigram_nll" -> (m19BigramNll _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1135,5 +1238,6 @@ object Topics {
     "m15_heaps_growth" -> m15Sql,
     "m16_fertility" -> m16Sql,
     "m17_source_mix" -> m17Sql,
+    "m19_bigram_nll" -> m19Sql,
   )
 }

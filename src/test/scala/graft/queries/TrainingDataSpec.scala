@@ -279,4 +279,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.map(_._2) == docs.map(_._4).toSet,
       "a source fell out of the mix entirely")
   }
+
+  test("m19 bigram NLL matches a brute-force Jelinek-Mercer model replay") {
+    val toks = Topics.corpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toMap
+    val bigrams = toks.toSeq.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(bg => (id, bg))
+    }
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = uni.values.sum; val v = uni.size.toLong
+    val exp = bigrams.groupBy(_._1).map { case (id, bgs) =>
+      val lps = bgs.map { case (_, (w1, w2)) =>
+        math.log(Topics.M19Lambda * (cb((w1, w2)).toDouble / c1(w1)) +
+          Topics.M19Mu * ((uni(w2) + 1.0) / (total + v)))
+      }
+      id -> (bgs.size.toLong, -lps.sum / bgs.size)
+    }
+    val got = Topics.m19BigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == exp.keySet, "per-doc coverage differs")
+    got.foreach { case (id, (nBig, nll)) =>
+      assert(nBig == exp(id)._1, s"doc $id bigram count")
+      // the query folds distinct-bigram partial sums in sorted order;
+      // the replay folds raw bigrams — identical up to float assoc
+      assert(math.abs(nll - exp(id)._2) < 1e-6, s"doc $id nll")
+    }
+    // the signal separates: scores vary across the corpus (not constant)
+    val nlls = got.values.map(_._2).toSeq
+    assert(nlls.max - nlls.min > 0.1, "bigram NLL carries no signal")
+  }
 }
