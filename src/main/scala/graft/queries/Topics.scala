@@ -1205,6 +1205,98 @@ object Topics {
       "       / sum(cnt), 6) AS nll\n" +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** Feature-hash width and per-class training cap for [[m20QualityClassifier]]. */
+  val M20Buckets = 4096
+  val M20TrainPerClass = 2048
+
+  /** M20: learned quality classifier — the fasttext-shaped linear model
+    * the GPT-3/LLaMA curation stacks train to score "looks like the
+    * target domain" (Brown '20 App. A; Touvron '23 §2: a classifier on
+    * Wikipedia-referenced pages), next to t21's classifier-FREE DSIR
+    * reweighting and sharing its target definition (source = 'src0') and
+    * its hashed-bigram feature device (native fnv64 mod 2^12).
+    *
+    * Training is logistic regression over hashed bag-of-bigram counts —
+    * the fasttext linear core (Joulin '17) minus the learned embedding
+    * table, which feature hashing stands in for. The model fits on a
+    * BOUNDED deterministic sample (the [[M20TrainPerClass]] lowest
+    * doc_ids per class — the semDedup/IVF training discipline, O(1) rows
+    * at any corpus size), and scoring never touches MLlib: the fitted
+    * coefficients become a ≤[[M20Buckets]]-row broadcast dim and each
+    * document's margin folds over its distinct buckets in sorted order
+    * (t21's exact scoring shape), then through the logistic link.
+    *
+    * 100 TB shape: bucketing is map-only codegen; the corpus-keyed
+    * shuffles are the per-doc bucket count and the per-doc margin fold —
+    * both map-side combined, both carrying (doc_id, long/double) pairs
+    * only. L-BFGS runs on the bounded sample alone. Rows-only check
+    * (L-BFGS float folds aren't SQL-twinnable); TrainingDataSpec pins
+    * AUC, class separation, and the broadcast-dim scoring equivalence.
+    */
+  def m20QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val buckets = docs
+      .select(col("doc_id"), (col("source") === "src0").cast("int").as("label"),
+        explode(shingles(tokenize(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("label"),
+        pmod(expr("fnv64(g)"), lit(M20Buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("label"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // read by the sample assembly and the scoring fold
+    // bounded deterministic training sample: lowest doc_ids per class
+    val sampleIds = buckets.select(col("doc_id"), col("label")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= M20TrainPerClass)
+      .select(col("doc_id"))
+    val toVec = udf { pairs: Seq[Row] =>
+      val sorted = pairs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
+        .sortBy(_._1)
+      Vectors.sparse(M20Buckets, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+    // the sample is ≤2·M20TrainPerClass rows by construction — collapse
+    // it to a handful of partitions so each of L-BFGS's ~30 treeAggregate
+    // rounds schedules 4 tasks, not 32 near-empty ones, and cache it so
+    // every iteration reads the assembled vectors, not the whole chain
+    val train = buckets.join(broadcast(sampleIds), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("pairs"))
+      .select(col("label").cast("double").as("label"), toVec(col("pairs")).as("f"))
+      .coalesce(4).cache()
+    // tol 1e-4 halts L-BFGS once the rank order is stable (AUC plateaus
+    // well before the default 1e-6's ~30 rounds; measured identical 0.999
+    // fixture AUC) — each saved iteration is a saved pair of job rounds
+    val model = new LogisticRegression()
+      .setMaxIter(20).setTol(1e-4).setRegParam(0.01).setStandardization(false)
+      .setFeaturesCol("f").setLabelCol("label")
+      .fit(train)
+    // the fitted model re-expressed as a broadcast (bucket, weight) dim —
+    // scoring is t21's sorted margin fold, not a per-row MLlib transform
+    val coefs = model.coefficients.toArray
+    val intercept = model.intercept
+    import s.implicits._
+    val coefDim = coefs.zipWithIndex.collect {
+      case (w, b) if w != 0.0 => (b.toLong, w)
+    }.toSeq.toDF("b", "w")
+    buckets.join(broadcast(coefDim), Seq("b"), "left")
+      .select(col("doc_id"), col("label"), col("b"), col("cnt"),
+        coalesce(col("w"), lit(0.0)).as("w"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("b"), col("cnt"), col("w")))),
+          x => x.getField("cnt") * x.getField("w")),
+        lit(intercept), (a, x) => a + x).as("margin"))
+      .select(col("doc_id"), col("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -1225,6 +1317,7 @@ object Topics {
     "m17_source_mix" -> (m17SourceMix _),
     "m18_intertopic" -> (m18Intertopic _),
     "m19_bigram_nll" -> (m19BigramNll _),
+    "m20_quality_classifier" -> (m20QualityClassifier _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

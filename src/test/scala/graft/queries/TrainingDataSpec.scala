@@ -310,4 +310,26 @@ class TrainingDataSpec extends AnyFunSuite {
     val nlls = got.values.map(_._2).toSeq
     assert(nlls.max - nlls.min > 0.1, "bigram NLL carries no signal")
   }
+
+  test("m20 classifier separates the target domain; scores are calibrated probs") {
+    val rows = Topics.m20QualityClassifier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one score per doc")
+    rows.foreach { case (id, label, score, pred) =>
+      assert(score >= 0.0 && score <= 1.0, s"doc $id score out of [0,1]")
+      assert(pred == (if (score >= 0.5) 1 else 0), s"doc $id pred/score mismatch")
+      assert(label == 0 || label == 1)
+    }
+    val pos = rows.filter(_._2 == 1).map(_._3)
+    val neg = rows.filter(_._2 == 0).map(_._3)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture lost a class")
+    // rank-based AUC (ties at 0.5): the hashed-bigram linear model must
+    // genuinely rank src0 above the rest (0.999 measured at sf0.01/0.001)
+    val auc = neg.map(n => pos.map(p =>
+      if (n < p) 1.0 else if (n == p) 0.5 else 0.0).sum).sum / (pos.length.toLong * neg.length)
+    assert(auc > 0.9, s"AUC $auc: classifier fails to separate the target domain")
+    assert(pos.sum / pos.length > neg.sum / neg.length + 0.2,
+      "mean target score not separated from the rest")
+  }
 }
