@@ -934,6 +934,74 @@ object Text {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** T27: Unicode normalization + mojibake-class repair — the ftfy-style
+    * pass a raw crawl runs BEFORE any hash-based operator (t8
+    * fingerprints, d1-d3 shingles, m20 features all split "café" from
+    * its NFD spelling without it): NFC-normalize (native codegen
+    * [[graft.expressions.NfcNormalize]], quick-check fast path), then
+    * line-ending canonicalization (CRLF/CR → LF), zero-width removal
+    * (ZWSP/ZWNJ/ZWJ/BOM), NBSP/tab → space, remaining C0/DEL control
+    * strip, space-run collapse, trim.
+    *
+    * The fixtures are pure printable ASCII, so per the x1/x2/x4 doctrine
+    * the query SYNTHESIZES a deterministic messy prefix (combining
+    * acute, NBSP, ZWSP, BEL, CRLF, tab) onto each document first — that
+    * projection is not the operator under test — and then runs the real
+    * repair chain. JDK `Normalizer` and DuckDB `nfc_normalize` are both
+    * UAX #15, so the twin is value-exact, including the char-count
+    * deltas.
+    *
+    * Scale: per-row scalar chain, map-only, whole-stage codegen end to
+    * end (the NFC expression generates a static call); zero shuffle at
+    * any corpus size. `clean` is referenced twice in the output
+    * projection (value + length) — shared by per-operator subexpression
+    * elimination, the x2 xml_fields precedent.
+    */
+  def t27UnicodeClean(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      // NFD e + combining acute, NBSP, ZWSP, BEL, CRLF, tab — every
+      // repair class the chain below must fix, spelled as escapes so the
+      // source stays ASCII and an editor can't silently re-compose the NFD
+      lit("Cafe\u0301 \u00a0No\u200bBreak\u0007\r\nLine2\t"),
+      substring(col("text"), 1, 40))
+    val clean = {
+      val n1 = expr("nfc_normalize(messy)")
+      val n2 = regexp_replace(n1, "\\r\\n?", "\n")
+      val n3 = regexp_replace(n2, "[\u200b\u200c\u200d\ufeff]", "")
+      val n4 = regexp_replace(n3, "[\u00a0\t]", " ")
+      val n5 = regexp_replace(n4, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f]", "")
+      trim(regexp_replace(n5, " {2,}", " "))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), messy.as("messy"))
+      .select(col("doc_id"), clean.as("clean"),
+        (length(col("messy")) - length(clean)).as("chars_fixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t27Sql: String =
+    """WITH messy AS (
+      |  SELECT doc_id,
+      |    'Cafe' || chr(769) || ' ' || chr(160) || 'No' || chr(8203) ||
+      |    'Break' || chr(7) || chr(13) || chr(10) || 'Line2' || chr(9) ||
+      |    substr(text, 1, 40) AS messy
+      |  FROM documents
+      |), cleaned AS (
+      |  SELECT doc_id, messy,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(nfc_normalize(messy), '\r\n?', chr(10), 'g'),
+      |            '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+      |          '[\x{A0}\t]', ' ', 'g'),
+      |        '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+      |      ' {2,}', ' ', 'g'), ' ') AS clean
+      |  FROM messy
+      |)
+      |SELECT doc_id, clean, length(messy) - length(clean) AS chars_fixed
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -961,6 +1029,7 @@ object Text {
     "t24_gram_novelty" -> (t24GramNovelty _),
     "t25_c4_filter" -> (t25C4Filter _),
     "t26_mix_sample" -> (t26MixSample _),
+    "t27_unicode_clean" -> (t27UnicodeClean _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -990,6 +1059,7 @@ object Text {
     "t24_gram_novelty" -> t24Sql,
     "t25_c4_filter" -> t25Sql,
     "t26_mix_sample" -> t26Sql,
+    "t27_unicode_clean" -> t27Sql,
   )
 
   lazy val t12Sql: String =

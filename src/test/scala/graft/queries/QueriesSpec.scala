@@ -224,4 +224,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(byVerdictRule.contains(("allow", Some("/news/draft-public"))),
       "longest-match allow override missing")
   }
+
+  test("t27 unicode clean matches a driver-side replay of the repair chain") {
+    import java.text.Normalizer
+    val rows = Text.t27UnicodeClean(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, clean, fixed) =>
+      val messy = "Cafe\u0301 \u00a0No\u200bBreak\u0007\r\nLine2\t" +
+        docs(id).take(40)
+      val exp = Normalizer.normalize(messy, Normalizer.Form.NFC)
+        .replaceAll("\\r\\n?", "\n")
+        .replaceAll("[\u200b\u200c\u200d\ufeff]", "")
+        .replaceAll("[\u00a0\t]", " ")
+        .replaceAll("[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f]", "")
+        .replaceAll(" {2,}", " ").trim
+      assert(clean == exp, s"doc $id repair mismatch")
+      // NFC must have composed the accent: every repair class fired
+      assert(clean.startsWith("Caf\u00e9 No"), s"doc $id: $clean")
+      assert(fixed == messy.length - clean.length, s"doc $id chars_fixed")
+      assert(fixed >= 5, s"doc $id fixed too few chars")
+    }
+  }
 }
