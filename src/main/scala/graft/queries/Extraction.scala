@@ -181,12 +181,16 @@ object Extraction {
     * prefix-overlap pair Disallow /news/draft vs Allow
     * /news/draft-public, and Crawl-delay extraction) and the REAL
     * operator runs distributed: the directive parse is a per-domain
-    * explode (robots files are KBs — the rule table is |domains|·|rules|
-    * rows, broadcast), the frontier pass is one broadcast left join with
-    * the prefix predicate fused into the join condition, and the single
-    * shuffle is the per-URL longest-match argmax — map-side-combined
-    * max_by carrying (url, rule-length, kind), never page text. A 100 TB
-    * frontier scales linearly; the rule side stays driver-small.
+    * explode (robots files are KBs), and the frontier pass is a
+    * domain-keyed left equi-join with the prefix predicate fused into
+    * the join condition. The rule table scales with |domains| — small
+    * crawls broadcast, but a web-scale frontier has millions of
+    * domains, so the join strategy is deliberately left to AQE: it
+    * broadcasts when the rule side fits and falls back to a
+    * domain-keyed shuffle join (with skew splitting for mega-domains)
+    * when it doesn't. The remaining shuffle is the per-URL
+    * longest-match argmax — map-side-combined max_by carrying
+    * (url, rule-length, kind), never page text.
     */
   def x4RobotsFilter(s: SparkSession, dir: String): DataFrame = {
     val domains = Tables.documents(s, dir)
@@ -217,8 +221,8 @@ object Extraction {
       .select(col("doc_id"), col("source").as("domain"), path.as("path"))
       .select(col("doc_id"), col("domain"), col("path"),
         concat(lit("https://"), col("domain"), lit(".example.com"), col("path")).as("url"))
-    val r = broadcast(rules)
-    // prefix predicate fused into the broadcast join; unmatched URLs keep
+    val r = rules // join strategy AQE-decided: see the scaladoc
+    // prefix predicate fused into the equi-join; unmatched URLs keep
     // a null rule row so max_by's null-ordering drop yields verdict=allow
     val joined = frontier.join(r,
       frontier("domain") === r("domain") && frontier("path").startsWith(r("rule_path")),
@@ -230,7 +234,7 @@ object Extraction {
     val best = joined.groupBy(col("url"), col("domain"))
       .agg(max_by(struct(col("kind"), col("rule_path")),
         struct(col("plen"), col("is_allow"))).as("m"))
-    best.join(broadcast(delays), Seq("domain"))
+    best.join(delays, Seq("domain"))
       .select(col("url"), col("domain"),
         coalesce(col("m.kind"), lit("allow")).as("verdict"),
         col("m.rule_path").as("rule"), col("crawl_delay"))

@@ -112,7 +112,10 @@ class PlansSpec extends AnyFunSuite {
       "cluster-representative argmax lost its map-side combine")
   }
 
-  test("x4 robots rules join broadcast; the longest-match argmax combines map-side") {
+  test("x4 robots rules join broadcast at small scale (AQE); argmax combines map-side") {
+    // the rule join carries no hint — AQE must still pick broadcast when
+    // the rule side is small (at web scale it degrades gracefully to a
+    // domain-keyed shuffle join instead)
     val plan = executedPlan(Extraction.x4RobotsFilter(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), "rule table not broadcast")
     assert(!plan.contains("SortMergeJoin"),
