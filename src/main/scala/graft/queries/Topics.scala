@@ -1237,36 +1237,42 @@ object Topics {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val buckets = docs
+    val labeled = Tables.documents(s, dir)
       .select(col("doc_id"), (col("source") === "src0").cast("int").as("label"),
+        col("text"))
+    // the hashed-bigram bucket counts of any labeled frame — applied
+    // separately to the tiny training sample and (once, uncached) to the
+    // full corpus, so no corpus-sized intermediate is ever pinned
+    def buckets(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), col("label"),
         explode(shingles(tokenize(col("text")), 2)).as("g"))
       .select(col("doc_id"), col("label"),
         pmod(expr("fnv64(g)"), lit(M20Buckets.toLong)).as("b"))
       .groupBy(col("doc_id"), col("label"), col("b"))
       .agg(count(lit(1)).as("cnt"))
-      .cache() // read by the sample assembly and the scoring fold
-    // bounded deterministic training sample: lowest doc_ids per class
-    val sampleIds = buckets.select(col("doc_id"), col("label")).distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("label")).orderBy(col("doc_id"))))
-      .filter(col("rk") <= M20TrainPerClass)
-      .select(col("doc_id"))
+    // bounded deterministic training sample: the lowest doc_ids per
+    // class via two TakeOrdered jobs over a column-pruned (doc_id,
+    // label) scan — NOT a window partitioned by label, which would fold
+    // the whole corpus into two skewed partitions
+    val sampleIds =
+      labeled.filter(col("label") === 1).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(M20TrainPerClass)
+        .union(labeled.filter(col("label") === 0).select(col("doc_id"))
+          .orderBy(col("doc_id")).limit(M20TrainPerClass))
     val toVec = udf { pairs: Seq[Row] =>
       val sorted = pairs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
         .sortBy(_._1)
       Vectors.sparse(M20Buckets, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
     }
-    // the sample is ≤2·M20TrainPerClass rows by construction — collapse
-    // it to a handful of partitions so each of L-BFGS's ~30 treeAggregate
-    // rounds schedules 4 tasks, not 32 near-empty ones, and cache it so
-    // every iteration reads the assembled vectors, not the whole chain
-    val train = buckets.join(broadcast(sampleIds), Seq("doc_id"))
+    // the sample is ≤2·M20TrainPerClass rows by construction — shingle
+    // only those docs (the broadcast semi-join prunes before the explode),
+    // collapse to one partition so each of L-BFGS's iterations schedules
+    // one task, and cache so every iteration reads assembled vectors
+    val train = buckets(labeled.join(broadcast(sampleIds), Seq("doc_id")))
       .groupBy(col("doc_id"), col("label"))
       .agg(collect_list(struct(col("b"), col("cnt"))).as("pairs"))
       .select(col("label").cast("double").as("label"), toVec(col("pairs")).as("f"))
-      .coalesce(4).cache()
+      .coalesce(1).cache()
     // tol 1e-4 halts L-BFGS once the rank order is stable (AUC plateaus
     // well before the default 1e-6's ~30 rounds; measured identical 0.999
     // fixture AUC) — each saved iteration is a saved pair of job rounds
@@ -1282,7 +1288,7 @@ object Topics {
     val coefDim = coefs.zipWithIndex.collect {
       case (w, b) if w != 0.0 => (b.toLong, w)
     }.toSeq.toDF("b", "w")
-    buckets.join(broadcast(coefDim), Seq("b"), "left")
+    buckets(labeled).join(broadcast(coefDim), Seq("b"), "left")
       .select(col("doc_id"), col("label"), col("b"), col("cnt"),
         coalesce(col("w"), lit(0.0)).as("w"))
       .groupBy(col("doc_id"), col("label"))
