@@ -72,7 +72,8 @@ object Bench {
     // compute, so each is also timed COLD below against a throwaway
     // artifact root with the in-JVM model registry cleared.
     val artifactBacked = Seq("m2_dominant_topics", "m3_topic_keywords",
-      "m4_lda_sweep", "t23_leakage_safe_split", "d15_cluster_reps")
+      "m4_lda_sweep", "t23_leakage_safe_split", "d15_cluster_reps",
+      "m18_intertopic")
       .filter(selected.contains)
     // pre-warm: make sure the artifacts exist so the main pass measures
     // the warm path deterministically (on a clean tree the first timed
