@@ -740,6 +740,150 @@ object Relational {
       |        / (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS boost
       |FROM counts, tot, z ORDER BY source""".stripMargin
 
+  /** Q32: data-quality constraint audit — the Deequ/Great-Expectations
+    * gate a production pipeline runs on every snapshot before anything
+    * downstream trusts it: completeness (non-null / non-empty
+    * fractions), key uniqueness, categorical-domain containment, and
+    * numeric range, emitted as a tidy (check, value, passed) table a
+    * scheduler can alert on.
+    *
+    * Scale shape: every metric folds in ONE map-side-combined full-scan
+    * aggregation (count/sum/min/max plus one exact count-distinct on the
+    * key — the only shuffle, carrying ids); the constraint table is then
+    * a map-only explode of the single metrics row. No per-constraint
+    * rescans — adding a check adds a column to the same pass, the Deequ
+    * design point.
+    */
+  def q32DqAudit(s: SparkSession, dir: String): DataFrame = {
+    val allowedLangs = Seq("de", "en", "es", "fr", "zh")
+    val m = Tables.documents(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("doc_id")).as("n_id"),
+      countDistinct(col("doc_id")).as("n_idd"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("text_bad"),
+      sum(when(col("lang").isNull || !col("lang").isin(allowedLangs: _*), 1L)
+        .otherwise(0L)).as("lang_bad"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_bad"),
+      min(col("n_chars")).as("nc_min"),
+      max(col("n_chars")).as("nc_max"))
+    m.select(explode(array(
+      struct(lit("completeness_doc_id").as("check_name"),
+        round(col("n_id") / col("n"), 6).as("value"),
+        (col("n_id") === col("n")).as("passed")),
+      struct(lit("completeness_source").as("check_name"),
+        round(lit(1.0) - col("source_bad") / col("n"), 6).as("value"),
+        (col("source_bad") === 0).as("passed")),
+      struct(lit("completeness_text").as("check_name"),
+        round(lit(1.0) - col("text_bad") / col("n"), 6).as("value"),
+        (col("text_bad") === 0).as("passed")),
+      struct(lit("lang_in_set").as("check_name"),
+        round(lit(1.0) - col("lang_bad") / col("n"), 6).as("value"),
+        (col("lang_bad") === 0).as("passed")),
+      struct(lit("range_n_chars").as("check_name"),
+        col("nc_max").cast("double").as("value"),
+        (col("nc_min") >= 1 && col("nc_max") <= 100000).as("passed")),
+      struct(lit("uniqueness_doc_id").as("check_name"),
+        round(col("n_idd") / col("n"), 6).as("value"),
+        (col("n_idd") === col("n")).as("passed")))).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.value").as("value"),
+        col("c.passed").as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  val q32Sql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n, count(doc_id) AS n_id,
+      |    count(DISTINCT doc_id) AS n_idd,
+      |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS text_bad,
+      |    sum(CASE WHEN lang IS NULL
+      |             OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS lang_bad,
+      |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_bad,
+      |    min(n_chars) AS nc_min, max(n_chars) AS nc_max
+      |  FROM documents
+      |)
+      |SELECT * FROM (
+      |  SELECT 'completeness_doc_id' AS check_name,
+      |         round(n_id / n, 6) AS value, n_id = n AS passed FROM m
+      |  UNION ALL SELECT 'completeness_source',
+      |         round(1.0 - source_bad / n, 6), source_bad = 0 FROM m
+      |  UNION ALL SELECT 'completeness_text',
+      |         round(1.0 - text_bad / n, 6), text_bad = 0 FROM m
+      |  UNION ALL SELECT 'lang_in_set',
+      |         round(1.0 - lang_bad / n, 6), lang_bad = 0 FROM m
+      |  UNION ALL SELECT 'range_n_chars',
+      |         CAST(nc_max AS DOUBLE), nc_min >= 1 AND nc_max <= 100000 FROM m
+      |  UNION ALL SELECT 'uniqueness_doc_id',
+      |         round(n_idd / n, 6), n_idd = n FROM m
+      |) ORDER BY check_name""".stripMargin
+
+  /** Number of fixed n_chars histogram bins for [[q33PsiDrift]]; the
+    * add-half smoothing denominator term is 0.5 · this.
+    */
+  val PsiBins = 8
+
+  /** Q33: population-stability-index drift between two corpus snapshots
+    * — the monitoring check a pipeline runs when a new crawl lands:
+    * bin a feature (n_chars, fixed 100-char edges) on both sides, then
+    * PSI = Σ (p_a − p_b)·ln(p_a/p_b) with add-half smoothing so empty
+    * bins stay finite. The fixture stands in the two snapshots with the
+    * doc_id parity split (the q26/t23 hash-device doctrine: a
+    * deterministic, content-independent partition). Per-bin
+    * contributions are emitted (the actionable view — WHICH band
+    * drifted); the scalar PSI is their sum.
+    *
+    * Scale shape: one map-side-combined (split, bin) count — ≤2·
+    * [[PsiBins]] groups — then all arithmetic happens on the bounded
+    * bin table against a cross-joined 1-row totals frame. The corpus is
+    * scanned once, column-pruned to (doc_id, n_chars); nothing else
+    * shuffles.
+    */
+  def q33PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.documents(s, dir)
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        least(lit(PsiBins - 1), floor(col("n_chars") / 100)).cast("long").as("bin"))
+      .groupBy(col("is_a"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val bins = (0 until PsiBins).map(_.toLong).toDF("bin")
+    val a = binned.filter(col("is_a")).select(col("bin"), col("cnt").as("ca"))
+    val b = binned.filter(!col("is_a")).select(col("bin"), col("cnt").as("cb"))
+    val tot = binned.agg(
+      sum(when(col("is_a"), col("cnt")).otherwise(0L)).as("ta"),
+      sum(when(!col("is_a"), col("cnt")).otherwise(0L)).as("tb"))
+    val half = 0.5 * PsiBins
+    val pa = (col("ca") + lit(0.5)) / (col("ta") + lit(half))
+    val pb = (col("cb") + lit(0.5)) / (col("tb") + lit(half))
+    bins.join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(tot)
+      .select(col("bin"), col("ca"), col("cb"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
+  val q33Sql: String =
+    s"""WITH binned AS (
+      |  SELECT doc_id % 2 = 0 AS is_a,
+      |         least(${PsiBins - 1}, n_chars // 100) AS bin, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), bins AS (SELECT unnest(range(0, $PsiBins)) AS bin),
+      |a AS (SELECT bin, cnt AS ca FROM binned WHERE is_a),
+      |b AS (SELECT bin, cnt AS cb FROM binned WHERE NOT is_a),
+      |tot AS (
+      |  SELECT sum(CASE WHEN is_a THEN cnt ELSE 0 END) AS ta,
+      |         sum(CASE WHEN NOT is_a THEN cnt ELSE 0 END) AS tb
+      |  FROM binned
+      |), j AS (
+      |  SELECT bins.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb, ta, tb
+      |  FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin), tot
+      |)
+      |SELECT bin, ca, cb,
+      |  round(((ca + 0.5) / (ta + ${0.5 * PsiBins}) - (cb + 0.5) / (tb + ${0.5 * PsiBins}))
+      |        * ln(((ca + 0.5) / (ta + ${0.5 * PsiBins})) / ((cb + 0.5) / (tb + ${0.5 * PsiBins}))), 6) AS psi_contrib
+      |FROM j ORDER BY bin""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -772,6 +916,8 @@ object Relational {
     "q29_snapshot_diff" -> (q29SnapshotDiff _),
     "q30_approx_percentiles" -> (q30ApproxPercentiles _),
     "q31_temperature_mix" -> (q31TemperatureMix _),
+    "q32_dq_audit" -> (q32DqAudit _),
+    "q33_psi_drift" -> (q33PsiDrift _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -804,5 +950,7 @@ object Relational {
     "q28_domain_mix" -> q28Sql,
     "q29_snapshot_diff" -> q29Sql,
     "q31_temperature_mix" -> q31Sql,
+    "q32_dq_audit" -> q32Sql,
+    "q33_psi_drift" -> q33Sql,
   )
 }

@@ -249,4 +249,48 @@ class QueriesSpec extends AnyFunSuite {
       assert(fixed >= 5, s"doc $id fixed too few chars")
     }
   }
+
+  test("q32 audit passes on the healthy fixture and fails on planted corruption") {
+    import spark.implicits._
+    val healthy = Relational.q32DqAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(healthy.map(_._1).toSeq == healthy.map(_._1).sorted.toSeq)
+    assert(healthy.length == 6)
+    healthy.foreach { case (c, _, passed) => assert(passed, s"$c failed on healthy data") }
+    assert(healthy.filter(_._1.startsWith("completeness")).forall(_._2 == 1.0))
+    // planted corruption: a null text, a duplicated key, an out-of-set lang
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    val bad = Seq(
+      (1L, "ok text", "en", "src0", 7L),
+      (1L, null.asInstanceOf[String], "xx", "src0", 7L),
+      (2L, "more text", "fr", "src1", 9L))
+    bad.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val audit = Relational.q32DqAudit(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!audit("completeness_text"), "null text not caught")
+    assert(!audit("uniqueness_doc_id"), "duplicate key not caught")
+    assert(!audit("lang_in_set"), "out-of-set lang not caught")
+    assert(audit("completeness_source"), "source check should still pass")
+  }
+
+  test("q33 PSI is ~0 on the parity split and large under planted drift") {
+    import spark.implicits._
+    val contribs = Relational.q33PsiDrift(spark, dir).collect().map(_.getDouble(3))
+    assert(contribs.length == Relational.PsiBins)
+    val psi = contribs.sum
+    // doc_id parity is content-independent: the two "snapshots" share a
+    // distribution, so PSI must sit under the classic 0.1 alert line
+    assert(psi >= 0.0 - 1e-9 && psi < 0.1, s"parity-split PSI $psi not stable")
+    // planted drift: snapshot b (odd ids) shifted +300 chars
+    val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+    val rows = (0L until 400L).map { i =>
+      val nc = if (i % 2 == 0) 60L + (i % 5) * 10 else 360L + (i % 5) * 10
+      (i, s"t$i", "en", "src0", nc)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val drifted = Relational.q33PsiDrift(spark, tmp).collect().map(_.getDouble(3)).sum
+    assert(drifted > 0.25, s"planted distribution shift scored PSI $drifted")
+  }
 }
