@@ -142,4 +142,43 @@ object Sinks {
       .option("compression", codec)
       .partitionBy(partitionCol)
       .json(path)
+
+  /** Schema-on-read JSONL ingest with corrupt-line tolerance — the read
+    * side of [[writeJsonlShards]]'s wire format, and the shape any
+    * external corpus drop (Common-Crawl-style JSONL) arrives in.
+    * Returns (good, corrupt): `good` carries exactly the caller's
+    * schema; `corrupt` carries the raw offending lines for a quarantine
+    * sink, so one bad line never fails a 100 TB ingest job.
+    *
+    * The schema is REQUIRED, deliberately: without one, Spark's JSON
+    * source runs a full inference pass over every byte before the real
+    * scan — a doubled read that is invisible at test scale and ruinous
+    * at corpus scale. PERMISSIVE mode routes malformed lines into the
+    * `_corrupt_record` column instead of throwing.
+    *
+    * The two frames are independent single-scan plans: `good` reads the
+    * native JSON scan under DROPMALFORMED (bad lines vanish inside the
+    * scan — no corrupt column ever enters the plan, so any downstream
+    * pruning, including a bare count(), stays legal), while `corrupt`
+    * re-derives corruptness from a TEXT scan with a PERMISSIVE
+    * `from_json` in the filter — Spark disallows querying only the
+    * corrupt column off a raw JSON scan, and the text formulation also
+    * hands back the offending line byte-for-byte.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val good = spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val corrupt = spark.read.text(path)
+      .filter(from_json(col("value"),
+          schema.add(corruptCol, org.apache.spark.sql.types.StringType),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+        .getField(corruptCol).isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, corrupt)
+  }
 }

@@ -130,4 +130,37 @@ class SinksSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(back == exp)
   }
+
+  test("readJsonl splits good rows from quarantined corrupt lines losslessly") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("jsonl_read")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha", "lang": "en"}""",
+      """{"doc_id": 2, "text": "beta", "lang": "fr"}""",
+      """{"doc_id": 3, "text": "gamma""",             // truncated JSON
+      """not json at all""",
+      """{"doc_id": 4, "text": "delta", "lang": "de"}""")
+    java.nio.file.Files.write(base.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (good, corrupt) = Sinks.readJsonl(spark, base.toString, schema)
+    assert(good.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang"),
+      "good frame must carry exactly the caller's schema")
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g == Set((1L, "alpha"), (2L, "beta"), (4L, "delta")))
+    val bad = corrupt.collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"doc_id": 3, "text": "gamma""", "not json at all"),
+      s"quarantine must carry the raw lines verbatim, got $bad")
+    // round-trip against the writer's own output: nothing quarantined
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val wPath = tmp("jsonl_rt")
+    Sinks.writeJsonlShards(docs, wPath, "lang", maxRecordsPerFile = 500)
+    val rtSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (rtGood, rtBad) = Sinks.readJsonl(spark, wPath, rtSchema)
+    assert(rtBad.count() == 0, "writer output must parse clean")
+    assert(rtGood.count() == docs.count())
+  }
 }
