@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{C4Lines, Fnv64, GopherFlags, MinHash128, NfcNormalize, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
+import graft.expressions.{C4Lines, DeflateLen, Fnv64, GopherFlags, MinHash128, NfcNormalize, QualityScore, SimHash64, VecDot, VecNorm, WinnowFingerprints, WordNgrams, XmlFields}
 
 /** Session extension registering graft's native Catalyst expressions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -70,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo("graft.expressions.NfcNormalize", "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo("graft.expressions.DeflateLen", "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children.head)))
   }
 }

@@ -1002,6 +1002,24 @@ object Text {
       |SELECT doc_id, clean, length(messy) - length(clean) AS chars_fixed
       |FROM cleaned ORDER BY doc_id""".stripMargin
 
+  /** T28: compression-ratio quality signal — DEFLATE the text and score
+    * z_bytes/n_bytes (native [[graft.expressions.DeflateLen]]): template
+    * and boilerplate pages compress far below natural prose, giving the
+    * cheap language-agnostic junk detector production curation stacks
+    * run next to t22's Gopher and t25's C4 batteries. Map-only, zero
+    * shuffle, whole-stage codegen; rows-only check (zlib output is a
+    * heuristic feature, not a portable checksum — the spec pins the
+    * ordering properties the filter actually relies on).
+    */
+  def t28CompressRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        expr("deflate_len(text)").as("z_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("z_bytes"),
+        round(col("z_bytes") / col("n_bytes"), 6).as("ratio"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1030,6 +1048,7 @@ object Text {
     "t25_c4_filter" -> (t25C4Filter _),
     "t26_mix_sample" -> (t26MixSample _),
     "t27_unicode_clean" -> (t27UnicodeClean _),
+    "t28_compress_ratio" -> (t28CompressRatio _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
