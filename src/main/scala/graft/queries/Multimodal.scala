@@ -255,11 +255,157 @@ object Multimodal {
       |  round(avg(octet_length(encode(text))), 6) AS avg_bytes
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
+  /** 64-bit blockwise average-hash over raw payload bytes — the aHash
+    * device applied at the byte level: chunk the payload into 64 blocks
+    * (byte i → block i·64/L, the surjective index map both engines
+    * compute in integers), bit k = block k's mean byte > global mean
+    * byte. The comparison is the integer cross-multiplication
+    * cs·L > gsum·clen, so no float ever enters the hash — bit-exact in
+    * any engine. Near-identical payloads (small in-place edits) disagree
+    * in at most the touched blocks; identical payloads collide exactly.
+    */
+  private[queries] def byteAHash(payload: Array[Byte]): String = {
+    val L = payload.length
+    val cs = new Array[Long](64)
+    val clen = new Array[Long](64)
+    var gsum = 0L
+    var i = 0
+    while (i < L) {
+      val k = (i.toLong * 64 / L).toInt
+      val b = (payload(i) & 0xff).toLong
+      cs(k) += b; clen(k) += 1; gsum += b
+      i += 1
+    }
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      sb.append(if (cs(k) * L > gsum * clen(k)) '1' else '0')
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** 64-bit perceptual average-hash for DECODED images: 8×8 grid over
+    * the pixel plane (pixel (x,y) → cell (y·8/h, x·8/w)), per-cell
+    * integer luma-1000 sums (299r+587g+114b), bit = cell mean > global
+    * mean via the same integer cross-multiplication as [[byteAHash]].
+    * Row-major bit order. This is the real aHash of Krawetz's
+    * "kind of like that" family, minus the downsample interpolation
+    * (block means ARE the downsample). Spec-covered (no SQL twin can
+    * decode pixels); the fixture's text payloads never reach it.
+    */
+  private[queries] def imageAHash(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val cs = new Array[Long](64)
+    val clen = new Array[Long](64)
+    var gsum = 0L
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * 8 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val k = gy * 8 + gx
+        cs(k) += luma; clen(k) += 1; gsum += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      sb.append(if (cs(k) * n > gsum * clen(k)) '1' else '0')
+      k += 1
+    }
+    sb.toString
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("phash", StringType)))
+
+  /** MM5: perceptual-hash duplicate detection over media payloads — the
+    * image-dedup stage of a multimodal curation pipeline (LAION-style
+    * corpora dedup by exactly this family of 64-bit hashes). Payloads
+    * ≥64 bytes are hashed partition-wise (mm1's mapPartitions batch
+    * shape: real images through decode→[[imageAHash]], everything else
+    * through [[byteAHash]] — the fixture's text payloads always take
+    * the byte path, which keeps the oracle SQL-twinnable via codepoints
+    * on the pure-ASCII fixture); duplicate groups are then a hash
+    * groupBy. Output: every media item with its hash, its group size,
+    * and the dup flag.
+    *
+    * 100 TB shape: hashing is map-only and payloads never shuffle — the
+    * groupBy carries (64-char hash, media_id) pairs only; group counts
+    * join back by hash (map-side combined count, then a keyed join on
+    * the hash — the t8/t19 linear exact-dedup shape). Hamming-radius
+    * matching at scale composes d3's pigeonhole band join over these
+    * same hashes; exact-collision grouping is the LAION production
+    * default and what's oracle-checked here.
+    */
+  def mm5PhashDups(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(phashSchema)
+    val hashed = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .filter(length(col("payload")) >= 64)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = r.getString(2)
+          val ph =
+            if (fmt == "png" || fmt == "jpeg") {
+              javax.imageio.ImageIO.setUseCache(false)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img == null) byteAHash(payload) else imageAHash(img)
+            } else byteAHash(payload)
+          Row(id, ph)
+        }
+      }(enc)
+    val groups = hashed.groupBy(col("phash")).agg(count(lit(1)).as("n_same"))
+    hashed.join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("n_same"),
+        (col("n_same") > 1).as("is_dup"))
+      .orderBy(col("media_id"))
+  }
+
+  val mm5Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
+      |  FROM documents WHERE octet_length(encode(text)) >= 64
+      |), bytes AS (
+      |  SELECT media_id, L,
+      |    ((i - 1) * 64) // L AS k,
+      |    ord(substr(text, CAST(i AS INT), 1))::BIGINT AS b
+      |  FROM f, unnest(range(1, L + 1)) AS t(i)
+      |), chunks AS (
+      |  SELECT media_id, L, k, sum(b)::BIGINT AS cs, count(*)::BIGINT AS clen
+      |  FROM bytes GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT media_id, sum(cs)::BIGINT AS gsum FROM chunks GROUP BY 1
+      |), p AS (
+      |  SELECT c.media_id,
+      |    string_agg(CASE WHEN c.cs * c.L > g.gsum * c.clen
+      |               THEN '1' ELSE '0' END, '' ORDER BY c.k) AS phash
+      |  FROM chunks c JOIN g USING (media_id) GROUP BY c.media_id
+      |), grp AS (
+      |  SELECT phash, count(*) AS n_same FROM p GROUP BY 1
+      |)
+      |SELECT p.media_id, p.phash, grp.n_same, grp.n_same > 1 AS is_dup
+      |FROM p JOIN grp USING (phash)
+      |ORDER BY p.media_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_resize_plan" -> (mm3ResizePlan _),
     "mm4_modality_mix" -> (mm4ModalityMix _),
+    "mm5_phash_dups" -> (mm5PhashDups _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -267,5 +413,6 @@ object Multimodal {
     "mm2_frame_sample" -> mm2Sql,
     "mm3_resize_plan" -> mm3Sql,
     "mm4_modality_mix" -> mm4Sql,
+    "mm5_phash_dups" -> mm5Sql,
   )
 }

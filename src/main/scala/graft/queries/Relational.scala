@@ -817,6 +817,81 @@ object Relational {
       |         round(n_idd / n, 6), n_idd = n FROM m
       |) ORDER BY check_name""".stripMargin
 
+  /** Q34: slowly-changing-dimension (type 2) history build — fold a
+    * sequence of corpus snapshots into versioned validity intervals
+    * (digest, valid_from, valid_to, is_current), the metadata-lake shape
+    * a recurring crawl keeps so any past corpus state can be
+    * reconstructed. Extends q29's two-snapshot diff to the general
+    * N-snapshot merge: three snapshots are derived deterministically
+    * from the fixture (baseline; drop-every-11th; drop-every-13th with
+    * every-7th text mutated — q29's A/B preceded by the full corpus) and
+    * collapsed per document with the gaps-and-islands device: a segment
+    * breaks when the digest changes OR the document skips a snapshot
+    * (absence then reappearance is a new version, as an SCD2 store
+    * records it).
+    *
+    * 100 TB shape: each snapshot reduces to (doc_id, digest) in the scan
+    * projection — text never leaves the scan (q29's rule); the union is
+    * scan-parallel; the only shuffle keys on doc_id for the per-document
+    * window, whose partitions are ≤ #snapshots rows each — tiny state,
+    * arbitrarily many documents. Snapshot count grows the union linearly
+    * (one partition-pruned scan each on a date-partitioned lake), never
+    * quadratically.
+    */
+  def q34Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snap1 = docs.select(col("doc_id"), lit(1).as("snap"),
+      md5(col("text")).as("digest"))
+    val snap2 = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), lit(2).as("snap"), md5(col("text")).as("digest"))
+    val snap3 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), lit(3).as("snap"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("digest"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("snap"))
+    val seg = snap1.union(snap2).union(snap3)
+      .withColumn("p_snap", lag(col("snap"), 1).over(w))
+      .withColumn("p_dig", lag(col("digest"), 1).over(w))
+      .withColumn("is_new",
+        when(col("p_snap").isNotNull && col("snap") === col("p_snap") + 1 &&
+          col("digest") === col("p_dig"), 0L).otherwise(1L))
+      .withColumn("version", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seg.groupBy(col("doc_id"), col("version"))
+      .agg(min(col("digest")).as("digest"),
+        min(col("snap")).as("valid_from"),
+        max(col("snap")).as("valid_to"),
+        (max(col("snap")) === 3).as("is_current"))
+      .orderBy(col("doc_id"), col("version"))
+  }
+
+  val q34Sql: String =
+    """WITH snaps AS (
+      |  SELECT doc_id, 1 AS snap, md5(text) AS digest FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, md5(text) FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') ELSE md5(text) END
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |), marked AS (
+      |  SELECT doc_id, snap, digest,
+      |    CASE WHEN lag(snap) OVER w IS NOT NULL
+      |              AND snap = lag(snap) OVER w + 1
+      |              AND digest = lag(digest) OVER w THEN 0 ELSE 1 END AS is_new
+      |  FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY snap)
+      |), segs AS (
+      |  SELECT doc_id, snap, digest,
+      |    CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY snap
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM marked
+      |)
+      |SELECT doc_id, version, min(digest) AS digest,
+      |  min(snap) AS valid_from, max(snap) AS valid_to,
+      |  max(snap) = 3 AS is_current
+      |FROM segs GROUP BY doc_id, version
+      |ORDER BY doc_id, version""".stripMargin
+
   /** Number of fixed n_chars histogram bins for [[q33PsiDrift]]; the
     * add-half smoothing denominator term is 0.5 · this.
     */
@@ -918,6 +993,7 @@ object Relational {
     "q31_temperature_mix" -> (q31TemperatureMix _),
     "q32_dq_audit" -> (q32DqAudit _),
     "q33_psi_drift" -> (q33PsiDrift _),
+    "q34_scd2_history" -> (q34Scd2History _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -952,5 +1028,6 @@ object Relational {
     "q31_temperature_mix" -> q31Sql,
     "q32_dq_audit" -> q32Sql,
     "q33_psi_drift" -> q33Sql,
+    "q34_scd2_history" -> q34Sql,
   )
 }

@@ -657,6 +657,90 @@ object Similarity {
        |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY id1, rank""".stripMargin
 
+  /** S10: ANN recall evaluation — recall@K of the IVF index (s2)
+    * against the exact answer (s1), per query. The quality gate every
+    * production ANN deployment runs before trusting an index build:
+    * recall dropping under a floor means nprobe/ncells need retuning.
+    * Emitted per-query (not just the mean) because recall failures are
+    * typically concentrated in a few queries near cell boundaries.
+    *
+    * 100 TB shape: both inputs are the ALREADY-BOUNDED top-K result
+    * sets (NQ×K rows each — the heavy scans happen inside s1/s2 with
+    * their own documented plans); the eval itself is a semi-join and an
+    * aggregation over NQ×K rows, broadcast-sized at any corpus scale.
+    * In production s1 runs on a fixed query/probe sample, never the
+    * full corpus, which is exactly the NQ-slice shape here.
+    */
+  def s10RecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1CosineTopK(s, dir).select(col("id1"), col("id2"))
+    val approx = s2IvfTopK(s, dir)
+      .select(col("id1").as("a1"), col("id2").as("a2"))
+    val hits = exact
+      .join(broadcast(approx),
+        col("id1") === col("a1") && col("id2") === col("a2"), "left_semi")
+      .groupBy(col("id1")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("id1")).distinct()
+      .join(hits, Seq("id1"), "left")
+      .select(col("id1"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble), 6).as("recall"))
+      .orderBy(col("id1"))
+  }
+
+  val s10Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |ex_scored AS (
+       |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), exact AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |           row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |    FROM ex_scored) WHERE rank <= $K
+       |),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |sims AS (
+       |  SELECT a.vec_id, a.nrm, c.cent_id,
+       |         round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6) AS cs
+       |  FROM n a CROSS JOIN cents c
+       |),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims) WHERE rn = 1
+       |),
+       |corpus AS (SELECT s.vec_id AS id2, n.v AS v2, n.nrm AS n2, s.cell
+       |           FROM cells s JOIN n ON n.vec_id = s.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS id1, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims WHERE vec_id < $NQ) WHERE rn <= 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.id1, c.id2,
+       |    round(list_dot_product(q.v, c.v2) / (q.nrm * c.n2), 6) AS cos
+       |  FROM probes p JOIN corpus c USING (cell)
+       |  JOIN n q ON q.vec_id = p.id1
+       |  WHERE p.id1 <> c.id2
+       |), approx AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |           row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |    FROM cand) WHERE rank <= $K
+       |), hits AS (
+       |  SELECT e.id1, count(*) AS n_hits
+       |  FROM exact e JOIN approx a ON a.id1 = e.id1 AND a.id2 = e.id2
+       |  GROUP BY 1
+       |)
+       |SELECT q.id1, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / ${K.toDouble}, 6) AS recall
+       |FROM (SELECT DISTINCT id1 FROM exact) q LEFT JOIN hits h USING (id1)
+       |ORDER BY id1""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -667,6 +751,7 @@ object Similarity {
     "s7_quantized_topk" -> (s7QuantizedTopK _),
     "s8_kcenter_sample" -> (s8KCenterSample _),
     "s9_pq_topk" -> (s9PqTopK _),
+    "s10_recall_eval" -> (s10RecallEval _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -677,5 +762,6 @@ object Similarity {
     "s6_lsh_topk" -> s6Sql,
     "s7_quantized_topk" -> s7Sql,
     "s9_pq_topk" -> s9Sql,
+    "s10_recall_eval" -> s10Sql,
   )
 }

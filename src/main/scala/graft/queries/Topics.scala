@@ -1303,6 +1303,71 @@ object Topics {
       .orderBy(col("doc_id"))
   }
 
+  /** M21: perplexity-bucketed corpus partitioning — the CCNet device
+    * (Wenzek et al., LREC 2020): score every document with the m19
+    * interpolated-bigram LM, split the corpus into head/middle/tail
+    * thirds by NLL (lowest-perplexity third = "head", the cleanest
+    * slice), and let downstream sampling over/under-weight the buckets.
+    *
+    * Exact-tercile doctrine: the thresholds come from a CUMULATIVE
+    * HISTOGRAM over fixed-width NLL bins (floor(nll·100); the q33
+    * bounded-bin device), not a corpus-wide sort — the bin table is a
+    * few hundred rows at any corpus size, so the cumulative window is
+    * bounded and the per-doc assignment is a broadcast of two scalar
+    * thresholds. Terciles are bin-granular (every doc in a bin gets the
+    * same bucket — deterministic ties), which is how a production
+    * pipeline actually buckets: threshold tables, not global ranks.
+    * All doubles entering floor() are the hash-verified m19 values, so
+    * both engines bin identically.
+    *
+    * 100 TB shape: m19's own documented shuffles, plus one ≤O(bins)
+    * aggregation and a map-only bucket assignment. No global sort, no
+    * corpus-wide window.
+    */
+  def m21PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nll = m19BigramNll(s, dir).select(col("doc_id"), col("nll"))
+      .withColumn("bin", floor(col("nll") * 100).cast("long")).cache()
+    val hist = nll.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // bounded-bin cumulative: the window runs over ≤ a few hundred bin
+    // rows (post-aggregation — the w2 doctrine), never the corpus
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wb))
+    val tot = nll.agg(count(lit(1)).as("t"))
+    val th = cum.crossJoin(tot).agg(
+      min(when(col("cum") * 3 >= col("t"), col("bin"))).as("t1"),
+      min(when(col("cum") * 3 >= col("t") * 2, col("bin"))).as("t2"))
+    val out = nll.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("nll"),
+        when(col("bin") <= col("t1"), "head")
+          .when(col("bin") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+    out
+  }
+
+  val m21Sql: String =
+    "WITH nll_t AS (\n" + m19Sql + "\n" +
+      """), binned AS (
+        |  SELECT doc_id, nll, CAST(floor(nll * 100) AS BIGINT) AS bin FROM nll_t
+        |), hist AS (
+        |  SELECT bin, count(*) AS cnt FROM binned GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, sum(cnt) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), tot AS (SELECT count(*) AS t FROM binned),
+        |th AS (
+        |  SELECT min(CASE WHEN cum * 3 >= t THEN bin END) AS t1,
+        |         min(CASE WHEN cum * 3 >= 2 * t THEN bin END) AS t2
+        |  FROM cum, tot
+        |)
+        |SELECT doc_id, nll,
+        |  CASE WHEN bin <= t1 THEN 'head'
+        |       WHEN bin <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM binned, th ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "m1_vocabulary" -> (m1Vocabulary _),
     "m2_dominant_topics" -> (m2DominantTopics _),
@@ -1324,6 +1389,7 @@ object Topics {
     "m18_intertopic" -> (m18Intertopic _),
     "m19_bigram_nll" -> (m19BigramNll _),
     "m20_quality_classifier" -> (m20QualityClassifier _),
+    "m21_ppl_buckets" -> (m21PplBuckets _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1338,5 +1404,6 @@ object Topics {
     "m16_fertility" -> m16Sql,
     "m17_source_mix" -> m17Sql,
     "m19_bigram_nll" -> m19Sql,
+    "m21_ppl_buckets" -> m21Sql,
   )
 }

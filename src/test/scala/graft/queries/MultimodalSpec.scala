@@ -103,4 +103,53 @@ class MultimodalSpec extends AnyFunSuite {
       assert(bytes == tw * th * 3)
     }
   }
+
+  test("byteAHash: deterministic, edit-local, collides on identical payloads") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val h1 = Multimodal.byteAHash(base)
+    assert(h1.length == 64 && h1.forall(c => c == '0' || c == '1'))
+    assert(Multimodal.byteAHash(base.clone()) == h1) // identical bytes collide
+    // a single-byte in-place edit flips at most the touched block's bits
+    // (plus blocks whose global-mean comparison sits exactly on the edge)
+    val edited = base.clone(); edited(10) = 'X'.toByte
+    val h2 = Multimodal.byteAHash(edited)
+    val hamming = h1.zip(h2).count { case (a, b) => a != b }
+    assert(hamming <= 4, s"single-byte edit moved $hamming bits")
+    // a different payload does not collide
+    val other = ("entirely different content with other letter statistics " * 6)
+      .getBytes("UTF-8")
+    assert(Multimodal.byteAHash(other) != h1)
+  }
+
+  test("imageAHash reads decoded pixels: left/right halves drive the bits") {
+    // 16×16, left half black, right half white → row-major 8×8 grid has
+    // '0' bits in columns 0-3 and '1' bits in columns 4-7 of every row
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val h = Multimodal.imageAHash(img)
+    assert(h.length == 64)
+    for (row <- 0 until 8) {
+      assert(h.substring(row * 8, row * 8 + 4) == "0000", s"row $row left")
+      assert(h.substring(row * 8 + 4, row * 8 + 8) == "1111", s"row $row right")
+    }
+  }
+
+  test("mm5 groups by hash: planted identical payloads are flagged as dups") {
+    val out = Multimodal.mm5PhashDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // group-size bookkeeping is consistent: n_same equals the actual
+    // multiplicity of the hash, and is_dup ⇔ n_same > 1
+    val byHash = out.groupBy(_._2)
+    out.foreach { case (id, ph, n, dup) =>
+      assert(n == byHash(ph).length, s"media $id n_same")
+      assert(dup == (n > 1), s"media $id is_dup")
+    }
+    // every payload ≥64 bytes appears exactly once
+    val expected = Multimodal.mediaTable(spark, dir)
+      .filter(length(col("payload")) >= 64).count()
+    assert(out.length == expected)
+  }
 }

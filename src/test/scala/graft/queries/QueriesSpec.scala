@@ -293,4 +293,38 @@ class QueriesSpec extends AnyFunSuite {
     val drifted = Relational.q33PsiDrift(spark, tmp).collect().map(_.getDouble(3)).sum
     assert(drifted > 0.25, s"planted distribution shift scored PSI $drifted")
   }
+
+  test("q34 SCD2 history: change, removal, and gap-reappearance versions") {
+    val hist = Relational.q34Scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    // versions are contiguous from 1, intervals ordered and disjoint,
+    // is_current ⇔ the document survives snapshot 3
+    hist.foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to vs.length).toSeq, s"doc $id versions")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4, s"doc $id interval overlap")
+        case _ =>
+      }
+      assert(sorted.count(_._6) == (if (sorted.last._5 == 3) 1 else 0))
+    }
+    // doc 7 (mutated at snap 3, present everywhere): two versions with a
+    // digest change at valid_from=3
+    val d7 = hist(7L).sortBy(_._2)
+    assert(d7.length == 2 && d7(0)._4 == 1 && d7(0)._5 == 2 &&
+      d7(1)._4 == 3 && d7(1)._6 && d7(0)._3 != d7(1)._3)
+    // doc 11 (absent from snap 2, unchanged text): SAME digest both
+    // versions — the gap alone forces the new version
+    val d11 = hist(11L).sortBy(_._2)
+    assert(d11.length == 2 && d11(0)._5 == 1 && d11(1)._4 == 3 &&
+      d11(0)._3 == d11(1)._3)
+    // doc 13 (dropped at snap 3): one closed, non-current interval
+    val d13 = hist(13L)
+    assert(d13.length == 1 && d13.head._5 == 2 && !d13.head._6)
+    // unmodified survivor: exactly one current interval spanning 1..3
+    val d1 = hist(1L)
+    assert(d1.length == 1 && d1.head._4 == 1 && d1.head._5 == 3 && d1.head._6)
+  }
 }

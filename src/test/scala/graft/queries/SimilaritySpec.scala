@@ -211,4 +211,27 @@ class SimilaritySpec extends AnyFunSuite {
     val merged = rng.shuffle(partials).reduce(agg.merge)
     assert(agg.finish(merged) == expect)
   }
+
+  test("s10 recall eval: bounded, consistent with a direct s1∩s2 recount") {
+    val out = Similarity.s10RecallEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20) // one row per query, even at recall 0
+    out.foreach { case (id, n, rec) =>
+      assert(n >= 0 && n <= 5, s"query $id n_hits $n")
+      assert(math.abs(rec - n / 5.0) < 1e-9, s"query $id recall")
+    }
+    // recount hits directly from the two source queries
+    val exact = Similarity.s1CosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s2IvfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = exact.toSeq.filter(approx.contains).groupBy(_._1)
+      .map { case (k, v) => k -> v.length.toLong }
+    out.foreach { case (id, n, _) =>
+      assert(n == direct.getOrElse(id, 0L), s"query $id recount")
+    }
+    // the index is useful at all: mean recall above a coarse floor
+    val mean = out.map(_._3).sum / out.length
+    assert(mean > 0.5, s"mean recall $mean")
+  }
 }

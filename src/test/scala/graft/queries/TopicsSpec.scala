@@ -330,4 +330,32 @@ class TopicsSpec extends AnyFunSuite {
     assert(loaded.describeTopics(5).collect().map(_.toString).toSeq ==
       m.describeTopics(5).collect().map(_.toString).toSeq)
   }
+
+  test("m21 perplexity buckets: ordered thirds at bin granularity") {
+    val out = Topics.m21PplBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
+    // bucket boundaries respect NLL order at bin (0.01) granularity:
+    // every head bin ≤ every middle bin ≤ every tail bin
+    def bins(b: String) = out.filter(_._3 == b).map(t => math.floor(t._2 * 100))
+    if (bins("head").nonEmpty && bins("middle").nonEmpty)
+      assert(bins("head").max <= bins("middle").min, "head/middle boundary")
+    if (bins("middle").nonEmpty && bins("tail").nonEmpty)
+      assert(bins("middle").max <= bins("tail").min, "middle/tail boundary")
+    // tercile targets: cumulative-histogram thresholds guarantee the
+    // head (and head+middle) cover at least their third, overshooting
+    // only within the boundary bin
+    val n = out.length.toDouble
+    val nHead = out.count(_._3 == "head")
+    val nMid = out.count(_._3 == "middle")
+    assert(nHead >= n / 3 - 1, s"head $nHead of $n")
+    assert(nHead + nMid >= 2 * n / 3 - 1, s"head+middle ${nHead + nMid} of $n")
+    // the NLL column is exactly m19's (same docs, same scores)
+    val m19 = Topics.m19BigramNll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    out.foreach { case (id, nll, _) =>
+      assert(m19(id) == nll, s"doc $id nll drifted from m19")
+    }
+  }
 }
