@@ -1020,6 +1020,77 @@ object Text {
         round(col("z_bytes") / col("n_bytes"), 6).as("ratio"))
       .orderBy(col("doc_id"))
 
+  /** Minimum DISTINCT documents (same source) sharing a paragraph before
+    * [[t29Boilerplate]] calls it boilerplate.
+    */
+  val T29MinDocs = 2
+
+  /** T29: per-source boilerplate detection — the WET-extraction cleanup
+    * CCNet/RefinedWeb run BEFORE global dedup: a paragraph repeated
+    * across [[T29MinDocs]]+ distinct documents of the SAME source is a
+    * site template (header/footer/cookie banner), not content. Differs
+    * from t19 (which drops any globally repeated span, keeping the first
+    * copy) by keying on (source, paragraph) and flagging EVERY copy —
+    * the template is junk in all of them. Emits the per-document audit
+    * view (n_paras, n_boiler, boiler_frac) a curation pipeline filters
+    * or strips on. Paragraphs are t19's fixed 16-token windows (the
+    * fixture has no newline structure — same convention).
+    *
+    * 100 TB shape: slicing and digests are map-only; the detection agg
+    * shuffles (source, digest, doc_id) triples with map-side-combined
+    * distinct-counts; the flag joins back digest-to-digest — text never
+    * rides any exchange. Per-source keying also bounds skew: each
+    * site's template space is independent, so a 1000-executor run
+    * processes sources in parallel (and a single hot source salts like
+    * q27 if ever needed).
+    */
+  def t29Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    val paras = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / P.toDouble).cast("int"))).as("idx"),
+        col("t"))
+      .select(col("doc_id"), col("source"), col("idx"),
+        md5(array_join(slice(col("t"), col("idx") * P + 1, lit(P)), " ")).as("h"))
+    val boiler = paras.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= T29MinDocs)
+      .select(col("source"), col("h"), lit(1).as("isb"))
+    paras.join(boiler, Seq("source", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("isb").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_paras"), col("n_boiler"),
+        round(col("n_boiler") / col("n_paras"), 6).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t29Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+      |  FROM documents
+      |), ids AS (
+      |  SELECT doc_id, source, unnest(range(0, (len(t) - 1) // 16 + 1)) AS idx, t
+      |  FROM toks WHERE len(t) > 0
+      |), paras AS (
+      |  SELECT doc_id, source, idx,
+      |    md5(array_to_string(t[idx*16 + 1 : idx*16 + 16], ' ')) AS h
+      |  FROM ids
+      |), boiler AS (
+      |  SELECT source, h FROM paras
+      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= $T29MinDocs
+      |), flagged AS (
+      |  SELECT p.doc_id, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS isb
+      |  FROM paras p LEFT JOIN boiler b ON b.source = p.source AND b.h = p.h
+      |)
+      |SELECT doc_id, count(*)::BIGINT AS n_paras, sum(isb)::BIGINT AS n_boiler,
+      |  round(sum(isb) / count(*), 6) AS boiler_frac
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1049,6 +1120,7 @@ object Text {
     "t26_mix_sample" -> (t26MixSample _),
     "t27_unicode_clean" -> (t27UnicodeClean _),
     "t28_compress_ratio" -> (t28CompressRatio _),
+    "t29_boilerplate" -> (t29Boilerplate _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1079,6 +1151,7 @@ object Text {
     "t25_c4_filter" -> t25Sql,
     "t26_mix_sample" -> t26Sql,
     "t27_unicode_clean" -> t27Sql,
+    "t29_boilerplate" -> t29Sql,
   )
 
   lazy val t12Sql: String =

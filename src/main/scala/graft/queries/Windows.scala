@@ -223,6 +223,51 @@ object Windows {
       |FROM sessions GROUP BY user_id, seq
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** w9's core over any (day, n) daily frame — separated so the spec can
+    * drive it with planted gaps (the fixture's 30-day event window is
+    * contiguous, so the fixture exercises only the no-gap identity).
+    */
+  def gapFillFrame(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val allDays = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    allDays.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("filled"))
+      .orderBy(col("day"))
+  }
+
+  /** W9: calendar densification (gap fill) — complete the daily series
+    * over [min(day), max(day)], zero-filling missing days with a
+    * `filled` provenance flag. The step every monitoring/trend consumer
+    * needs before rolling windows or drift math: a missing partition
+    * must read as "no data that day", not silently shrink the frame
+    * (w2's rolling mean over a gappy series would otherwise average
+    * across the gap).
+    *
+    * Scale shape: the input is the POST-AGGREGATION daily frame (w1/w2
+    * doctrine — #days rows at any event volume); the calendar spine is
+    * one generated sequence from a 1-row bounds aggregate, and the left
+    * join is broadcast-sized. Event-volume work is exactly w1's one
+    * map-side-combined count.
+    */
+  def w9GapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillFrame(
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  val w9Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+      |), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |alldays AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM bounds
+      |)
+      |SELECT a.day, coalesce(d.n, 0)::BIGINT AS n, d.n IS NULL AS filled
+      |FROM alldays a LEFT JOIN daily d USING (day) ORDER BY day""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -232,6 +277,7 @@ object Windows {
     "w6_lag_delta" -> (w6LagDelta _),
     "w7_rank_family" -> (w7RankFamily _),
     "w8_session_window" -> (w8SessionWindow _),
+    "w9_gap_fill" -> (w9GapFill _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -243,5 +289,6 @@ object Windows {
     "w6_lag_delta" -> w6Sql,
     "w7_rank_family" -> w7Sql,
     "w8_session_window" -> w8Sql,
+    "w9_gap_fill" -> w9Sql,
   )
 }

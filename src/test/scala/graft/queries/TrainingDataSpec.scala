@@ -332,4 +332,53 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pos.sum / pos.length > neg.sum / neg.length + 0.2,
       "mean target score not separated from the rest")
   }
+
+  test("t29 flags exactly the per-source shared paragraphs, every copy") {
+    import spark.implicits._
+    // planted corpus: srcA docs 0/1 share a 16-token footer (boilerplate);
+    // doc 2 in srcB carries the SAME footer — cross-source, so NOT flagged
+    // for srcB; doc 3 is all-unique content
+    val footer = (1 to 16).map(i => s"footer$i").mkString(" ")
+    def words(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("t29").toString
+    Seq(
+      (0L, s"${words("a")} $footer", "en", "srcA", 10L),
+      (1L, s"${words("b")} $footer", "en", "srcA", 10L),
+      (2L, s"${words("c")} $footer", "en", "srcB", 10L),
+      (3L, words("d"), "en", "srcB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Text.t29Boilerplate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L) == ((2L, 1L, 0.5)), s"doc 0 ${out(0L)}")
+    assert(out(1L) == ((2L, 1L, 0.5)), s"doc 1 ${out(1L)}")
+    assert(out(2L)._2 == 0L, s"doc 2 cross-source footer flagged: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0.0)), s"doc 3 ${out(3L)}")
+    // fixture smoke: every ratio well-formed, flags present at sf levels
+    val fix = Text.t29Boilerplate(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fix.forall { case (np, nb, f) =>
+      nb >= 0 && nb <= np && math.abs(f - nb.toDouble / np) < 1e-6 })
+  }
+
+  test("w9 gap fill: planted gaps zero-fill with provenance, no-gap is identity") {
+    import spark.implicits._
+    val daily = Seq(
+      (java.sql.Date.valueOf("2024-03-01"), 5L),
+      (java.sql.Date.valueOf("2024-03-02"), 7L),
+      // 03-03 and 03-04 missing
+      (java.sql.Date.valueOf("2024-03-05"), 2L))
+      .toDF("day", "n")
+    val out = Windows.gapFillFrame(daily).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == (1 to 5).map(d => s"2024-03-0$d"))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq("2024-03-03", "2024-03-04"))
+    assert(out.filter(_._3).forall(_._2 == 0L))
+    assert(out.filter(!_._3).map(_._2).toSeq == Seq(5L, 7L, 2L))
+    // fixture: contiguous 30-day window → pure identity with w1's days
+    val fix = Windows.w9GapFill(spark, dir).collect()
+    assert(fix.length == Windows.w1DailyAvg(spark, dir).count())
+    assert(fix.forall(!_.getBoolean(2)))
+  }
 }
