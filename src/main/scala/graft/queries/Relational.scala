@@ -959,6 +959,94 @@ object Relational {
       |        * ln(((ca + 0.5) / (ta + ${0.5 * PsiBins})) / ((cb + 0.5) / (tb + ${0.5 * PsiBins}))), 6) AS psi_contrib
       |FROM j ORDER BY bin""".stripMargin
 
+  /** Q35: dataset card — the HF-dataset-card / datasheet summary table a
+    * curation pipeline publishes with every corpus release: corpus size,
+    * token budget, language/source/modality composition, mean quality,
+    * and snapshot drift, as a tidy (section, metric, value) frame (the
+    * q32 constraint-audit shape, but descriptive rather than pass/fail).
+    * `HtmlReport.saveHtml` renders it to the one-file HTML artifact
+    * (S11 doctrine); QueriesSpec exercises that rendering.
+    *
+    * Float doctrine: mean quality and total PSI go through exact
+    * integer micro-unit sums (the w1 cent-sum device — the inputs are
+    * already round-6, so ·1e6 is integral) making every aggregate
+    * summation-order-independent; shares are single long/long
+    * divisions. All other metrics are integer counts.
+    *
+    * 100 TB shape: each section is one map-side-combined aggregation
+    * over a column-pruned scan (groupBys on lang/source/format are
+    * low-cardinality by definition); the psi/quality sections reuse
+    * q33/t10's documented map-only shapes. The card itself is a ≤ tens
+    * of rows union — driver-sized output, corpus-sized nothing.
+    */
+  def q35DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def row(section: String, metric: Column, value: Column) =
+      struct(lit(section).as("section"), metric.as("metric"),
+        value.as("value"))
+    val base = Text.t9TokenCount(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens").cast("long")).as("t"))
+    val corpus = base.select(explode(array(
+      row("corpus", lit("n_docs"), col("n").cast("double")),
+      row("corpus", lit("total_tokens"), col("t").cast("double")),
+      row("corpus", lit("avg_doc_tokens"), round(col("t") / col("n"), 6))))
+      .as("r")).select(col("r.section"), col("r.metric"), col("r.value"))
+    val quality = Text.t10QualityScore(s, dir)
+      .agg((sum(round(col("quality") * 1e6).cast("long")) / lit(1e6) /
+        count(lit(1))).as("mq"))
+      .select(lit("quality").as("section"), lit("mean_quality").as("metric"),
+        round(col("mq"), 6).as("value"))
+    val psi = q33PsiDrift(s, dir)
+      .agg((sum(round(col("psi_contrib") * 1e6).cast("long")) / lit(1e6))
+        .as("p"))
+      .select(lit("drift").as("section"), lit("psi").as("metric"),
+        round(col("p"), 6).as("value"))
+    def shares(section: String, key: Column) =
+      docs.groupBy(key.as("metric")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(lit(section).as("section"), col("metric"),
+          round(col("c") / col("n"), 6).as("value"))
+    val langs = shares("lang", col("lang"))
+    val sources = shares("source", col("source"))
+    val modality = shares("modality",
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg").otherwise("wav"))
+    corpus.union(quality).union(psi).union(langs).union(sources)
+      .union(modality)
+      .orderBy(col("section"), col("metric"))
+  }
+
+  lazy val q35Sql: String =
+    "WITH tq AS (\n" + Text.t10Sql + "\n), psibins AS (\n" + q33Sql + "\n)," +
+      """
+      |tot AS (
+      |  SELECT count(*) AS n,
+      |    sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT AS t
+      |  FROM documents
+      |)
+      |SELECT * FROM (
+      |  SELECT 'corpus' AS section, 'n_docs' AS metric, n::DOUBLE AS value FROM tot
+      |  UNION ALL SELECT 'corpus', 'total_tokens', t::DOUBLE FROM tot
+      |  UNION ALL SELECT 'corpus', 'avg_doc_tokens', round(t::DOUBLE / n, 6) FROM tot
+      |  UNION ALL SELECT 'quality', 'mean_quality',
+      |    round(sum(CAST(round(quality * 1000000) AS BIGINT)) / 1000000.0
+      |          / count(*), 6) FROM tq
+      |  UNION ALL SELECT 'drift', 'psi',
+      |    round(sum(CAST(round(psi_contrib * 1000000) AS BIGINT)) / 1000000.0, 6)
+      |  FROM psibins
+      |  UNION ALL SELECT 'lang', lang,
+      |    round(count(*) / (SELECT n FROM tot)::DOUBLE, 6)
+      |  FROM documents GROUP BY lang
+      |  UNION ALL SELECT 'source', source,
+      |    round(count(*) / (SELECT n FROM tot)::DOUBLE, 6)
+      |  FROM documents GROUP BY source
+      |  UNION ALL SELECT 'modality',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END,
+      |    round(count(*) / (SELECT n FROM tot)::DOUBLE, 6)
+      |  FROM documents GROUP BY 1, 2
+      |) ORDER BY section, metric""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -994,6 +1082,7 @@ object Relational {
     "q32_dq_audit" -> (q32DqAudit _),
     "q33_psi_drift" -> (q33PsiDrift _),
     "q34_scd2_history" -> (q34Scd2History _),
+    "q35_dataset_card" -> (q35DatasetCard _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1029,5 +1118,6 @@ object Relational {
     "q32_dq_audit" -> q32Sql,
     "q33_psi_drift" -> q33Sql,
     "q34_scd2_history" -> q34Sql,
+    "q35_dataset_card" -> q35Sql,
   )
 }

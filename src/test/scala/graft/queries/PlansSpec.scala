@@ -333,6 +333,56 @@ class PlansSpec extends AnyFunSuite {
       "survivor anti-join not broadcast")
   }
 
+  test("q34 SCD2 merge shuffles digests keyed by doc_id, never text") {
+    val plan = executedPlan(Relational.q34Scd2History(spark, dir))
+    // snapshots reduce to (doc_id, digest) inside the scan stage; the
+    // gaps-and-islands window must key on doc_id (per-doc partitions of
+    // ≤ #snapshots rows), never a global partition
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(plan).isDefined,
+      "SCD2 window lost doc keying")
+    val initIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) plan.substring(0, initIdx) else plan
+    val ex = finalPlan.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, "expected the doc-keyed window shuffle")
+    assert(!finalPlan.substring(0, ex).contains("text#"),
+      "document text survives above the merge exchange")
+  }
+
+  test("t29 boilerplate detection shuffles (source, digest), never text") {
+    val plan = executedPlan(Text.t29Boilerplate(spark, dir))
+    val exKeys = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exKeys.nonEmpty && exKeys.subsetOf(Set("source", "h", "doc_id")),
+      s"unexpected shuffle keys $exKeys")
+    assert(plan.contains("partial_count"), "distinct-doc count lost map-side combine")
+  }
+
+  test("mm5 hashes payloads map-side; only (phash, media_id) rides shuffles") {
+    val plan = executedPlan(Multimodal.mm5PhashDups(spark, dir))
+    val exKeys = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exKeys.nonEmpty && exKeys.subsetOf(Set("phash", "media_id")),
+      s"payload-bearing shuffle keys $exKeys")
+  }
+
+  test("s10 recall eval joins the bounded result sets broadcast") {
+    val plan = executedPlan(Similarity.s10RecallEval(spark, dir))
+    // upstream s1 keeps its partial top-k shape; the eval-side semi-join
+    // must broadcast the NQ×K approx set, never shuffle the exact side
+    assert(plan.contains("partial_topkaggregator"), "s1 partial top-k lost")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
+      "hit-count semi-join not broadcast")
+  }
+
+  test("m21 bucket assignment broadcasts the 2-scalar threshold row") {
+    val plan = executedPlan(Topics.m21PplBuckets(spark, dir))
+    // the corpus-side assignment must consume the thresholds as a
+    // broadcast nested-loop (1-row dim), not a shuffle; the cumulative
+    // window runs over the bounded bin histogram only
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "threshold join not broadcast")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)

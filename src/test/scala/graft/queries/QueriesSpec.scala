@@ -327,4 +327,32 @@ class QueriesSpec extends AnyFunSuite {
     val d1 = hist(1L)
     assert(d1.length == 1 && d1.head._4 == 1 && d1.head._5 == 3 && d1.head._6)
   }
+
+  test("q35 dataset card: consistent composition shares, renders to HTML") {
+    val card = Relational.q35DatasetCard(spark, dir)
+    val rows = card.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val bySec = rows.groupBy(_._1)
+    assert(Set("corpus", "quality", "drift", "lang", "source", "modality")
+      .subsetOf(bySec.keySet))
+    // composition sections each sum to 1 (within round-6 slack per entry)
+    for (sec <- Seq("lang", "source", "modality")) {
+      val tot = bySec(sec).map(_._3).sum
+      assert(math.abs(tot - 1.0) < 1e-5 * bySec(sec).length, s"$sec sums to $tot")
+    }
+    // scalar metrics agree with direct recomputation
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(m(("corpus", "n_docs")) == nDocs.toDouble)
+    assert(m(("quality", "mean_quality")) > 0.0 &&
+      m(("quality", "mean_quality")) <= 1.0)
+    assert(math.abs(m(("corpus", "avg_doc_tokens")) -
+      m(("corpus", "total_tokens")) / nDocs) < 1e-5)
+    // S11 rendering: one self-contained HTML file with every section
+    val path = java.nio.file.Files.createTempDirectory("card").toString + "/card.html"
+    graft.sources.HtmlReport.saveHtml(card, path, "Dataset card")
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(html.contains("<table>") && html.contains("mean_quality") &&
+      html.contains("total_tokens"))
+  }
 }
