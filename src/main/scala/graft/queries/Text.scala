@@ -1091,6 +1091,65 @@ object Text {
       |  round(sum(isb) / count(*), 6) AS boiler_frac
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** T30: shard manifest — the WebDataset/MDS-style index a training
+    * loader consumes: one row per (source, t15 pack bin) with doc/token
+    * counts, the id range, and an ORDER-INDEPENDENT content checksum
+    * (bit_xor of per-doc native fnv64 digests — xor commutes, so the
+    * checksum is stable under any partitioning/retry order, and any
+    * single-document corruption flips it). Reproducible-data-loading
+    * doctrine: a loader re-reading a shard recomputes the xor and
+    * rejects on mismatch without ordering guarantees.
+    *
+    * 100 TB shape: digests and token counts are map-only in the scan
+    * projection (text never rides an exchange); the pack window is
+    * per-source (t15's doctrine); the manifest agg map-side combines
+    * counts and xors into |shards| rows — driver-sized output.
+    */
+  def t30ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("ntok"),
+        expr("fnv64(text)").as("dg"))
+      .withColumn("bin",
+        floor((sum(col("ntok")).over(w) - col("ntok")) / lit(512.0)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        expr("bit_xor(dg)").as("checksum"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val t30Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, source, text, ntok,
+      |    CAST(floor((CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - ntok) / 512.0::DOUBLE)
+      |         AS BIGINT) AS bin
+      |  FROM t
+      |), h AS (
+      |  SELECT doc_id, source, ntok, bin,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |       list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1))::HUGEINT)),
+      |     (h, c) -> ((h - h % 256 + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT)
+      |                * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM w
+      |)
+      |SELECT source, bin, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+      |  CASE WHEN bit_xor(hu) >= 9223372036854775808::HUGEINT
+      |       THEN (bit_xor(hu) - 18446744073709551616::HUGEINT)::BIGINT
+      |       ELSE bit_xor(hu)::BIGINT END AS checksum,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM h GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1121,6 +1180,7 @@ object Text {
     "t27_unicode_clean" -> (t27UnicodeClean _),
     "t28_compress_ratio" -> (t28CompressRatio _),
     "t29_boilerplate" -> (t29Boilerplate _),
+    "t30_shard_manifest" -> (t30ShardManifest _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1152,6 +1212,7 @@ object Text {
     "t26_mix_sample" -> t26Sql,
     "t27_unicode_clean" -> t27Sql,
     "t29_boilerplate" -> t29Sql,
+    "t30_shard_manifest" -> t30Sql,
   )
 
   lazy val t12Sql: String =

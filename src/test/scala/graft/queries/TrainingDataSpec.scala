@@ -362,6 +362,37 @@ class TrainingDataSpec extends AnyFunSuite {
       nb >= 0 && nb <= np && math.abs(f - nb.toDouble / np) < 1e-6 })
   }
 
+  test("t30 manifest: checksums are order-independent xors of doc digests") {
+    val manifest = Text.t30ShardManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // driver-side replay: t15's bin assignment + xor of fnv64 digests
+    val bins = Text.t15SeqPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byText = docs.map(d => d._1 -> d._2).toMap
+    val expected = bins.groupBy(b => (b._2, b._4)).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._3.toLong).sum,
+        ds.map(d => graft.expressions.SimHash64.fnv1a64(
+          byText(d._1).getBytes("UTF-8"))).reduce(_ ^ _),
+        ds.map(_._1).min, ds.map(_._1).max)
+    }
+    assert(manifest.keySet == expected.keySet, "shard key sets differ")
+    expected.foreach { case (k, v) =>
+      assert(manifest(k) == v, s"shard $k: ${manifest(k)} vs $v")
+    }
+    // integrity property: every doc's digest participates — xor over all
+    // shards of a source equals xor over that source's docs directly
+    val bySource = expected.toSeq.groupBy(_._1._1)
+    bySource.foreach { case (src, shards) =>
+      val fromShards = shards.map(_._2._3).reduce(_ ^ _)
+      val direct = docs.filter(_._4 == src)
+        .map(d => graft.expressions.SimHash64.fnv1a64(d._2.getBytes("UTF-8")))
+        .reduce(_ ^ _)
+      assert(fromShards == direct, s"source $src checksum chain broken")
+    }
+  }
+
   test("w9 gap fill: planted gaps zero-fill with provenance, no-gap is identity") {
     import spark.implicits._
     val daily = Seq(
