@@ -959,6 +959,35 @@ object Relational {
       |        * ln(((ca + 0.5) / (ta + ${0.5 * PsiBins})) / ((cb + 0.5) / (tb + ${0.5 * PsiBins}))), 6) AS psi_contrib
       |FROM j ORDER BY bin""".stripMargin
 
+  /** The snapshot number [[q36AsofCorpus]] reconstructs. */
+  val Q36AsofSnap = 2
+
+  /** Q36: as-of corpus reconstruction — the READ half of q34's SCD2
+    * store: select every version whose validity interval covers the
+    * requested snapshot and emit the corpus exactly as it stood then
+    * (time-travel read, the Delta/Iceberg `VERSION AS OF` semantics
+    * expressed over the history table). QueriesSpec proves round-trip
+    * fidelity: the reconstruction equals the snapshot-2 derivation
+    * computed directly from the source.
+    *
+    * 100 TB shape: q34's documented merge shapes plus one map-only
+    * interval filter — on a materialized history table this is a
+    * partition-pruned scan with the filter pushed to parquet, no
+    * shuffle at all.
+    */
+  def q36AsofCorpus(s: SparkSession, dir: String): DataFrame =
+    q34Scd2History(s, dir)
+      .filter(col("valid_from") <= Q36AsofSnap &&
+        col("valid_to") >= Q36AsofSnap)
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+
+  lazy val q36Sql: String =
+    "WITH hist AS (\n" + q34Sql + "\n)\n" +
+      s"""SELECT doc_id, digest FROM hist
+         |WHERE valid_from <= $Q36AsofSnap AND valid_to >= $Q36AsofSnap
+         |ORDER BY doc_id""".stripMargin
+
   /** Q35: dataset card — the HF-dataset-card / datasheet summary table a
     * curation pipeline publishes with every corpus release: corpus size,
     * token budget, language/source/modality composition, mean quality,
@@ -1083,6 +1112,7 @@ object Relational {
     "q33_psi_drift" -> (q33PsiDrift _),
     "q34_scd2_history" -> (q34Scd2History _),
     "q35_dataset_card" -> (q35DatasetCard _),
+    "q36_asof_corpus" -> (q36AsofCorpus _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1119,5 +1149,6 @@ object Relational {
     "q33_psi_drift" -> q33Sql,
     "q34_scd2_history" -> q34Sql,
     "q35_dataset_card" -> q35Sql,
+    "q36_asof_corpus" -> q36Sql,
   )
 }

@@ -136,6 +136,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm6 finds planted near-identical payloads; fixture empty set is genuine") {
+    import spark.implicits._
+    // docs 0/1: one payload and its single-byte edit (hamming ≤ 4 by the
+    // byteAHash locality property); doc 2: unrelated content
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.updated(10, 'X')
+    val other = "entirely different content with other letter statistics " * 6
+    val tmp = java.nio.file.Files.createTempDirectory("mm6").toString
+    Seq((0L, base, "en", "srcA", base.length.toLong),
+      (1L, edited, "en", "srcA", edited.length.toLong),
+      (2L, other, "en", "srcB", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Multimodal.mm6PhashPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"planted pair not found: ${pairs.toSeq}")
+    assert(pairs.head._3 <= 4, s"edit-local hamming ${pairs.head._3}")
+    // the fixture's empty answer is a true negative, not a dead path:
+    // candidates exist but none sit within the hamming radius
+    assert(Multimodal.mm6PhashPairs(spark, dir).count() == 0)
+  }
+
   test("mm5 groups by hash: planted identical payloads are flagged as dups") {
     val out = Multimodal.mm5PhashDups(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))

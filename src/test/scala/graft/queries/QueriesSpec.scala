@@ -328,6 +328,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(d1.length == 1 && d1.head._4 == 1 && d1.head._5 == 3 && d1.head._6)
   }
 
+  test("q36 as-of read reconstructs snapshot 2 exactly from the history") {
+    val rebuilt = Relational.q36AsofCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // direct snapshot-2 derivation from the source (q34's definition:
+    // drop-every-11th, text unchanged at snap 2)
+    val direct = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rebuilt == direct, s"as-of read diverges: ${rebuilt.size} vs ${direct.size}")
+  }
+
   test("q35 dataset card: consistent composition shares, renders to HTML") {
     val card = Relational.q35DatasetCard(spark, dir)
     val rows = card.collect()
