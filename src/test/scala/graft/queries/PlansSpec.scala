@@ -383,6 +383,31 @@ class PlansSpec extends AnyFunSuite {
       "threshold join not broadcast")
   }
 
+  test("t30 manifest digests map-side; text never rides the pack window") {
+    val plan = executedPlan(Text.t30ShardManifest(spark, dir))
+    assert(plan.contains("fnv64"), "checksum digest left the native expression")
+    // the pack window keys on source (t15 doctrine), and the text column
+    // dies in the scan projection below the first exchange
+    assert("windowspecdefinition\\(source#".r.findFirstIn(plan).isDefined,
+      "pack window lost source keying")
+    val initIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) plan.substring(0, initIdx) else plan
+    val ex = finalPlan.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, "expected the source-keyed window shuffle")
+    assert(!finalPlan.substring(0, ex).contains("text#"),
+      "document text survives above the pack exchange")
+  }
+
+  test("mm6 candidates come from the band-bucket equi-join, never a cartesian") {
+    val plan = executedPlan(Multimodal.mm6PhashPairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "banding degraded to all-pairs")
+    val exKeys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exKeys.nonEmpty &&
+      exKeys.subsetOf(Set("band", "bs", "id1", "id2", "media_id", "phash", "p1", "p2")),
+      s"unexpected shuffle keys $exKeys")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
