@@ -268,6 +268,59 @@ object Windows {
       |SELECT a.day, coalesce(d.n, 0)::BIGINT AS n, d.n IS NULL AS filled
       |FROM alldays a LEFT JOIN daily d USING (day) ORDER BY day""".stripMargin
 
+  /** EWMA smoothing weight on the new observation in [[w10Ewma]]. */
+  val W10Alpha = 0.3
+
+  /** W10: exponentially-weighted moving average over the daily series —
+    * the standard smoother next to w2's flat rolling mean (trend
+    * dashboards default to it; pandas `ewm(alpha).mean()` with
+    * adjust=False semantics: s_t = (1−α)·s_{t−1} + α·x_t, seeded at the
+    * first observation).
+    *
+    * Float doctrine: NO pow() anywhere — libm pow is not guaranteed
+    * identically rounded across engines. Each row's EWMA is a
+    * left-associated fold over its ordered prefix (the m19 sorted-fold
+    * rule): Spark folds `aggregate` over the window-ordered
+    * collect_list, DuckDB folds list_reduce over the same ordered list
+    * — identical operation sequence on identical (w1-hash-verified)
+    * round-6 inputs, so every double matches bit-for-bit.
+    *
+    * Scale: the window runs over the POST-AGGREGATION daily frame
+    * (#days rows at any event volume — the w2 single-partition
+    * doctrine), and the per-row prefix fold is O(#days²) on that
+    * bounded series, not on events.
+    */
+  def w10Ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    w1DailyAvg(s, dir)
+      .select(col("day"), col("avg_value"))
+      .withColumn("xs", collect_list(col("avg_value")).over(w))
+      .select(col("day"), col("avg_value"),
+        round(expr(
+          s"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1)," +
+            s" (s, x) -> s * ${1 - W10Alpha}D + x * ${W10Alpha}D)"), 6)
+          .as("ewma"))
+      .orderBy(col("day"))
+  }
+
+  val w10Sql: String =
+    s"""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+      |          / count(*), 6) AS avg_value
+      |  FROM events GROUP BY 1
+      |), pref AS (
+      |  SELECT day, avg_value,
+      |    list(avg_value) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      |  FROM daily
+      |)
+      |SELECT day, avg_value,
+      |  round(list_reduce(xs, (s, x) -> s * ${1 - W10Alpha} + x * $W10Alpha), 6) AS ewma
+      |FROM pref ORDER BY day""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -278,6 +331,7 @@ object Windows {
     "w7_rank_family" -> (w7RankFamily _),
     "w8_session_window" -> (w8SessionWindow _),
     "w9_gap_fill" -> (w9GapFill _),
+    "w10_ewma" -> (w10Ewma _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -290,5 +344,6 @@ object Windows {
     "w7_rank_family" -> w7Sql,
     "w8_session_window" -> w8Sql,
     "w9_gap_fill" -> w9Sql,
+    "w10_ewma" -> w10Sql,
   )
 }

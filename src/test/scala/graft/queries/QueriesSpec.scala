@@ -328,6 +328,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(d1.length == 1 && d1.head._4 == 1 && d1.head._5 == 3 && d1.head._6)
   }
 
+  test("w10 EWMA matches the brute-force recursion on the daily series") {
+    val out = Windows.w10Ewma(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // pandas ewm(alpha, adjust=False) semantics: s_0 = x_0,
+    // s_t = (1-α)·s_{t-1} + α·x_t — replayed driver-side in day order
+    var s = out.head._2
+    out.zipWithIndex.foreach { case ((day, x, ewma), i) =>
+      if (i > 0) s = s * (1 - Windows.W10Alpha) + x * Windows.W10Alpha
+      assert(math.abs(ewma - BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_EVEN).toDouble) < 1e-9, s"day $day")
+    }
+    // smoothing property: the EWMA series varies less than the raw one
+    def tv(xs: Seq[Double]) =
+      xs.zip(xs.tail).map { case (a, b) => math.abs(b - a) }.sum
+    assert(tv(out.map(_._3).toSeq) < tv(out.map(_._2).toSeq),
+      "EWMA failed to smooth")
+  }
+
   test("q36 as-of read reconstructs snapshot 2 exactly from the history") {
     val rebuilt = Relational.q36AsofCorpus(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
