@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   *    valid_from = valid_to = s. Documents absent from s are untouched.
   *
   * At scale: the merge joins the history TIPS (one row per live doc)
-  * against the snapshot delta — one keyed shuffle on doc_id; closed
-  * versions are never rewritten logically, and a lakehouse deployment
-  * maps the physical rewrite to MERGE INTO / partition-scoped rewrite
-  * of touched doc_id buckets. Here the whole (small) history parquet is
-  * swapped per batch, with a localCheckpoint cutting lineage so the
-  * overwrite never reads its own output path.
+  * against the snapshot delta — one keyed shuffle on doc_id — and
+  * persistence is [[Scd2Store]]'s manifest-bucketed layout: only the
+  * hash buckets whose doc_ids appear in the batch delta are rewritten
+  * (into a fresh generation directory), untouched buckets' files stay
+  * byte-identical, and the manifest pointer swaps atomically, so a
+  * failed batch leaves the previous history fully intact. foreachBatch
+  * is at-least-once; the manifest's `lastSnap` makes re-delivered
+  * snapshots a no-op (see [[mergeBatch]]). Per-batch I/O is therefore
+  * proportional to the delta's bucket spread, never to |history| — the
+  * plain-parquet reduction of lakehouse MERGE INTO.
   */
 object StreamScd2 {
 
@@ -40,8 +44,11 @@ object StreamScd2 {
   }
 
   /** Pure merge of one snapshot (doc_id, digest) into the history at
-    * snapshot number `snap`. Deterministic, idempotent per (history,
-    * snapshot) pair; no side effects.
+    * snapshot number `snap`. Deterministic; no side effects. NOT
+    * idempotent — re-merging an already-applied snapshot s finds
+    * extended tips at valid_to == s (so contiguousSame's valid_to ==
+    * s−1 test fails) and would append duplicate versions; replay
+    * protection is [[mergeBatch]]'s lastSnap skip, not this function.
     */
   def mergeSnapshot(history: DataFrame, snapshot: DataFrame, snap: Int): DataFrame = {
     val byVer = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
@@ -76,27 +83,40 @@ object StreamScd2 {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("doc_id"), col("version"))
 
-  /** The foreachBatch body: fold every snapshot id present in the
-    * micro-batch, in ascending order, into the history parquet at
-    * `historyDir`. The eager localCheckpoint materializes the merged
-    * history BEFORE the overwrite, so the write never scans the path it
-    * is replacing (and the lineage never nests across batches).
+  /** The foreachBatch body: fold every NEW snapshot id present in the
+    * micro-batch, in ascending order, into the [[Scd2Store]] at
+    * `historyDir`.
+    *
+    * Incremental + idempotent + crash-safe:
+    *  - snaps ≤ the manifest's lastSnap are dropped up front, so an
+    *    at-least-once re-delivery (foreachBatch's contract) merges
+    *    nothing and leaves the store untouched;
+    *  - only the buckets whose doc_ids appear in the remaining delta
+    *    are read and rewritten — [[mergeSnapshot]] is per-doc, and a
+    *    doc's whole version chain lives in one hash bucket, so merging
+    *    the touched-bucket subset is exactly equivalent to merging the
+    *    full history (StreamScd2Spec pins byte-parity with q34);
+    *  - the write lands in a fresh generation directory and the
+    *    manifest swaps atomically afterwards, so a crash mid-batch
+    *    leaves the previous history intact (no localCheckpoint needed:
+    *    the job reads old-generation files and writes new ones — the
+    *    lineage never scans the path it replaces).
     */
   def mergeBatch(spark: SparkSession, historyDir: String, batch: DataFrame): Unit = {
-    val path = new java.io.File(historyDir)
-    var hist =
-      if (path.exists() && path.list().exists(_.endsWith(".parquet")))
-        spark.read.parquet(historyDir)
-      else emptyHistory(spark)
+    val man = Scd2Store.readManifest(historyDir)
     val snaps = batch.select(col("snap")).distinct()
       .collect().map(_.getInt(0)).sorted
+      .filter(_ > man.lastSnap)
+    if (snaps.isEmpty) return
+    val delta = batch.filter(col("snap") > man.lastSnap)
+    val touched = delta.select(Scd2Store.bucketOf(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getLong(0).toInt).toSet // bounded by NumBuckets
+    var hist = Scd2Store.readBuckets(spark, historyDir, man, touched)
     snaps.foreach { s =>
       hist = mergeSnapshot(hist,
-        batch.filter(col("snap") === s).select(col("doc_id"), col("digest")), s)
+        delta.filter(col("snap") === s).select(col("doc_id"), col("digest")), s)
     }
-    val pinned = hist.localCheckpoint(true)
-    pinned.write.mode("overwrite").parquet(historyDir)
-    pinned.unpersist(blocking = false)
+    Scd2Store.commit(historyDir, man, hist, touched, snaps.max)
   }
 
   /** Wire a (doc_id, digest, snap) stream into the history store:

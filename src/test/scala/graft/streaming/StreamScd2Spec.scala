@@ -82,10 +82,102 @@ class StreamScd2Spec extends AnyFunSuite {
     def canon(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getInt(3), r.getInt(4), r.getBoolean(5))).toSet
+    assert(Scd2Store.readManifest(histDir).lastSnap == 3)
     val streamed = canon(
-      StreamScd2.historyWithCurrent(spark.read.parquet(histDir), 3))
+      StreamScd2.historyWithCurrent(Scd2Store.readHistory(spark, histDir), 3))
     val batch = canon(graft.queries.Relational.q34Scd2History(spark, dir))
     assert(streamed == batch,
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
+  /** Fingerprint a bucket's physical files: (name, size, mtime) set —
+    * byte-identity without reading contents (parquet files are
+    * immutable once written; a rewrite lands NEW files in a NEW
+    * generation dir, so same absolute path + size + mtime ⇒ same file).
+    */
+  private def bucketFiles(histDir: String, rel: String) =
+    new java.io.File(histDir, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+
+  test("merge rewrites only delta-touched buckets; the rest keep their exact files") {
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_inc").toString + "/hist"
+    // snap 1: a wide keyspace so every bucket is populated
+    val s1 = spark.range(0, 512).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("digest"), lit(1).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, s1)
+    val m1 = Scd2Store.readManifest(histDir)
+    assert(m1.lastSnap == 1 && m1.buckets.size == Scd2Store.NumBuckets)
+    val before = m1.buckets.map { case (b, rel) => b -> bucketFiles(histDir, rel) }
+    // snap 2: a single-doc delta — exactly one bucket is touched
+    val oneDoc = spark.range(7, 8).select(col("id").as("doc_id"),
+      lit("changed").as("digest"), lit(2).as("snap"))
+    val touchedBucket = oneDoc
+      .select(Scd2Store.bucketOf(col("doc_id"))).first().getLong(0).toInt
+    StreamScd2.mergeBatch(spark, histDir, oneDoc)
+    val m2 = Scd2Store.readManifest(histDir)
+    assert(m2.lastSnap == 2 && m2.generation == m1.generation + 1)
+    // untouched buckets: same manifest path AND same physical files
+    (0 until Scd2Store.NumBuckets).filter(_ != touchedBucket).foreach { b =>
+      assert(m2.buckets(b) == m1.buckets(b), s"bucket $b path changed")
+      assert(bucketFiles(histDir, m2.buckets(b)) == before(b),
+        s"bucket $b files rewritten")
+    }
+    // the touched bucket moved to the new generation and superseded
+    // files were GC'd
+    assert(m2.buckets(touchedBucket) != m1.buckets(touchedBucket))
+    assert(!new java.io.File(histDir, m1.buckets(touchedBucket)).exists(),
+      "superseded bucket dir not GC'd")
+    // and the merge itself is correct: doc 7 has two versions
+    val doc7 = Scd2Store.readHistory(spark, histDir)
+      .filter(col("doc_id") === 7).orderBy(col("version")).collect()
+    assert(doc7.length == 2 && doc7(1).getString(2) == "changed")
+  }
+
+  test("re-delivered micro-batch is a no-op (at-least-once idempotency)") {
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_idem").toString + "/hist"
+    val s1 = spark.range(0, 64).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("digest"), lit(1).as("snap"))
+    val s2 = spark.range(0, 64).select(col("id").as("doc_id"),
+      md5(concat(col("id").cast("string"), lit("v2"))).as("digest"),
+      lit(2).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, s1)
+    StreamScd2.mergeBatch(spark, histDir, s2)
+    val m = Scd2Store.readManifest(histDir)
+    val histBefore = Scd2Store.readHistory(spark, histDir).collect().toSet
+    // foreachBatch re-delivers snap 2 after a restart — must not append
+    // duplicate versions or bump the generation
+    StreamScd2.mergeBatch(spark, histDir, s2)
+    // and a mixed batch (old snap 2 + nothing new) is equally inert
+    StreamScd2.mergeBatch(spark, histDir, s1.unionByName(s2))
+    val m2 = Scd2Store.readManifest(histDir)
+    assert(m2 == m, "re-delivery changed the manifest")
+    assert(Scd2Store.readHistory(spark, histDir).collect().toSet == histBefore)
+    // every doc has exactly versions 1 and 2 — no duplicates
+    val bad = Scd2Store.readHistory(spark, histDir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 2).count()
+    assert(bad == 0)
+  }
+
+  test("orphan generation dirs from a crashed attempt are ignored and swept") {
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_orph").toString + "/hist"
+    val s1 = spark.range(0, 32).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("digest"), lit(1).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, s1)
+    val histBefore = Scd2Store.readHistory(spark, histDir).collect().toSet
+    // simulate a crash AFTER data write, BEFORE manifest swap: a full
+    // generation dir exists but no manifest references it
+    val orphan = new java.io.File(histDir, "data/g999/bucket=0")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "junk.parquet").toPath, "not parquet")
+    // reads go through the manifest — the orphan is invisible
+    assert(Scd2Store.readHistory(spark, histDir).collect().toSet == histBefore)
+    // the next successful commit sweeps it
+    val s2 = spark.range(0, 32).select(col("id").as("doc_id"),
+      lit("x").as("digest"), lit(2).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, s2)
+    assert(!new java.io.File(histDir, "data/g999").exists(), "orphan not swept")
   }
 }
