@@ -127,6 +127,101 @@ object Graph {
     (ranks.df.select(col("id"), col("rank")), it)
   }
 
+  // g1b fixed-point parameters: ranks live on an integer grid of
+  // Scale⁻¹ (1e-12 of total mass), and the round count is FIXED — the
+  // pair of choices that makes the iteration hash-twinnable (exact
+  // integer arithmetic is order-independent and engine-independent;
+  // convergence tests on doubles are neither).
+  val G1bScale = 1000000000000L
+  val G1bRounds = 10
+
+  /** G1B: the hash-twinned PageRank variant — same graph family as g1
+    * plus a ring edge (id → id+1 mod n) that guarantees every node has
+    * out-degree ≥ 1 (no dangling mass term) and in-degree ≥ 1 (the
+    * per-round groupBy(dst) covers all n nodes), so one round is
+    * EXACTLY one join + one grouped integer sum in both engines.
+    *
+    * Arithmetic is pure fixed-point: rank is BIGINT in units of 1e-12
+    * of total mass; a round computes
+    * `r' = base + (85 · Σ_{src→id} (r_src div deg_src)) div 100` with
+    * floor division everywhere. Integer sums are exact and
+    * order-independent, so Spark's shuffle order and DuckDB's
+    * aggregation order cannot diverge — the oracle (10 unrolled CTE
+    * rounds of the same expression) matches bit-for-bit, closing the
+    * operator family g1/g2 left rows-only. The few units of mass floor
+    * truncation sheds per round are identical in both engines.
+    *
+    * g1 (convergence-terminated doubles) remains the declared scale
+    * path — a fixed round count tuned at fixture scale does not
+    * transfer to an unseen graph; g1b's role is the d10-style exact
+    * gate twin. Plan shape per round: one broadcast-or-shuffle join on
+    * src + one map-side-combined integer sum on dst; the static edge
+    * and degree tables are checkpointed once and released after the
+    * single materialization job.
+    */
+  def g1bPageRankFixed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edges = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 1) % n,
+        (col("id") * 13 + 3) % n,
+        (col("id") * 29 + 7) % n,
+        (col("id") + 1) % n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val eEdges = Checkpoints.eager(edges)
+    val deg = Checkpoints.eager(
+      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val base = (15L * G1bScale / 100L) / n
+    var ranks = docs.select(col("id"), lit(G1bScale / n).as("r"))
+    for (_ <- 1 to G1bRounds) {
+      ranks = eEdges.df
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg.df, Seq("src"))
+        .select(col("dst").as("id"), expr("r DIV deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .select(col("id"), (lit(base) + expr("(85 * s) DIV 100")).as("r"))
+    }
+    // one materialization job (10 shuffle stages over the pinned edge
+    // blocks), then the static pins are safe to release
+    val fin = Checkpoints.eager(ranks)
+    eEdges.release(); deg.release()
+    fin.df.select(col("id").as("doc_id"), col("r").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** The g1b twin: 10 unrolled rounds of the identical fixed-point
+    * expression (DuckDB's BIGINT sum widens to HUGEINT — values stay
+    * far below either bound, and the final CAST pins the output type).
+    */
+  val g1bSql: String = {
+    val rounds = (1 to G1bRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    (15 * $G1bScale // 100) // (SELECT n FROM nn)
+         |      + (85 * sum(r.r // d.deg)) // 100 AS r
+         |  FROM r${i - 1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.src = r.id
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |    UNION ALL SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM documents
+       |    UNION ALL SELECT doc_id, (doc_id * 29 + 7) % (SELECT n FROM nn) FROM documents
+       |    UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn) FROM documents
+       |  ) WHERE src <> dst
+       |),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT doc_id AS id, $G1bScale // (SELECT n FROM nn) AS r FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$G1bRounds
+       |ORDER BY rank_e12 DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   // Randomized-HITS reset probability (Ng/Zheng/Jordan SIGIR '01) —
   // same value as g1's teleport; gives the round map a structure-
   // independent L1 contraction of (1−ε)² per iteration, so the loop
@@ -281,8 +376,11 @@ object Graph {
 
   val queries: ListMap[String, Q] = ListMap(
     "g1_pagerank" -> (g1PageRank _),
+    "g1b_pagerank_fixed" -> (g1bPageRankFixed _),
     "g2_hits" -> (g2Hits _),
   )
 
-  val oracle: ListMap[String, String] = ListMap.empty
+  val oracle: ListMap[String, String] = ListMap(
+    "g1b_pagerank_fixed" -> g1bSql,
+  )
 }
