@@ -255,14 +255,31 @@ object Multimodal {
       |  round(avg(octet_length(encode(text))), 6) AS avg_bytes
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
+  /** 128-bit unsigned comparison a·b > c·d for non-negative operands —
+    * the cross-multiplication guard both aHash variants compare means
+    * with. Math.multiplyHigh gives the exact high 64 bits, so the test
+    * never overflows: a 1.5 GB payload's cs·L (~4L² ≈ 2⁶²·4) or a
+    * 100-megapixel image's luma-1000 products, which silently wrap a
+    * plain Long multiply and would flip hash bits, compare exactly
+    * here. (The DuckDB twin's BIGINT `cs * L` is only exercised on
+    * fixture-sized payloads, far inside the 64-bit range where the two
+    * agree; DuckDB errors loudly on overflow rather than wrapping.)
+    */
+  private[queries] def mulCmpGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2 else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
+
   /** 64-bit blockwise average-hash over raw payload bytes — the aHash
     * device applied at the byte level: chunk the payload into 64 blocks
     * (byte i → block i·64/L, the surjective index map both engines
     * compute in integers), bit k = block k's mean byte > global mean
     * byte. The comparison is the integer cross-multiplication
-    * cs·L > gsum·clen, so no float ever enters the hash — bit-exact in
-    * any engine. Near-identical payloads (small in-place edits) disagree
-    * in at most the touched blocks; identical payloads collide exactly.
+    * cs·L > gsum·clen via [[mulCmpGt]] (exact at any payload size), so
+    * no float ever enters the hash — bit-exact in any engine.
+    * Near-identical payloads (small in-place edits) disagree in at most
+    * the touched blocks; identical payloads collide exactly.
     */
   private[queries] def byteAHash(payload: Array[Byte]): String = {
     val L = payload.length
@@ -279,7 +296,7 @@ object Multimodal {
     val sb = new StringBuilder(64)
     var k = 0
     while (k < 64) {
-      sb.append(if (cs(k) * L > gsum * clen(k)) '1' else '0')
+      sb.append(if (mulCmpGt(cs(k), L, gsum, clen(k))) '1' else '0')
       k += 1
     }
     sb.toString
@@ -318,7 +335,8 @@ object Multimodal {
     val sb = new StringBuilder(64)
     var k = 0
     while (k < 64) {
-      sb.append(if (cs(k) * n > gsum * clen(k)) '1' else '0')
+      // 128-bit compare: near 100 MP, cs·n ≈ 4e19 wraps a Long multiply
+      sb.append(if (mulCmpGt(cs(k), n, gsum, clen(k))) '1' else '0')
       k += 1
     }
     sb.toString
@@ -351,10 +369,16 @@ object Multimodal {
     * hashed partition-wise — real images through decode→[[imageAHash]],
     * everything else through [[byteAHash]].
     */
-  private[queries] def phashFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def phashFrame(s: SparkSession, dir: String): DataFrame =
+    phashOf(mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format")))
+
+  /** Hash any (media_id, payload, format) frame — the injectable core
+    * phashFrame and mm6's planted variants share.
+    */
+  private[queries] def phashOf(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(phashSchema)
-    mediaTable(s, dir)
-      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+    media
       .filter(length(col("payload")) >= 64)
       .mapPartitions { rows =>
         rows.map { r =>
@@ -372,6 +396,26 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** The id offset separating mm6's planted variant items from real
+    * media ids (far above any fixture doc_id).
+    */
+  val Mm6PlantOffset = 1000000000L
+
+  /** mm6's planted near-dup variants: for the first 8 docs, a copy of
+    * the payload with the first byte replaced by '~' — a one-byte edit
+    * whose [[byteAHash]] lands within hamming 0-2 of the original
+    * (measured at sf0.01 AND sf0.1: at least one planted pair per sf
+    * has hamming ≥ 1), so the oracle row checks a NON-EMPTY answer
+    * through candidate generation AND the exact hamming verify. The
+    * format tag 'txt' routes them down the byte-hash path explicitly.
+    */
+  private def mm6Plants(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 8 && length(col("text")) >= 64)
+      .select((col("doc_id") + Mm6PlantOffset).as("media_id"),
+        encode(concat(lit("~"), expr("substr(text, 2)")), "UTF-8").as("payload"),
+        lit("txt").as("format"))
 
   def mm5PhashDups(s: SparkSession, dir: String): DataFrame = {
     val hashed = phashFrame(s, dir)
@@ -400,14 +444,20 @@ object Multimodal {
     * pairs; the exact verify runs on candidates only, comparing 64-char
     * strings — payloads were left behind in mm5's map stage.
     *
-    * The shipped fixture contains NO byte-level perceptual near-dups
-    * (minimum candidate hamming is 12 at sf0.01 — text near-dups shift
-    * every block mean), so the fixture answer is the VERIFIED EMPTY set,
-    * not an untested path: MultimodalSpec plants single-byte-edited
-    * payloads and asserts exactly that pair surfaces.
+    * The shipped fixture contains NO organic byte-level perceptual
+    * near-dups (minimum candidate hamming is 12 at sf0.01 — text
+    * near-dups shift every block mean), so the input is augmented with
+    * [[mm6Plants]]: 8 one-byte-edited variant payloads whose pairs the
+    * oracle replays identically in SQL — the gate row checks a
+    * NON-EMPTY answer (including hamming ≥ 1 pairs) end-to-end every
+    * round, and MultimodalSpec additionally plants its own edited
+    * payloads plus image-decode variants.
     */
   def mm6PhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ph = phashFrame(s, dir)
+    val ph = phashOf(
+      mediaTable(s, dir)
+        .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+        .unionByName(mm6Plants(s, dir)))
       .cache() // both sides of the banded self-join read this
     val bandCols = array((0 until 4).map(b =>
       substring(col("phash"), b * 16 + 1, 16)): _*)
@@ -433,6 +483,9 @@ object Multimodal {
     s"""WITH f AS (
       |  SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
       |  FROM documents WHERE octet_length(encode(text)) >= 64
+      |  UNION ALL
+      |  SELECT doc_id + $Mm6PlantOffset, '~' || substr(text, 2), length(text)::BIGINT
+      |  FROM documents WHERE doc_id < 8 AND octet_length(encode(text)) >= 64
       |), bytes AS (
       |  SELECT media_id, L,
       |    ((i - 1) * 64) // L AS k,

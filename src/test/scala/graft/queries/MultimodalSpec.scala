@@ -136,10 +136,15 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("mm6 finds planted near-identical payloads; fixture empty set is genuine") {
+  test("mm6 finds planted near-identical payloads, injected and built-in") {
     import spark.implicits._
     // docs 0/1: one payload and its single-byte edit (hamming ≤ 4 by the
-    // byteAHash locality property); doc 2: unrelated content
+    // byteAHash locality property); doc 2: unrelated content. mm6 also
+    // self-plants '~'-edited variants (ids +1e9) for docs 0..7, so the
+    // expected pair set is the injected pair, each doc's own variant,
+    // and the cross pairs among {0, 1, v0, v1} (all four payloads are
+    // within a couple of edits of each other).
+    val off = Multimodal.Mm6PlantOffset
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val edited = base.updated(10, 'X')
     val other = "entirely different content with other letter statistics " * 6
@@ -151,12 +156,73 @@ class MultimodalSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val pairs = Multimodal.mm6PhashPairs(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
-      s"planted pair not found: ${pairs.toSeq}")
-    assert(pairs.head._3 <= 4, s"edit-local hamming ${pairs.head._3}")
-    // the fixture's empty answer is a true negative, not a dead path:
-    // candidates exist but none sit within the hamming radius
-    assert(Multimodal.mm6PhashPairs(spark, dir).count() == 0)
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L)), s"injected pair not found: ${pairs.toSeq}")
+    assert(ids.contains((0L, off)) && ids.contains((1L, off + 1)),
+      s"self-planted variants not paired: ${pairs.toSeq}")
+    // doc 2 pairs only with its own '~' variant, never with the 0/1 family
+    val fam2 = Set(2L, off + 2)
+    assert(!ids.exists(p => fam2.contains(p._1) ^ fam2.contains(p._2)),
+      s"unrelated doc 2 paired across families: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= Multimodal.Mm6MaxHamming))
+    // the FIXTURE answer is non-empty end-to-end: exactly the 8
+    // self-planted (doc, variant) pairs — organic cross pairs sit at
+    // hamming ≥ 12 and are verified away
+    val fx = Multimodal.mm6PhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fx.map(p => (p._1, p._2)).toSet ==
+      (0 until 8).map(i => (i.toLong, off + i)).toSet, s"fixture: ${fx.toSeq}")
+    assert(fx.forall(_._3 <= Multimodal.Mm6MaxHamming))
+  }
+
+  test("mm6 banded join survives band skew: one hot phash bucket with 10% of items") {
+    import spark.implicits._
+    // 50 of 500 payloads are byte-identical → one phash, so every one of
+    // the 4 16-bit bands has a bucket holding 10% of the corpus. The
+    // C(50,2)·4 raw hits must flow through the positionwise verify and
+    // come out as exactly the hot clique at hamming 0 (plus each doc's
+    // mm6 self-planted '~' variant for doc_id < 8).
+    val off = Multimodal.Mm6PlantOffset
+    val hot = "identical syndicated media payload body repeated across mirrors " * 2
+    val docs = (0 until 500).map { i =>
+      // non-hot payloads are per-doc pseudo-random ASCII so their block
+      // means (and hence aHash bits) are independent across docs —
+      // structurally-similar English-like fillers all hash within a few
+      // bits of each other and would drown the clique in junk pairs
+      val t = if (i % 10 == 0) hot
+      else { val rng = new scala.util.Random(i)
+        (0 until 128).map(_ => (33 + rng.nextInt(90)).toChar).mkString }
+      (i.toLong, t, "en", "src", t.length.toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("mm6skew").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.mm6PhashPairs(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val hotIds = (0 until 500 by 10).map(_.toLong)
+    val clique = (for (a <- hotIds; b <- hotIds if a < b) yield (a, b)).toSet
+    val gotRealPairs = rows.map(_._1).filter(p => p._2 < off).toSet
+    assert(gotRealPairs == clique,
+      s"expected ${clique.size} hot-clique pairs, got ${gotRealPairs.size}")
+    assert(rows.filter(p => p._1._2 < off).forall(_._2 == 0))
+    // doc 0 is hot AND < 8, so its variant pairs with doc 0 (and, at
+    // hamming ≤ 6, possibly other clique members) — just bound those
+    assert(rows.filter(p => p._1._2 >= off).forall(_._2 <= Multimodal.Mm6MaxHamming))
+  }
+
+  test("mulCmpGt matches BigInt semantics including Long-overflow products") {
+    val cases = Seq(
+      (3L, 4L, 2L, 6L), (5L, 7L, 36L, 1L),
+      // products beyond Long.MaxValue: 4e9 * 4e9 ≈ 1.6e19 wraps a Long
+      (4000000000L, 4000000000L, 4000000001L, 3999999999L),
+      (Long.MaxValue / 2, 5L, Long.MaxValue / 3, 7L),
+      (6074001000L, 6074001000L, 6074001001L, 6074000999L),
+      (0L, 5L, 0L, 7L), (1L, 0L, 0L, 0L))
+    for ((a, b, c, d) <- cases) {
+      val expect = BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+      assert(Multimodal.mulCmpGt(a, b, c, d) == expect, s"($a,$b,$c,$d)")
+      assert(Multimodal.mulCmpGt(c, d, a, b) == (BigInt(c) * BigInt(d) > BigInt(a) * BigInt(b)))
+    }
   }
 
   test("mm5 groups by hash: planted identical payloads are flagged as dups") {
