@@ -559,21 +559,37 @@ object Topics {
     * Distributing the per-iteration pair recount instead would cost one
     * corpus-wide shuffle per merge (50k shuffles for a real vocab):
     * the bounded-table driver loop is the right trade, and the cap is
-    * loud in the schema (`rank` rows stop early if pairs run out).
+    * loud in the schema: every output row carries `kept_mass_ppm`, the
+    * fraction (in parts-per-million) of corpus TOKEN OCCURRENCES the
+    * top-MaxWords vocabulary covers — the no-silent-caps receipt. Under
+    * Zipf the head vocabulary carries nearly all token mass (the
+    * fixture measures ≥ 99%; TopicsSpec pins a 90% floor), so the cut
+    * drops vocabulary breadth, not training signal, and the number is
+    * CHECKED each round rather than assumed. `rank` rows stop early if
+    * pairs run out.
     */
   val MaxWords = 10000
   val BpeMerges = 50
 
   def m12BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
+    // one corpus scan; the vocab-sized count table serves both the
+    // top-MaxWords training input and the total-mass denominator
+    val wc = Tables.documents(s, dir)
       .select(explode(tokenize(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .cache()
+    val totalMass = wc.agg(sum(col("n"))).first().getLong(0)
+    val words = wc
       .orderBy(col("n").desc, col("w"))
       .limit(MaxWords)
       .as[(String, Long)].collect()
+    wc.unpersist(blocking = false)
+    val keptMass = words.map(_._2).sum
+    val keptPpm = if (totalMass == 0) 1000000L else keptMass * 1000000L / totalMass
     bpeMerges(words, BpeMerges).toDF("rank", "left", "right", "pair_count")
+      .withColumn("kept_mass_ppm", lit(keptPpm))
   }
 
   /** The Sennrich merge loop over a vocabulary-bounded word-count table:

@@ -231,12 +231,18 @@ class TopicsSpec extends AnyFunSuite {
 
   test("m12 on the fixture: full rank ladder, non-increasing merge counts") {
     val rows = Topics.m12BpeTrain(spark, dir)
-      .collect().map(r => (r.getInt(0), r.getLong(3)))
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
     assert(rows.length == Topics.BpeMerges)
     assert(rows.map(_._1).toSeq == (0 until Topics.BpeMerges))
     val counts = rows.map(_._2)
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       counts.mkString(","))
+    // the MaxWords cap's receipt: the kept vocabulary must cover ≥ 90%
+    // of corpus token occurrences (measured ≥ 99% on the fixture — the
+    // Zipf-head property the cap's soundness rests on, now checked)
+    val keptPpm = rows.head._3
+    assert(rows.forall(_._3 == keptPpm))
+    assert(keptPpm >= 900000L && keptPpm <= 1000000L, s"kept_mass_ppm $keptPpm")
   }
 
   test("m13 BPE encode: hand trace, zero-merge identity, monotonicity, training consistency") {
