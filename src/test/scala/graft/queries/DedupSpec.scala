@@ -198,6 +198,33 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.map(_._1).toSet.intersect(strong).nonEmpty)
   }
 
+  test("d3 banded join survives adversarial band skew: one hot bucket with 10% of the corpus") {
+    // Adversarial fixture for the pigeonhole band join: 200 of 2000 docs
+    // share IDENTICAL text, so all four 16-bit chunk buckets of their
+    // (identical) simhash hold 10% of the corpus — the worst band skew a
+    // dedup corpus realistically produces (a boilerplate page crawled
+    // 200×). The hot bucket yields C(200,2)·4 raw join hits; d3's
+    // design point is that the codegen'd hamming filter runs INSIDE the
+    // join stage (before distinct), so the flood dies without being
+    // shuffled — this case pins that the job completes and the answer
+    // is exactly the hot clique, no skew-induced loss or junk.
+    val hot = "breaking news boilerplate header shared across every syndicated page of the network"
+    val docs = (0 until 2000).map { i =>
+      if (i % 10 == 0) (i.toLong, hot)
+      else (i.toLong, (0 until 14).map(k => s"w${i}_$k unique token").mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("d3skew").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.d3SimHashPairs(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    val hotIds = (0 until 2000 by 10).map(_.toLong)
+    val clique = (for (a <- hotIds; b <- hotIds if a < b) yield (a, b)).toSet
+    assert(rows.map(_._1).toSet == clique,
+      s"expected the ${clique.size}-pair hot clique, got ${rows.length} pairs")
+    assert(rows.forall(_._2 == 0), "identical docs must verify at hamming 0")
+  }
+
   test("d8 lsh pairs are a subset of d4 exact pairs with identical scores") {
     // this subset assertion is only sound while d4's probe panel covers
     // the WHOLE fixture (vec_id < D4ProbeCap ⇒ d4 == uncapped exact
