@@ -84,7 +84,25 @@ object Bench {
       cleanup()
     }
 
-    val results = selected.map { case (name, fn) => name -> timed(name, fn) }
+    // SPARK_GRAFT_BENCH_RUNS > 1 → run the whole suite that many times
+    // and report per-query MEDIANS plus min/max spread. This VM's
+    // wall-clock is noisy (observed 2 s ↔ 27 s for the same query
+    // run-to-run); a single-run number repeatedly triggered false
+    // regression hunts (r7's a1 alarm). The driver's per-round call
+    // stays at 1 run; round-close committed benches use 3.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val samples: Seq[Map[String, Double]] =
+      (1 to runs).map { _ => selected.map { case (name, fn) => name -> timed(name, fn) }.toMap }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val results: Seq[(String, Double)] =
+      selected.keys.toSeq.map(n => n -> median(samples.map(_(n))))
+    val spread: Seq[(String, (Double, Double))] =
+      selected.keys.toSeq.map(n =>
+        n -> (samples.map(_(n)).min, samples.map(_(n)).max))
 
     val coldResults = artifactBacked.map { name =>
       val tmp = java.nio.file.Files
@@ -105,9 +123,14 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val cold = jsonMap(coldResults)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val spreadJson =
+      if (runs <= 1) ""
+      else ",\"runs\":" + runs + ",\"spread\":" + spread
+        .map { case (k, (lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+        .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cold,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cold$spreadJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's log tail truncates long stdout — persist the full
     // per-query map verbatim so every round's timings stay adjudicable
