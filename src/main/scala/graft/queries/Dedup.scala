@@ -1219,6 +1219,159 @@ object Dedup {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** D16: exact shingle-CONTAINMENT pairs — the directional complement
+    * of d1's symmetric Jaccard: C(A→B) = |A∩B| / |A| ≥ 0.8 means doc A
+    * is (almost) a subset of doc B. Jaccard misses exactly this class —
+    * a paragraph quoted inside a 100× longer page has j ≈ |A|/|B| ≈ 0.01
+    * but containment ≈ 1 — and subset pages (quotes, syndicated
+    * excerpts, listicle aggregations) are a standard dedup target Broder
+    * (1997) treats alongside resemblance. Output is directional:
+    * (inner_id, outer_id, containment), one row per direction that
+    * clears the threshold.
+    *
+    * Scale shape is d1's, reused wholesale: inverted shingle index,
+    * absolute df ≤ [[D1MaxDf]] hot cap with small-doc retention,
+    * candidates-then-verify with a per-doc sound bound — here the bound
+    * is (common + min(h1,h2)) ∧ min(n1,n2) over the INNER side's set
+    * size. Same spec-pinned residual as d1 (a pair whose every shared
+    * shingle is corpus-hot and both sides large is skipped). The
+    * fixture triggers the nHot == 0 exact fast path, so the oracle —
+    * the uncapped inverted-index answer — matches exactly.
+    */
+  val D16Threshold = 0.8
+  def d16ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir).cache()
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val hot = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(D1MaxDf))
+      .select(col("shingle"))
+      .cache()
+    val nHot = hot.count()
+    val common =
+      if (nHot == 0L) {
+        inv.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
+          .join(inv.select(col("doc_id").as("id2"), col("n").as("n2"),
+            col("shingle")), Seq("shingle"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+          .agg(count(lit(1)).as("common"))
+      } else {
+        val tagged = inv.join(
+          broadcast(hot.withColumn("is_hot", lit(1))), Seq("shingle"), "left")
+        val hotCnt = tagged.groupBy(col("doc_id"))
+          .agg(sum(when(col("is_hot").isNotNull, 1L).otherwise(0L)).as("h"))
+        val kept = tagged
+          .filter(col("is_hot").isNull || col("n") <= D1SmallDoc)
+          .drop("is_hot")
+          .join(hotCnt, Seq("doc_id"))
+        kept.select(col("doc_id").as("id1"), col("n").as("n1"),
+            col("h").as("h1"), col("shingle"))
+          .join(kept.select(col("doc_id").as("id2"), col("n").as("n2"),
+            col("h").as("h2"), col("shingle")), Seq("shingle"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2"), col("n1"), col("n2"),
+            col("h1"), col("h2"))
+          .agg(count(lit(1)).as("common"))
+          // sound intersection upper bound, then exact-verify survivors
+          .withColumn("ub", least(col("common") + least(col("h1"), col("h2")),
+            least(col("n1"), col("n2")).cast("long")))
+          .filter(col("ub").cast("double") / col("n1") >= D16Threshold ||
+            col("ub").cast("double") / col("n2") >= D16Threshold)
+          .select(col("id1"), col("id2"))
+          .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+          .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+          .select(col("id1"), col("id2"),
+            size(col("sh1")).cast("long").as("n1"),
+            size(col("sh2")).cast("long").as("n2"),
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("common"))
+      }
+    val dirRows = common
+      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
+        (col("common").cast("double") / col("n1")).as("containment"))
+      .unionByName(common.select(col("id2").as("inner_id"),
+        col("id1").as("outer_id"),
+        (col("common").cast("double") / col("n2")).as("containment")))
+    dirRows
+      .filter(col("containment") >= D16Threshold)
+      .select(col("inner_id"), col("outer_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
+  val d16Sql: String =
+    s"""$shingleCte, inv AS (
+       |  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+       |         count(*) AS common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |), dir AS (
+       |  SELECT id1 AS inner_id, id2 AS outer_id, common * 1.0 / n1 AS containment
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT id2, id1, common * 1.0 / n2 FROM pairs
+       |)
+       |SELECT inner_id, outer_id, round(containment, 6) AS containment
+       |FROM dir WHERE containment >= $D16Threshold
+       |ORDER BY inner_id, outer_id""".stripMargin
+
+  /** D17: soft dedup WEIGHTS over NEAR-dup clusters — keep every member
+    * of a d7 duplicate cluster but downweight it to 1/|cluster|, so the
+    * cluster's total training influence equals one copy: the
+    * reweight-instead-of-drop knob (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — dropping
+    * vs downweighting duplicated text trade differently at the epoch
+    * boundary), applied at the NEAR-dup tier where it matters (exact
+    * copies are t8; the fixture's duplication is near-dup, so this gate
+    * row is non-vacuous: cluster sizes > 1 appear at every sf).
+    *
+    * Scale shape: reuses d15's fingerprint-keyed d7-labels artifact
+    * (cluster labelling runs once per corpus, not once per consumer);
+    * the weights pass is one cluster-scale count plus two
+    * doc_id-keyed joins — text never shuffles, and the weight column
+    * rides into a sampler as a multiplier (t17's deterministic coin
+    * composes directly).
+    */
+  def d17SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val fp = Topics.fingerprint(s, dir)
+    val path = Topics.artifactPath(dir, fp, "d7labels")
+    val labels =
+      if (Topics.artifactExists(s, path)) s.read.parquet(path)
+      else graft.Artifacts.publishParquet(d7DupClusters(s, dir), path)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val member = labels.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("n"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(member, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("n"), lit(1L)), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: d7's recursive-CTE labels nested as a CTE (the d15 device),
+    * cluster sizes, then a left join back over all documents with
+    * singleton weight 1.
+    */
+  val d17Sql: String = {
+    val lbl = d7Sql.substring(0, d7Sql.lastIndexOf("ORDER BY"))
+    s"""WITH lbl AS (
+       |$lbl
+       |), sz AS (
+       |  SELECT cluster, count(*)::BIGINT AS n FROM lbl GROUP BY 1
+       |), member AS (
+       |  SELECT l.doc_id, s.n FROM lbl l JOIN sz s USING (cluster)
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(m.n, 1) AS cluster_size,
+       |       round(1.0 / coalesce(m.n, 1), 6) AS weight
+       |FROM documents d LEFT JOIN member m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -1235,6 +1388,8 @@ object Dedup {
     "d13_semantic_decontaminate" -> (d13SemanticDecontaminate _),
     "d14_substr_spans" -> (d14SubstrSpans _),
     "d15_cluster_reps" -> (d15ClusterReps _),
+    "d16_containment_pairs" -> (d16ContainmentPairs _),
+    "d17_soft_weights" -> (d17SoftDedupWeights _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1254,5 +1409,7 @@ object Dedup {
     "d13_semantic_decontaminate" -> d13Sql,
     "d14_substr_spans" -> d14Sql,
     "d15_cluster_reps" -> d15Sql,
+    "d16_containment_pairs" -> d16Sql,
+    "d17_soft_weights" -> d17Sql,
   )
 }

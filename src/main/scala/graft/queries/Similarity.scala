@@ -741,6 +741,139 @@ object Similarity {
        |FROM (SELECT DISTINCT id1 FROM exact) q LEFT JOIN hits h USING (id1)
        |ORDER BY id1""".stripMargin
 
+  // s11 MMR parameters: candidate pool per query, selected set size,
+  // relevance/diversity mix (Carbonell & Goldstein's λ).
+  val MmrPool = 32
+  val MmrK = 8
+  val MmrLambda = 0.5
+
+  /** S11: MMR diverse top-k — maximal marginal relevance re-ranking
+    * (Carbonell & Goldstein, SIGIR '98): greedily select k results
+    * maximizing λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s), the
+    * standard retrieval-diversification stage (and the shape of
+    * diversity-aware example selection for in-context/training data:
+    * relevant-but-mutually-redundant neighbors waste the budget).
+    *
+    * 100 TB shape — the production rerank pattern: the CORPUS-scale work
+    * is the pool cut (s1's broadcast-queries + bounded TopK partial-agg
+    * plan, shuffle carries NQ·partitions·P rows); everything after runs
+    * on broadcast-sized data (NQ·P pool rows, NQ·P²/2 pairwise sims,
+    * then the greedy loop over collected rows — the same bounded-driver
+    * discipline as s8's k-center rounds). Greedy selection is
+    * inherently sequential in k; distributing it would shuffle per
+    * round for data that fits in L2 cache.
+    *
+    * Hash-twinnable because every similarity is rounded to the 1e-6
+    * grid first (s1's doctrine), the MMR combination is two exact
+    * halvings (λ = 0.5) and one subtraction — bit-identical IEEE ops in
+    * both engines — and argmax ties break by (score desc, cid asc)
+    * everywhere. The oracle unrolls the k−1 greedy steps as CTEs (the
+    * g1b device applied to a data-dependent recurrence).
+    */
+  def s11MmrTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+    val c = all.select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val pool = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6).as("cosq"))
+      .groupBy(col("qid"))
+      .agg(TopK.topK(MmrPool)(col("cosq"), col("cid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cosq"))
+      .cache() // three readers: both pairwise sides + the driver collect
+    val pa = pool.select(col("qid"), col("cid"))
+      .join(c.select(col("cid"), col("vc").as("va"), col("nc").as("na")), Seq("cid"))
+    val pb = pool.select(col("qid"), col("cid").as("cb"))
+      .join(c.select(col("cid").as("cb"), col("vc").as("vb"), col("nc").as("nb")), Seq("cb"))
+    val ps = pa.join(pb, Seq("qid")).filter(col("cid") < col("cb"))
+      .select(col("qid"), col("cid").as("ca"), col("cb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cs"))
+    val poolRows = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = ps.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    def sim(qid: Long, a: Long, b: Long): Double =
+      if (a < b) simMap((qid, a, b)) else simMap((qid, b, a))
+    val out = poolRows.groupBy(_._1).toSeq.flatMap { case (qid, cands0) =>
+      var selected = Vector.empty[(Long, Double)] // (cid, mmr)
+      var remaining: Seq[(Long, Double)] = cands0.map(t => (t._2, t._3)).toSeq
+      var k = 0
+      while (k < MmrK && remaining.nonEmpty) {
+        val best = remaining.map { case (cid, cosq) =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(sel => sim(qid, cid, sel._1)).max
+          (cid, MmrLambda * cosq - (1 - MmrLambda) * msim)
+        }.minBy { case (cid, sc) => (-sc, cid) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+        k += 1
+      }
+      selected.zipWithIndex.map { case ((cid, mmr), i) =>
+        (qid, i + 1, cid, mmr) }
+    }
+    out.toDF("id1", "rank", "id2", "mmr")
+      .select(col("id1"), col("rank"), col("id2"), round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  /** The s11 twin: pool + pairwise sims relationally, then the greedy
+    * recurrence unrolled as one CTE trio per step (candidates of
+    * step k score against acc_{k−1}, argmax per query, accumulate).
+    */
+  val s11Sql: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""cand$k AS MATERIALIZED (
+         |  SELECT p.qid, p.cid, p.cosq, max(y.cs) AS msim
+         |  FROM pool p
+         |  JOIN acc${k - 1} s ON s.qid = p.qid
+         |  JOIN psym y ON y.qid = p.qid AND y.ca = p.cid AND y.cb = s.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} a
+         |                    WHERE a.qid = p.qid AND a.cid = p.cid)
+         |  GROUP BY 1, 2, 3
+         |), sel$k AS MATERIALIZED (
+         |  SELECT qid, cid, $k AS rank, mmr FROM (
+         |    SELECT qid, cid, 0.5 * cosq - 0.5 * msim AS mmr,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY 0.5 * cosq - 0.5 * msim DESC, cid) AS rn
+         |    FROM cand$k) WHERE rn = 1
+         |), acc$k AS MATERIALIZED (
+         |  SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM sel$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosq
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), pool AS MATERIALIZED (
+       |  SELECT qid, cid, cosq FROM (
+       |    SELECT qid, cid, cosq,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, cid) AS rn
+       |    FROM scored) WHERE rn <= $MmrPool
+       |), ps AS MATERIALIZED (
+       |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+       |         round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cs
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid < b.cid
+       |  JOIN n na ON na.vec_id = a.cid
+       |  JOIN n nb ON nb.vec_id = b.cid
+       |), psym AS MATERIALIZED (
+       |  SELECT qid, ca, cb, cs FROM ps UNION ALL SELECT qid, cb, ca, cs FROM ps
+       |), acc1 AS MATERIALIZED (
+       |  SELECT qid, cid, 1 AS rank, 0.5 * cosq AS mmr FROM (
+       |    SELECT qid, cid, cosq,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, cid) AS rn
+       |    FROM pool) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT qid AS id1, rank, cid AS id2, round(mmr, 6) AS mmr
+       |FROM acc$MmrK ORDER BY id1, rank""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -752,6 +885,7 @@ object Similarity {
     "s8_kcenter_sample" -> (s8KCenterSample _),
     "s9_pq_topk" -> (s9PqTopK _),
     "s10_recall_eval" -> (s10RecallEval _),
+    "s11_mmr_topk" -> (s11MmrTopK _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -763,5 +897,6 @@ object Similarity {
     "s7_quantized_topk" -> s7Sql,
     "s9_pq_topk" -> s9Sql,
     "s10_recall_eval" -> s10Sql,
+    "s11_mmr_topk" -> s11Sql,
   )
 }

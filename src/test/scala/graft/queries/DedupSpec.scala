@@ -225,6 +225,75 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == 0), "identical docs must verify at hamming 0")
   }
 
+  test("d16 containment finds directional subset pairs jaccard can't see") {
+    import spark.implicits._
+    // B embeds A verbatim inside unrelated body text: j(A,B) ≈ 0.14
+    // (below d1's 0.2 — resemblance never pairs them), containment
+    // C(A→B) = 1.0. C is unrelated. Only (A→B) may clear 0.8.
+    val aWords = (0 until 12).map(k => s"quote$k")
+    val bWords = (0 until 60).map(k => s"body$k")
+    val aText = aWords.mkString(" ")
+    val bText = (bWords.take(30) ++ aWords ++ bWords.drop(30)).mkString(" ")
+    val cText = (0 until 40).map(k => s"other$k").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d16").toString
+    Seq((0L, aText), (1L, bText), (2L, cText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.d16ContainmentPairs(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keySet == Set((0L, 1L)), s"got ${rows.keySet}")
+    assert(math.abs(rows((0L, 1L)) - 1.0) < 1e-9)
+  }
+
+  test("d16 hot-cap branch stays exact: contained pair survives a corpus-hot shingle") {
+    import spark.implicits._
+    // every doc opens with the same hot run (df = 80 > D1MaxDf = 64 →
+    // the capped verify branch runs); doc 1 embeds doc 0's quote words
+    val mk = (words: Seq[String]) => "hot hot hot " + words.mkString(" ")
+    val quote = (0 until 12).map(k => s"q$k")
+    val docs = Seq(
+      (0L, mk(quote)),
+      (1L, mk((0 until 14).map(k => s"b$k") ++ quote ++ (14 until 28).map(k => s"b$k"))),
+    ) ++ (2 until 80).map(i => (i.toLong, mk((0 until 20).map(k => s"u${i}_$k"))))
+    val tmp = java.nio.file.Files.createTempDirectory("d16hot").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d16ContainmentPairs(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force both directions over the same corpus
+    val sets = docs.map { case (id, t) =>
+      (id, t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet) }
+    val exp = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 != i2
+      c = (s1 & s2).size.toDouble / s1.size
+      if c >= Dedup.D16Threshold
+    } yield (i1, i2) -> c).toMap
+    assert(exp.contains((0L, 1L)), "fixture must plant a contained pair")
+    assert(got.keySet == exp.keySet, s"got ${got.keySet} vs ${exp.keySet}")
+    got.foreach { case (k, c) => assert(math.abs(c - exp(k)) < 1e-6, s"$k") }
+  }
+
+  test("d17 weights: cluster members split one copy's mass, singletons keep 1.0") {
+    val w = Dedup.d17SoftDedupWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clusters = Dedup.d7DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val size = clusters.groupBy(_._2).view.mapValues(_.length).toMap
+    val byDoc = clusters.map { case (d, c) => d -> size(c) }.toMap
+    assert(w.length == graft.Tables.documents(spark, dir).count())
+    w.foreach { case (docId, cs, wt) =>
+      val expected = byDoc.getOrElse(docId, 1)
+      assert(cs == expected, s"doc $docId cluster_size $cs != $expected")
+      assert(math.abs(wt - 1.0 / expected) < 1e-6, s"doc $docId weight")
+    }
+    // non-vacuous on the fixture: real near-dup clusters exist
+    assert(w.exists(_._2 > 1), "fixture has no cluster > 1 — weights vacuous")
+    // mass conservation: every cluster's weights sum to one copy
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      val s = members.map(m => w.find(_._1 == m._1).get._3).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"cluster $c mass $s")
+    }
+  }
+
   test("d8 lsh pairs are a subset of d4 exact pairs with identical scores") {
     // this subset assertion is only sound while d4's probe panel covers
     // the WHOLE fixture (vec_id < D4ProbeCap ⇒ d4 == uncapped exact

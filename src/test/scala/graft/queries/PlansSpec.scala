@@ -408,6 +408,24 @@ class PlansSpec extends AnyFunSuite {
       s"unexpected shuffle keys $exKeys")
   }
 
+  test("d16 containment candidates come from the shingle inverted index, never a cartesian") {
+    val plan = executedPlan(Dedup.d16ContainmentPairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "containment degraded to all-pairs")
+    val exKeys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exKeys.nonEmpty &&
+      exKeys.subsetOf(Set("shingle", "doc_id", "id1", "id2", "inner_id", "outer_id")),
+      s"unexpected shuffle keys $exKeys")
+  }
+
+  test("g1b fixed-point rounds: no cartesian, top-100 via TakeOrderedAndProject") {
+    val plan = executedPlan(Graph.g1bPageRankFixed(spark, dir))
+    // the 10 rounds live behind the final checkpoint; the visible plan
+    // must be the bounded top-k over the pinned rank blocks
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)

@@ -234,4 +234,49 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = out.map(_._3).sum / out.length
     assert(mean > 0.5, s"mean recall $mean")
   }
+
+  test("s11 mmr matches brute-force greedy; scores monotone after rank 1") {
+    val rows = Similarity.s11MmrTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.foreach { case (qid, sel) =>
+      assert(sel.map(_._2).sorted.toSeq == (1 to 8), s"query $qid ranks")
+      assert(sel.map(_._3).distinct.length == 8, s"query $qid dup picks")
+      // rank 1 scores pure relevance (λ·cosq); from rank 2 on, each
+      // step's argmax is over a smaller set with a no-smaller penalty,
+      // so MMR scores are non-increasing
+      val mmr = sel.sortBy(_._2).map(_._4)
+      mmr.drop(1).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1) <= w(0) + 1e-9, s"query $qid not monotone") }
+    }
+    // independent greedy over the same rounded-cosine pool
+    val vs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vs(a), vs(b))
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (nrm(va) * nrm(vb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    bruteTopK(32, 20).foreach { case (qid, cands0) =>
+      var selected = Vector.empty[(Long, Double)]
+      var remaining = cands0
+      while (selected.length < 8 && remaining.nonEmpty) {
+        val best = remaining.map { case (cid, cosq) =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(cid, s._1)).max
+          (cid, 0.5 * cosq - 0.5 * msim)
+        }.minBy { case (cid, sc) => (-sc, cid) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      val got = byQ(qid).sortBy(_._2)
+      assert(got.map(_._3).toSeq == selected.map(_._1), s"query $qid picks")
+      got.map(_._4).zip(selected.map(_._2)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 2e-6, s"query $qid score $a vs $b") }
+    }
+  }
 }
