@@ -17,8 +17,9 @@ import scala.collection.immutable.ListMap
   * byte detection can never mistake ASCII for PNG/JPEG — fall back to
   * the deterministic byte-histogram features, which keeps mm1's oracle
   * SQL-twinnable; MultimodalSpec injects genuine encoded frames and
-  * asserts decoded dimensions. Audio (wav) remains a documented
-  * histogram stub (no audio codec in the JDK). Everything Spark-side is
+  * asserts decoded dimensions. Audio decode is REAL too: mm7 parses
+  * RIFF/WAVE PCM through javax.sound.sampled (in-JDK, like imageio)
+  * with the same sniff-or-fallback contract. Everything Spark-side is
   * real and tested: the binary column representation, the metadata
   * struct schema, the mapPartitions batch shape (the Scala analog of
   * mapInPandas: one iterator pass per partition, amortizing per-batch
@@ -545,6 +546,109 @@ object Multimodal {
       |FROM p JOIN grp USING (phash)
       |ORDER BY p.media_id""".stripMargin
 
+  /** REAL audio decode via javax.sound.sampled (in-JDK, reads RIFF/WAVE
+    * PCM): parses the payload's actual sample stream and emits
+    * (sample_rate, channels, n_frames, rms) with RMS over the decoded
+    * 16-bit samples normalized to [0,1]. Returns None when the header
+    * sniff rejects the bytes — non-audio payloads cost a header probe,
+    * never a parse (the imageDecode contract, applied to audio; this
+    * retires the "no audio codec in the JDK" histogram-only stub).
+    */
+  private[queries] def wavDecode(payload: Array[Byte])
+      : Option[(Double, Int, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0.0
+          var n = 0L
+          while (bb.remaining() >= 2) {
+            val v = bb.getShort.toDouble / 32768.0
+            sumSq += v * v
+            n += 1
+          }
+          Some((fmt.getSampleRate.toDouble, fmt.getChannels,
+            in.getFrameLength, if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** MM7: audio feature extraction over wav payloads — sample rate,
+    * channel count, frame count, RMS loudness; the audio counterpart of
+    * mm1's image decode (a speech-data pipeline gates on exactly these:
+    * resample targets, mono-mix planning, silence filtering). Real
+    * RIFF/WAVE payloads go through [[wavDecode]] inside the mm1
+    * mapPartitions batch shape; payloads the sniff rejects (the
+    * fixture's text bytes) fall back to a byte-level pseudo-RMS
+    * sqrt(Σb²/L) over raw bytes — integer sum, one division, one sqrt,
+    * so the oracle replays it exactly via codepoints (the mm1 ASCII
+    * caveat). decoded=false marks fallback rows loudly. MultimodalSpec
+    * injects genuine PCM WAVs (sine + silence) and checks rate,
+    * frames, and analytic RMS.
+    */
+  private val wavSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("sample_rate", DoubleType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("rms", DoubleType)))
+
+  /** The injectable mm7 core over any (media_id, payload) frame —
+    * MultimodalSpec drives this with genuine generated PCM WAVs.
+    */
+  private[queries] def wavFeatureFrame(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(wavSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        wavDecode(payload) match {
+          case Some((rate, ch, frames, rms)) =>
+            Row(id, true, rate, ch, frames, rms)
+          case None =>
+            var sumSq = 0L
+            var i = 0
+            while (i < payload.length) {
+              val b = (payload(i) & 0xff).toLong
+              sumSq += b * b
+              i += 1
+            }
+            val rms = if (payload.isEmpty) 0.0
+              else math.sqrt(sumSq.toDouble / payload.length)
+            Row(id, false, 0.0, 0, payload.length.toLong, rms)
+        }
+      }
+    }(enc)
+  }
+
+  def mm7WavFeatures(s: SparkSession, dir: String): DataFrame =
+    wavFeatureFrame(
+      mediaTable(s, dir)
+        .filter(col("meta.format") === "wav" && length(col("payload")) > 0)
+        .select(col("media_id"), col("payload")))
+      .select(col("media_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("n_frames"), round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+
+  val mm7Sql: String =
+    """SELECT doc_id AS media_id, false AS decoded,
+      |       0.0 AS sample_rate, 0 AS channels,
+      |       octet_length(encode(text))::BIGINT AS n_frames,
+      |       round(sqrt(list_sum(list_transform(range(1, length(text) + 1),
+      |         i -> (ord(substr(text, CAST(i AS INT), 1))
+      |               * ord(substr(text, CAST(i AS INT), 1)))::BIGINT))::DOUBLE
+      |         / octet_length(encode(text))), 6) AS rms
+      |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+      |ORDER BY media_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -552,6 +656,7 @@ object Multimodal {
     "mm4_modality_mix" -> (mm4ModalityMix _),
     "mm5_phash_dups" -> (mm5PhashDups _),
     "mm6_phash_pairs" -> (mm6PhashPairs _),
+    "mm7_wav_features" -> (mm7WavFeatures _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -561,5 +666,6 @@ object Multimodal {
     "mm4_modality_mix" -> mm4Sql,
     "mm5_phash_dups" -> mm5Sql,
     "mm6_phash_pairs" -> mm6Sql,
+    "mm7_wav_features" -> mm7Sql,
   )
 }

@@ -1076,6 +1076,64 @@ object Relational {
       |  FROM documents GROUP BY 1, 2
       |) ORDER BY section, metric""".stripMargin
 
+  /** Q37: hierarchical ROLLUP — the OLAP subtotal surface (per-(lang,
+    * source) cells, per-lang subtotals, grand total in ONE pass). Spark
+    * plans rollup as a single Expand + one hash aggregate: each input
+    * row is replicated once per grouping set BEFORE the partial
+    * aggregate, so the shuffle carries |groups| partials per set, not
+    * the corpus — the exact same one-pass shape GROUP BY ROLLUP has in
+    * any MPP engine, and strictly better than the naive 3-query union
+    * (3 scans). Subtotal keys surface as '<all>' markers via coalesce
+    * (fixture keys are non-null, so the marker is unambiguous), which
+    * keeps the twin engine-agnostic — SQL NULL-grouping flags
+    * (grouping_id bit order) differ across engines.
+    */
+  def q37Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val q37Sql: String =
+    """SELECT coalesce(lang, '<all>') AS lang,
+      |       coalesce(source, '<all>') AS source,
+      |       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY lang, source""".stripMargin
+
+  /** Q38: PIVOT — long-to-wide reshaping (per-day event counts, one
+    * column per event type), the dashboard/report shape every BI layer
+    * asks of an engine. The pivot VALUES ARE DECLARED (the five fixture
+    * event types): Spark's unvalued `pivot(col)` runs a blocking
+    * distinct scan first and caps at
+    * spark.sql.pivotMaxValues — an anti-pattern at 100 TB where the
+    * declared-values form is one pass, planned as a single hash
+    * aggregate over count(CASE WHEN ...) columns (exactly what the
+    * twin spells out manually). An unexpected type would land in no
+    * column — loud in reconciliation vs q10's value_counts, not
+    * silently mixed in.
+    */
+  val Q38EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def q38PivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Q38EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, Q38EventTypes)
+      .orderBy(col("day"))
+
+  val q38Sql: String = {
+    val cols = Q38EventTypes.map(t =>
+      s"""count(*) FILTER (event_type = '$t') AS "$t"""").mkString(",\n      |       ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1113,6 +1171,8 @@ object Relational {
     "q34_scd2_history" -> (q34Scd2History _),
     "q35_dataset_card" -> (q35DatasetCard _),
     "q36_asof_corpus" -> (q36AsofCorpus _),
+    "q37_rollup" -> (q37Rollup _),
+    "q38_pivot_daily" -> (q38PivotDaily _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1150,5 +1210,7 @@ object Relational {
     "q34_scd2_history" -> q34Sql,
     "q35_dataset_card" -> q35Sql,
     "q36_asof_corpus" -> q36Sql,
+    "q37_rollup" -> q37Sql,
+    "q38_pivot_daily" -> q38Sql,
   )
 }

@@ -127,6 +127,13 @@ object Scd2Store {
     val genRel = s"data/g$gen"
     merged
       .withColumn("bucket", bucketOf(col("doc_id")))
+      // repartition BY the bucket column so each bucket directory gets
+      // one file per commit, not one per shuffle partition — without
+      // this a B-bucket store accumulates B × shuffle-partitions tiny
+      // files per touch (the classic small-files failure); at larger
+      // per-bucket volumes repartition(n, col) trades file count for
+      // write parallelism
+      .repartition(col("bucket"))
       .write.partitionBy("bucket")
       .parquet(new File(storeDir, genRel).toString)
     val newBuckets = m.buckets ++

@@ -210,6 +210,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.filter(p => p._1._2 >= off).forall(_._2 <= Multimodal.Mm6MaxHamming))
   }
 
+  test("mm7 decodes real PCM WAVs (rate, frames, analytic RMS); text takes the byte fallback") {
+    import spark.implicits._
+    def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // constant half-scale signal: every sample 16384/32768 = 0.5 → RMS 0.5
+    val half = wavBytes(Array.fill[Short](8000)(16384), 8000f)
+    val silence = wavBytes(new Array[Short](4000), 16000f)
+    val text = "not audio at all, just bytes pretending".getBytes("UTF-8")
+    val media = Seq((1L, half), (2L, silence), (3L, text))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.wavFeatureFrame(media).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (d1, rate1, ch1, fr1, rms1) = rows(1L)
+    assert(d1 && rate1 == 8000.0 && ch1 == 1 && fr1 == 8000L)
+    assert(math.abs(rms1 - 0.5) < 1e-9, s"half-scale rms $rms1")
+    val (d2, rate2, _, fr2, rms2) = rows(2L)
+    assert(d2 && rate2 == 16000.0 && fr2 == 4000L && rms2 == 0.0)
+    val (d3, _, _, fr3, rms3) = rows(3L)
+    assert(!d3 && fr3 == text.length.toLong)
+    val expRms = math.sqrt(text.map(b => (b & 0xff).toLong).map(v => (v * v).toDouble).sum / text.length)
+    assert(math.abs(rms3 - expRms) < 1e-9, s"fallback rms $rms3 vs $expRms")
+  }
+
   test("mulCmpGt matches BigInt semantics including Long-overflow products") {
     val cases = Seq(
       (3L, 4L, 2L, 6L), (5L, 7L, 36L, 1L),
