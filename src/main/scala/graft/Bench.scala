@@ -73,7 +73,7 @@ object Bench {
     // artifact root with the in-JVM model registry cleared.
     val artifactBacked = Seq("m2_dominant_topics", "m3_topic_keywords",
       "m4_lda_sweep", "t23_leakage_safe_split", "d15_cluster_reps",
-      "m18_intertopic")
+      "m18_intertopic", "d17_soft_weights")
       .filter(selected.contains)
     // pre-warm: make sure the artifacts exist so the main pass measures
     // the warm path deterministically (on a clean tree the first timed

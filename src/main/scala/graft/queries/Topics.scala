@@ -341,10 +341,13 @@ object Topics {
     * topic-term matrix is driver-local in MLlib by construction (k × V
     * doubles), so the ranking loop touches model-sized data only.
     */
-  def m7Ldavis(s: SparkSession, dir: String): DataFrame = {
+  /** Shared m7/m22 model statistics: (vocab, per-topic array over vocab
+    * of (term index, log φ_kw, log lift), k). One vocab-bounded corpus
+    * count; φ is MLlib's driver-local k × V matrix.
+    */
+  private def ldavisTermStats(s: SparkSession, dir: String)
+      : (Array[String], IndexedSeq[IndexedSeq[(Int, Double, Double)]]) = {
     import s.implicits._
-    val lambda = 0.6
-    val topN = 10
     val c = corpus(s, dir).cache()
     val cv = sharedVectorizer(c, dir)
     val lda = sharedLda(cv.transform(c), dir)
@@ -358,19 +361,59 @@ object Topics {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = math.max(1L, counts.values.sum).toDouble
     val phi = lda.topicsMatrix // V × k, columns are term distributions
-    val rows = (0 until lda.getK).flatMap { k =>
-      val rel = vocab.indices.map { w =>
+    val perTopic = (0 until lda.getK).map { k =>
+      vocab.indices.map { w =>
         val p = phi(w, k)
         val pw = counts.getOrElse(vocab(w), 1L) / total
-        (w, lambda * math.log(p) + (1 - lambda) * math.log(p / pw))
+        (w, math.log(p), math.log(p / pw))
       }
-      rel.sortBy(-_._2).take(topN).zipWithIndex.map { case ((w, r), i) =>
-        (k, i + 1, vocab(w),
-          BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+    }
+    (vocab, perTopic)
+  }
+
+  def m7Ldavis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lambda = 0.6
+    val topN = 10
+    val (vocab, perTopic) = ldavisTermStats(s, dir)
+    val rows = perTopic.zipWithIndex.flatMap { case (terms, k) =>
+      terms.map { case (w, lp, ll) => (w, lambda * lp + (1 - lambda) * ll) }
+        .sortBy(-_._2).take(topN).zipWithIndex.map { case ((w, r), i) =>
+          (k, i + 1, vocab(w),
+            BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
     }
     rows.toDF("topic", "rank", "term", "relevance")
       .orderBy(col("topic"), col("rank"))
+  }
+
+  /** M22: the FULL pyLDAvis slider payload — per topic, the candidate
+    * term set with both relevance COMPONENTS (log φ_kw and log lift),
+    * so relevance = λ·logphi + (1−λ)·loglift is recomputable at ANY λ
+    * downstream (the λ-slider is pyLDAvis' signature interaction; m7 is
+    * its λ=0.6 slice). Candidates per topic: the union of the top
+    * [[M22Candidates]] terms by φ (λ=1 extreme) and by lift (λ=0
+    * extreme) — by linearity of relevance in λ a term can enter a top-10
+    * at an interior λ without leading either extreme only in rare
+    * near-tie geometries, and both extremes' rankings are exact.
+    * [[graft.sources.HtmlReport.saveIntertopicHtml]] embeds this
+    * payload to drive the client-side slider with zero external assets.
+    * Rows-only (model-derived), like m7.
+    */
+  val M22Candidates = 30
+  def m22LdavisComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (vocab, perTopic) = ldavisTermStats(s, dir)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = perTopic.zipWithIndex.flatMap { case (terms, k) =>
+      val byPhi = terms.sortBy(-_._2).take(M22Candidates).map(_._1).toSet
+      val byLift = terms.sortBy(-_._3).take(M22Candidates).map(_._1).toSet
+      terms.filter(t => byPhi(t._1) || byLift(t._1))
+        .map { case (w, lp, ll) => (k, vocab(w), r6(lp), r6(ll)) }
+    }
+    rows.toDF("topic", "term", "logphi", "loglift")
+      .orderBy(col("topic"), col("term"))
   }
 
   /** Pure driver-side intertopic geometry: pairwise Jensen–Shannon
@@ -1406,6 +1449,7 @@ object Topics {
     "m19_bigram_nll" -> (m19BigramNll _),
     "m20_quality_classifier" -> (m20QualityClassifier _),
     "m21_ppl_buckets" -> (m21PplBuckets _),
+    "m22_ldavis_components" -> (m22LdavisComponents _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

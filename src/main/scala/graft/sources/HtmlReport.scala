@@ -42,6 +42,19 @@ object HtmlReport {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  /** JS string literal escape for embedded payloads: backslash, quote,
+    * newlines, and `<` (so no `</script>` can terminate the block).
+    */
+  private def jsEsc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '<' => "\\u003c"
+      case c => c.toString
+    }
+
   /** S11, pyLDAvis parity: the intertopic distance map (left panel) plus
     * per-topic relevance term bars (right panel) as ONE self-contained
     * HTML file — inline SVG and a few lines of vanilla JS for topic
@@ -49,11 +62,17 @@ object HtmlReport {
     * committed ldaplot_topics_12.html (topic_modelling.ipynb cells
     * 17-20) without shipping d3. `coords` is the m18 payload
     * (topic, x, y, proportion); `relevance` the m7 payload
-    * (topic, rank, term, relevance). Driver-side by design: both inputs
-    * are model-sized (k and k×topN rows).
+    * (topic, rank, term, relevance). When `components` carries the m22
+    * payload (topic, term, logphi, loglift), the page also gets
+    * pyLDAvis' signature λ SLIDER: relevance = λ·logφ + (1−λ)·lift is
+    * recomputed and re-ranked client-side as the slider moves (vanilla
+    * JS over the embedded model-sized table — still zero external
+    * assets). Driver-side by design: all inputs are model-sized (k,
+    * k×topN, k×candidates rows).
     */
   def saveIntertopicHtml(coords: DataFrame, relevance: DataFrame,
-      path: String, title: String): Unit = {
+      path: String, title: String,
+      components: Option[DataFrame] = None): Unit = {
     val cs = coords.select("topic", "x", "y", "proportion").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
@@ -95,6 +114,60 @@ object HtmlReport {
       panels ++= "</div>"
     }
     val first = cs.headOption.map(_._1).getOrElse(0)
+    // embedded slider payload: topic -> [[term, logphi, loglift], ...]
+    val compJs = components.map { df =>
+      val byTopic = df.select("topic", "term", "logphi", "loglift").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1)
+      byTopic.toSeq.sortBy(_._1).map { case (t, rows) =>
+        val items = rows.sortBy(_._2).map { case (_, term, lp, ll) =>
+          s"""["${jsEsc(term)}",$lp,$ll]"""
+        }.mkString(",")
+        s""""$t":[$items]"""
+      }.mkString("{", ",", "}")
+    }
+    val sliderMarkup = if (compJs.isDefined)
+      """<div class="ctl"><label>&#955; = <span id="lamv">0.60</span></label>
+        |<input id="lam" type="range" min="0" max="1" step="0.01" value="0.6"
+        |  oninput="setLam(this.value)"/>
+        |<small>relevance = &#955;&#183;log &#966; + (1&#8722;&#955;)&#183;log lift</small></div>
+        |<div id="dyn"></div>""".stripMargin
+    else ""
+    val script = compJs match {
+      case Some(comp) =>
+        s"""var comp=$comp;
+           |var lam=0.6, cur=-1;
+           |function show(t){cur=t;render();}
+           |function setLam(v){lam=parseFloat(v);
+           |  document.getElementById('lamv').textContent=lam.toFixed(2);render();}
+           |function render(){
+           |  if(cur<0)return;
+           |  var rows=(comp[cur]||[]).map(function(r){
+           |    return [r[0], lam*r[1]+(1-lam)*r[2]];});
+           |  rows.sort(function(a,b){return b[1]-a[1]||(a[0]<b[0]?-1:1);});
+           |  rows=rows.slice(0,10);
+           |  var lo=rows.length?rows[rows.length-1][1]:0, hi=rows.length?rows[0][1]:1;
+           |  var h='<h2>Topic '+cur+'</h2>';
+           |  for(var i=0;i<rows.length;i++){
+           |    var f=(hi-lo<1e-12)?1:0.15+0.85*(rows[i][1]-lo)/(hi-lo);
+           |    h+='<div class="bar"><span class="lbl">'+(i+1)+'. '+rows[i][0]
+           |      +'</span><span class="fill" style="width:'+Math.round(260*f)
+           |      +'px"></span><span class="val">'+rows[i][1].toFixed(3)+'</span></div>';
+           |  }
+           |  document.getElementById('dyn').innerHTML=h;
+           |}
+           |show($first);""".stripMargin
+      case None =>
+        s"""var cur=-1;
+           |function show(t){
+           |  if(cur>=0){document.getElementById('p'+cur).style.display='none';}
+           |  document.getElementById('p'+t).style.display='block';cur=t;
+           |}
+           |show($first);""".stripMargin
+    }
+    // with the slider active the dynamic panel replaces the static
+    // λ=0.6 panels (which remain the no-components rendering)
+    val rightPanel = if (compJs.isDefined) sliderMarkup else panels.toString
     val html = s"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"/><title>${esc(title)}</title><style>
 body{font-family:sans-serif;display:flex;gap:24px;margin:16px}
@@ -103,20 +176,16 @@ h1{font-size:18px} h2{font-size:15px}
 .lbl{width:130px;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
 .fill{display:inline-block;height:12px;background:#4a90d9}
 .val{color:#666;font-size:11px}
+.ctl{margin-bottom:8px;font-size:13px}
 circle.topic:hover{fill-opacity:0.8;cursor:pointer}
 </style></head><body>
 <div><h1>${esc(title)}</h1>$svg
 <p><small>Intertopic distance map: Jensen–Shannon divergence, classical MDS.
 Area &#8733; marginal topic proportion. Hover a topic for its relevance terms
 (&#955;=0.6).</small></p></div>
-<div>$panels</div>
+<div>$rightPanel</div>
 <script>
-var cur=-1;
-function show(t){
-  if(cur>=0){document.getElementById('p'+cur).style.display='none';}
-  document.getElementById('p'+t).style.display='block';cur=t;
-}
-show($first);
+$script
 </script>
 </body></html>
 """

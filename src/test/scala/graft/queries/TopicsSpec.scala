@@ -196,6 +196,47 @@ class TopicsSpec extends AnyFunSuite {
     assert(html.contains("<th>relevance</th>") && html.contains("<td>1</td>"))
   }
 
+  test("m22 components reproduce m7's λ=0.6 relevance; extremes lead their metric") {
+    val comp = Topics.m22LdavisComponents(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val byTopic = comp.groupBy(_._1)
+    assert(byTopic.keySet == (0 until 12).toSet)
+    // candidate union per topic: at least one full list (the whole vocab
+    // if it is smaller than the list size — sf0.001's minDF=10 vocab is)
+    val vocabSize = Topics.m1Vocabulary(spark, dir).count().toInt
+    val lower = math.min(Topics.M22Candidates, vocabSize)
+    byTopic.foreach { case (t, rows) =>
+      assert(rows.length >= lower &&
+        rows.length <= 2 * Topics.M22Candidates, s"topic $t ${rows.length}")
+      assert(rows.map(_._2).distinct.length == rows.length, s"topic $t dup terms")
+    }
+    // λ=0.6 recomputed from the components matches m7 for every m7 term
+    // present in the candidate set (components rounded at 1e-6)
+    val compMap = comp.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val m7 = Topics.m7Ldavis(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    var covered = 0
+    m7.foreach { case (t, _, term, rel) =>
+      compMap.get((t, term)).foreach { case (lp, ll) =>
+        covered += 1
+        assert(math.abs(0.6 * lp + 0.4 * ll - rel) < 5e-6,
+          s"topic $t term $term")
+      }
+    }
+    // the fixture's λ=0.6 top-10s are (at least overwhelmingly) inside
+    // the candidate union — the slider shows what m7 shows at its λ
+    assert(covered >= m7.length - 2, s"only $covered of ${m7.length} m7 terms covered")
+    // the artifact renders with the slider wired to this payload
+    val coords = Topics.m18Intertopic(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("ldavis22")
+      .resolve("map.html").toString
+    graft.sources.HtmlReport.saveIntertopicHtml(coords,
+      Topics.m7Ldavis(spark, dir), path, "LDA map",
+      Some(Topics.m22LdavisComponents(spark, dir)))
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(html.contains("""<input id="lam""""))
+  }
+
   test("m9 OOV rate matches brute-force counting against the m1 vocabulary") {
     val vocab = Topics.m1Vocabulary(spark, dir).collect().map(_.getString(0)).toSet
     val out = Topics.m9OovRate(spark, dir).collect()

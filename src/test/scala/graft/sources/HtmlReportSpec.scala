@@ -50,6 +50,34 @@ class HtmlReportSpec extends AnyFunSuite {
       !html.contains("<script src"), "artifact must not reference the network")
   }
 
+  test("intertopic map with m22 components embeds the λ-slider payload, escaped") {
+    val coords = Seq((0, -0.12, 0.05, 0.6), (1, 0.1, -0.02, 0.4))
+      .toDF("topic", "x", "y", "proportion")
+    val relevance = Seq((0, 1, "council", -2.1), (1, 1, "minister", -1.9))
+      .toDF("topic", "rank", "term", "relevance")
+    val components = Seq(
+      (0, "council", -2.0, 0.8), (0, "road</script>", -2.5, 1.4),
+      (1, "minister", -1.8, 0.9), (1, "vote\"x", -2.2, 1.1)
+    ).toDF("topic", "term", "logphi", "loglift")
+    val path = java.nio.file.Files.createTempDirectory("intertopic2")
+      .resolve("map.html").toString
+    HtmlReport.saveIntertopicHtml(coords, relevance, path, "LDA map",
+      Some(components))
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // slider controls present and wired to the recompute
+    assert(html.contains("""<input id="lam" type="range""""))
+    assert(html.contains("lam*r[1]+(1-lam)*r[2]"), "client-side relevance mix missing")
+    // both components embedded per topic
+    assert(html.contains(""""council",-2.0,0.8""") ||
+      html.contains(""""council",-2,0.8"""), "payload row missing")
+    // a term containing </script> must not terminate the script block
+    assert(!html.contains("road</script>"), "unescaped payload can break the page")
+    assert(html.contains("road\\u003c/script>"), "escaped form expected")
+    assert(html.contains("""vote\"x"""), "quote escaping expected")
+    // still self-contained
+    assert(!html.contains("<script src"))
+  }
+
   test("maxRows bounds the report") {
     val df = (1 to 50).map(i => (i, s"row$i")).toDF("id", "v")
     val path = java.nio.file.Files.createTempDirectory("report2")
