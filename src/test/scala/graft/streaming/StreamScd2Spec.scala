@@ -160,6 +160,33 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("I/O receipt: a single-doc batch writes ~1/NumBuckets of the history bytes") {
+    // the measured form of the incremental-persistence claim (the r8
+    // design rewrote |history| bytes per batch regardless of delta):
+    // build a 200k-doc history, merge a one-doc delta, and compare
+    // bytes written by the second commit against the full history
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_io").toString + "/hist"
+    val big = spark.range(0, 200000).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("digest"), lit(1).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, big)
+    val m1 = Scd2Store.readManifest(histDir)
+    def dirBytes(rel: String): Long =
+      new java.io.File(histDir, rel).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val fullBytes = m1.buckets.values.map(dirBytes).sum
+    val delta = spark.range(77, 78).select(col("id").as("doc_id"),
+      lit("changed").as("digest"), lit(2).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, delta)
+    val m2 = Scd2Store.readManifest(histDir)
+    val rewritten = m2.buckets.filter { case (b, rel) => m1.buckets.get(b) != Some(rel) }
+    val deltaBytes = rewritten.values.map(dirBytes).sum
+    assert(rewritten.size == 1, s"expected 1 rewritten bucket, got ${rewritten.size}")
+    // one bucket of a 16-bucket store: ~6% of the history, with slack
+    // for parquet per-file overhead
+    assert(deltaBytes * (Scd2Store.NumBuckets / 2) < fullBytes,
+      s"batch wrote $deltaBytes of $fullBytes history bytes — not incremental")
+  }
+
   test("orphan generation dirs from a crashed attempt are ignored and swept") {
     val histDir = java.nio.file.Files.createTempDirectory("scd2_orph").toString + "/hist"
     val s1 = spark.range(0, 32).select(col("id").as("doc_id"),
