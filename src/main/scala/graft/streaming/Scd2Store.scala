@@ -116,6 +116,19 @@ object Scd2Store {
     readBuckets(spark, storeDir, m, m.buckets.keySet)
   }
 
+  /** Time travel: the corpus state AS OF snapshot `snap` — one
+    * (doc_id, digest, version) row per document live at that snapshot
+    * (the q36 read, served from the store instead of a rebuilt
+    * history). A version row covers snapshots [valid_from, valid_to],
+    * so the as-of filter is a pushed interval predicate over the
+    * bucket files; at scale min/max footer stats prune row groups the
+    * interval misses.
+    */
+  def asOf(spark: SparkSession, storeDir: String, snap: Int): DataFrame =
+    readHistory(spark, storeDir)
+      .filter(col("valid_from") <= snap && col("valid_to") >= snap)
+      .select(col("doc_id"), col("version"), col("digest"))
+
   /** Commit one merged touched-bucket frame: write it partitioned by
     * bucket under a fresh generation dir, swap the manifest, sweep
     * unreferenced generations. `merged` must contain exactly the rows

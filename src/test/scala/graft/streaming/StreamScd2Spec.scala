@@ -160,6 +160,26 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("asOf reads reproduce each snapshot's exact live state") {
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_asof").toString + "/hist"
+    (1 to 3).foreach { s =>
+      StreamScd2.mergeBatch(spark, histDir, snapshotFrame(s))
+    }
+    (1 to 3).foreach { s =>
+      val got = Scd2Store.asOf(spark, histDir, s)
+        .select(col("doc_id"), col("digest")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = snapshotFrame(s).select(col("doc_id"), col("digest")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"as-of snapshot $s: ${got.size} vs ${want.size} docs")
+    }
+    // exactly one version per doc per as-of point (interval disjointness)
+    val dup = Scd2Store.asOf(spark, histDir, 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0)
+  }
+
   test("I/O receipt: a single-doc batch writes ~1/NumBuckets of the history bytes") {
     // the measured form of the incremental-persistence claim (the r8
     // design rewrote |history| bytes per batch regardless of delta):
