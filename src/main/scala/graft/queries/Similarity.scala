@@ -874,6 +874,65 @@ object Similarity {
        |FROM acc$MmrK ORDER BY id1, rank""".stripMargin
   }
 
+  // s12 hard-negative band: similar enough to be confusable, below the
+  // positive/near-dup threshold (d4/d8 call ≥0.4 a near-dup; 0.45 sits
+  // safely above the fixture's positive ceiling).
+  val S12Lo = 0.2
+  val S12Hi = 0.45
+  val S12K = 5
+
+  /** S12: hard-negative mining — per query, the top-k most-similar
+    * vectors INSIDE the confusable band [S12Lo, S12Hi): the standard
+    * contrastive-training data op (DPR/SimCSE-style training wants
+    * negatives the model nearly confuses with the positive; random
+    * negatives are too easy, near-dups are false negatives). Pairs at
+    * or above S12Hi are positive/near-dup candidates (d4's territory)
+    * and excluded.
+    *
+    * 100 TB shape: s1's exact plan with the band predicate fused into
+    * the scoring scan — queries broadcast, corpus streams map-only,
+    * the bounded TopKAggregator ships ≤k rows per query per partition.
+    * At corpus scale the same band-and-rank runs over an ANN shortlist
+    * (s2/s3's candidates) instead of the full scan; the fixture-exact
+    * form here IS the oracle-checkable baseline, same division of
+    * labor as d4 vs d8.
+    */
+  def s12HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val c = all.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    c.join(broadcast(q), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .filter(col("cos") >= S12Lo && col("cos") < S12Hi)
+      .groupBy(col("id1"))
+      .agg(TopK.topK(S12K)(col("cos"), col("id2")).as("top"))
+      .select(col("id1"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id1"), col("t.id").as("id2"), col("t.score").as("cos"),
+        (col("r") + 1).as("rank"))
+      .orderBy(col("id1"), col("rank"))
+  }
+
+  val s12Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+       |), scored AS (
+       |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), banded AS (
+       |  SELECT id1, id2, cos FROM scored WHERE cos >= $S12Lo AND cos < $S12Hi
+       |), ranked AS (
+       |  SELECT id1, id2, cos,
+       |         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |  FROM banded
+       |)
+       |SELECT id1, id2, cos, rank FROM ranked WHERE rank <= $S12K
+       |ORDER BY id1, rank""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
@@ -886,6 +945,7 @@ object Similarity {
     "s9_pq_topk" -> (s9PqTopK _),
     "s10_recall_eval" -> (s10RecallEval _),
     "s11_mmr_topk" -> (s11MmrTopK _),
+    "s12_hard_negatives" -> (s12HardNegatives _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -898,5 +958,6 @@ object Similarity {
     "s9_pq_topk" -> s9Sql,
     "s10_recall_eval" -> s10Sql,
     "s11_mmr_topk" -> s11Sql,
+    "s12_hard_negatives" -> s12Sql,
   )
 }

@@ -1150,6 +1150,49 @@ object Text {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM h GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  /** T31: per-domain quota sampling — cap any single source's share of
+    * the corpus at [[T31Cap]] docs, selected by the deterministic
+    * md5-bucket coin (q26/t17's device: a pure row function, so the
+    * same docs survive across retries and repartitioning). The
+    * single-domain-dominance cap is a standard curation rule — a crawl
+    * where one domain contributes half the corpus trains a model on
+    * that domain's boilerplate (RefinedWeb/Dolma-class pipelines cap
+    * exactly this way).
+    *
+    * 100 TB shape: the bounded [[graft.functions.TopKAggregator]]
+    * keyed by source — each partition map-side-combines down to ≤cap
+    * rows per source BEFORE the shuffle, so the exchange carries
+    * |sources| × partitions × cap rows. The window-rank formulation the
+    * oracle uses would shuffle every row of the dominant domain into
+    * one partition — precisely the skew this operator exists to manage.
+    */
+  val T31Cap = 20
+  def t31DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), (-coin.cast("double")).as("score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topK(T31Cap)(col("score"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("source"), (col("r") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val t31Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT AS coin
+       |  FROM documents
+       |), r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY coin, doc_id) AS rank
+       |  FROM c
+       |)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+       |WHERE rank <= $T31Cap ORDER BY source, rank""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1181,6 +1224,7 @@ object Text {
     "t28_compress_ratio" -> (t28CompressRatio _),
     "t29_boilerplate" -> (t29Boilerplate _),
     "t30_shard_manifest" -> (t30ShardManifest _),
+    "t31_domain_cap" -> (t31DomainCap _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1213,6 +1257,7 @@ object Text {
     "t27_unicode_clean" -> t27Sql,
     "t29_boilerplate" -> t29Sql,
     "t30_shard_manifest" -> t30Sql,
+    "t31_domain_cap" -> t31Sql,
   )
 
   lazy val t12Sql: String =

@@ -279,4 +279,28 @@ class SimilaritySpec extends AnyFunSuite {
         assert(math.abs(a - b) < 2e-6, s"query $qid score $a vs $b") }
     }
   }
+
+  test("s12 hard negatives: in-band only, ranked, consistent with brute force") {
+    val rows = Similarity.s12HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty, "band empty on the fixture — thresholds vacuous")
+    rows.foreach { case (q, c, cos, _) =>
+      assert(cos >= Similarity.S12Lo && cos < Similarity.S12Hi, s"($q,$c) cos $cos")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"query $q ranks")
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => b <= a },
+        s"query $q not sorted")
+    }
+    // brute-force replay: per query, the k best rounded cosines in band
+    val brute = bruteTopK(Int.MaxValue / 2, 20)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val want = brute(q)
+        .filter(t => t._2 >= Similarity.S12Lo && t._2 < Similarity.S12Hi)
+        .take(Similarity.S12K)
+      assert(rs.sortBy(_._4).map(t => (t._2, t._3)).toSeq == want.toSeq,
+        s"query $q mismatch")
+    }
+  }
 }

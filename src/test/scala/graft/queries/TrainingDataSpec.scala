@@ -412,4 +412,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fix.length == Windows.w1DailyAvg(spark, dir).count())
     assert(fix.forall(!_.getBoolean(2)))
   }
+
+  test("t31 domain cap: bounded-agg selection equals the window-rank formulation") {
+    val got = graft.queries.Text.t31DomainCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cap respected and ranks contiguous per source
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= graft.queries.Text.T31Cap, s"source $src over cap")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"source $src ranks")
+    }
+    // driver-side replay of the md5-coin window rank
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def coin(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString, 16)
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._2).sortBy(id => (coin(id), id))
+        .take(graft.queries.Text.T31Cap).zipWithIndex
+        .map { case (id, i) => (src, (i + 1).toLong, id) }
+    }.toSet
+    assert(got.toSet == want, s"${got.length} vs ${want.size}")
+    // selection is a pure function of keys: stable across a second run
+    val again = graft.queries.Text.t31DomainCap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
 }
