@@ -704,6 +704,165 @@ object Topics {
     syms
   }
 
+  // Unigram-LM tokenizer parameters (m23/m24): seed piece pool size,
+  // max seed piece length, EM rounds, final vocabulary size.
+  val UniSeed = 2000
+  val UniMaxPiece = 6
+  val UniEmIters = 3
+  val UniVocab = 300
+
+  /** M23: unigram-LM tokenizer TRAINING (Kudo, ACL 2018 — the
+    * SentencePiece unigram model; the tokenizer family T5/mT5/ALBERT
+    * ship, complementing m12's BPE). Simplified faithfully:
+    *
+    *  1. seed = all substrings of length ≤ [[UniMaxPiece]] of the
+    *     corpus's top-[[MaxWords]] words, capped to the top
+    *     [[UniSeed]] by occurrence mass, plus ALL single characters
+    *     (the coverage floor that keeps every word segmentable);
+    *  2. [[UniEmIters]] rounds of hard (Viterbi) EM: E-step segments
+    *     each word with the current piece log-probs and accumulates
+    *     count-weighted piece usages; M-step renormalizes (Kudo's
+    *     full EM uses forward–backward expectations; Viterbi EM is
+    *     the standard hard variant — documented divergence);
+    *  3. prune to the [[UniVocab]] highest-usage pieces, single chars
+    *     always retained (Kudo prunes by likelihood loss; usage-rank
+    *     is the monotone proxy for it under hard EM).
+    *
+    * 100 TB shape = m12's: the ONLY corpus-scale work is the word-count
+    * aggregation (map-side combined, shuffles (word, count) partials);
+    * seeding, EM, and pruning run over the vocabulary-bounded table on
+    * the driver. Rows-only (iterative float EM has no SQL twin);
+    * TopicsSpec pins a planted-piece trace, coverage, prob-simplex and
+    * determinism invariants. Output: (rank, piece, usage, logprob).
+    */
+  def m23UnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(MaxWords)
+      .as[(String, Long)].collect()
+    val vocab = unigramTrain(words)
+    vocab.zipWithIndex
+      .map { case ((piece, usage, lp), i) => (i + 1, piece, usage,
+        BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("rank", "piece", "usage", "logprob")
+  }
+
+  /** The driver-side unigram trainer over a bounded (word, count)
+    * table; returns pieces ordered by (usage desc, piece asc).
+    */
+  private[queries] def unigramTrain(words: Array[(String, Long)])
+      : Array[(String, Long, Double)] = {
+    // 1. seed pool: substring mass + the single-char coverage floor
+    val mass = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(UniMaxPiece, w.length - i))
+      mass.updateWith(w.substring(i, i + l)) {
+        prev => Some(prev.getOrElse(0L) + c) }
+    val chars = mass.keysIterator.filter(_.length == 1).toSet
+    val seed = (mass.toSeq.sortBy { case (p, m) => (-m, p) }
+      .take(UniSeed).map(_._1).toSet ++ chars).toSeq.sorted
+    // init probs from seed mass
+    var probs: Map[String, Double] = {
+      val tot = seed.map(mass).sum.toDouble
+      seed.map(p => p -> mass(p) / tot).toMap
+    }
+    // 2. Viterbi EM
+    var usage = scala.collection.mutable.HashMap.empty[String, Long]
+    for (_ <- 1 to UniEmIters) {
+      usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; piece <- unigramSegment(w, probs))
+        usage.updateWith(piece)(prev => Some(prev.getOrElse(0L) + c))
+      val tot = math.max(1L, usage.values.sum).toDouble
+      // unused pieces keep an epsilon so a later round can revive them
+      probs = probs.map { case (p, _) =>
+        p -> math.max(usage.getOrElse(p, 0L) / tot, 1e-12) }
+    }
+    // 3. prune by usage, single chars always survive
+    val kept = usage.toSeq.sortBy { case (p, u) => (-u, p) }
+      .take(UniVocab).map(_._1).toSet ++ chars
+    val tot = math.max(1L, kept.toSeq.map(p => usage.getOrElse(p, 0L)).sum).toDouble
+    kept.toSeq.sortBy(p => (-usage.getOrElse(p, 0L), p))
+      .map(p => (p, usage.getOrElse(p, 0L),
+        math.log(math.max(usage.getOrElse(p, 0L) / tot, 1e-12))))
+      .toArray
+  }
+
+  /** Viterbi-best segmentation of `word` under unigram piece log-probs:
+    * maximizes Σ log p(piece); dp ties broken toward the LONGER last
+    * piece (deterministic). Single-char fallback at -1e9 keeps every
+    * word segmentable even for chars outside the vocab.
+    */
+  private[queries] def unigramSegment(word: String,
+      probs: Map[String, Double]): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1) // start index of the piece ending at i
+    java.util.Arrays.fill(best, 1, n + 1, Double.NegativeInfinity)
+    var i = 1
+    while (i <= n) {
+      var l = math.min(i, UniMaxPiece)
+      while (l >= 1) { // longer pieces first win exact ties
+        val piece = word.substring(i - l, i)
+        val lp = probs.get(piece) match {
+          case Some(p) => math.log(p)
+          case None => if (l == 1) -1e9 else Double.NegativeInfinity
+        }
+        val cand = best(i - l) + lp
+        if (cand > best(i)) { best(i) = cand; back(i) = i - l }
+        l -= 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var j = n
+    while (j > 0) { out = word.substring(back(j), j) :: out; j = back(j) }
+    out
+  }
+
+  /** M24: unigram-LM ENCODING with the m23-trained vocabulary — the
+    * apply side (m23 trains, m24 tokenizes the corpus), reporting per
+    * doc the word and piece counts a pretraining pipeline bills by.
+    * Same 100 TB shape as m13: the trained vocabulary broadcasts
+    * (≤ [[UniVocab]]+chars rows), encoding is map-only with a per-task
+    * memo (Zipf: each task segments each distinct word once), counts
+    * computed inside the scan projection — no shuffle at all.
+    * Rows-only; TopicsSpec pins hand-traced segmentations and
+    * count bounds.
+    */
+  def m24UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(MaxWords)
+      .as[(String, Long)].collect()
+    val trained = unigramTrain(words)
+    val probs = {
+      val tot = math.max(1L, trained.map(_._2).sum).toDouble
+      trained.map { case (p, u, _) => p -> math.max(u / tot, 1e-12) }.toMap
+    }
+    val bc = s.sparkContext.broadcast(probs)
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    val encLen = udf { (toks: Seq[String]) =>
+      toks.iterator.filter(_.nonEmpty)
+        .map(w => memo.getOrElseUpdate(w, unigramSegment(w, bc.value).length))
+        .sum
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokenize(col("text")), w => w =!= "").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_words"),
+        encLen(col("t")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   /** M13: BPE ENCODING with the m12-trained merge table — the apply
     * side of the tokenizer family (m8 counts one step's candidates, m12
     * learns the merge table, m13 runs the tokenizer over the corpus).
@@ -1450,6 +1609,8 @@ object Topics {
     "m20_quality_classifier" -> (m20QualityClassifier _),
     "m21_ppl_buckets" -> (m21PplBuckets _),
     "m22_ldavis_components" -> (m22LdavisComponents _),
+    "m23_unigram_train" -> (m23UnigramTrain _),
+    "m24_unigram_encode" -> (m24UnigramEncode _),
   )
 
   val oracle: ListMap[String, String] = ListMap(

@@ -237,6 +237,40 @@ class TopicsSpec extends AnyFunSuite {
     assert(html.contains("""<input id="lam""""))
   }
 
+  test("m23/m24 unigram tokenizer: planted piece wins, coverage floor, count bounds") {
+    // planted table: one dominant repeating word — EM must learn a
+    // multi-char piece for it rather than spelling it out
+    val words = Array(("ababab", 100L), ("xy", 5L))
+    val vocab = Topics.unigramTrain(words)
+    val pieces = vocab.map(_._1).toSet
+    assert(Set("a", "b", "x", "y").subsetOf(pieces), "single-char floor missing")
+    // kept-piece probabilities stay inside the simplex
+    assert(vocab.map(t => math.exp(t._3)).sum <= 1.0 + 1e-6)
+    // a training word segments losslessly into vocab pieces, and the
+    // learned multi-char pieces beat char spelling
+    val tot = math.max(1L, vocab.map(_._2).sum).toDouble
+    val probs = vocab.map { case (p, u, _) => p -> math.max(u / tot, 1e-12) }.toMap
+    val seg = Topics.unigramSegment("ababab", probs)
+    assert(seg.mkString == "ababab" && seg.forall(pieces), seg.toString)
+    assert(seg.length < 6, s"no compression learned: $seg")
+    // determinism
+    assert(Topics.unigramTrain(words).toSeq == vocab.toSeq)
+    // unknown chars survive via the single-char fallback
+    assert(Topics.unigramSegment("azb", probs).mkString == "azb")
+    // fixture m23: contiguous ranks ordered by usage; m24: every word
+    // yields at least one piece, multi-word docs compress below chars
+    val m23 = Topics.m23UnigramTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m23.map(_._1).toSeq == (1 to m23.length))
+    val usages = m23.map(_._3)
+    assert(usages.zip(usages.tail).forall { case (a, b) => b <= a })
+    val m24 = Topics.m24UnigramEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m24.nonEmpty)
+    m24.foreach { case (id, nw, np) =>
+      assert(np >= nw, s"doc $id: fewer pieces than words") }
+  }
+
   test("m9 OOV rate matches brute-force counting against the m1 vocabulary") {
     val vocab = Topics.m1Vocabulary(spark, dir).collect().map(_.getString(0)).toSet
     val out = Topics.m9OovRate(spark, dir).collect()
