@@ -1134,6 +1134,50 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** Q39: incremental aggregate maintenance — the materialized-view
+    * merge: per-(day, event_type) metrics are computed as PARTIAL
+    * aggregates over two disjoint slices of the input (stand-ins for
+    * "the stored aggregate state" and "the newly-arrived batch") and
+    * MERGED by pure addition, exactly the mergeable-state contract that
+    * lets a 100 TB pipeline maintain dashboards by folding each
+    * micro-batch's partials into stored state instead of rescanning
+    * history (Spark's own partial/final two-phase agg, lifted to the
+    * storage layer; the streaming twin is w1 under foreachBatch).
+    *
+    * Everything additive is integer — counts plus the w1 cent device
+    * (value folded as exact BIGINT cents) — so the merge is
+    * order-independent and the oracle's direct one-shot aggregation
+    * matches hash-exactly; the derived mean is one division at the
+    * end. The oracle deliberately computes the DIRECT answer: the gate
+    * row checks merge(partials) ≡ aggregate(all), the invariant
+    * incremental maintenance rests on.
+    */
+  def q39IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    def partials(f: DataFrame): DataFrame =
+      f.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    // "stored state" = even event ids; "arriving batch" = odd
+    val merged = partials(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(partials(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sc")).as("sum_cents"))
+    merged.select(col("day"), col("event_type"), col("n_events"),
+      col("sum_cents"),
+      round((col("sum_cents") / lit(100.0)) / col("n_events"), 6).as("avg_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q39Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      |  round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+      |        / count(*), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1173,6 +1217,7 @@ object Relational {
     "q36_asof_corpus" -> (q36AsofCorpus _),
     "q37_rollup" -> (q37Rollup _),
     "q38_pivot_daily" -> (q38PivotDaily _),
+    "q39_incremental_agg" -> (q39IncrementalAgg _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1212,5 +1257,6 @@ object Relational {
     "q36_asof_corpus" -> q36Sql,
     "q37_rollup" -> q37Sql,
     "q38_pivot_daily" -> q38Sql,
+    "q39_incremental_agg" -> q39Sql,
   )
 }

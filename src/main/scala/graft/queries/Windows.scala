@@ -321,6 +321,83 @@ object Windows {
       |  round(list_reduce(xs, (s, x) -> s * ${1 - W10Alpha} + x * $W10Alpha), 6) AS ewma
       |FROM pref ORDER BY day""".stripMargin
 
+  /** CUSUM flag threshold: a change is flagged when the cumulative
+    * excess over the series mean exceeds this many mean-days.
+    */
+  val W11FlagK = 2L
+
+  /** W11: one-sided CUSUM change-point detection (Page, Biometrika
+    * 1954) over per-type daily event volumes — the drift alarm an
+    * ingest pipeline runs on its own throughput (a crawler whose daily
+    * volume steps up sustained is usually a feed change or a spam
+    * source; q33's PSI is the distributional twin, this is the
+    * volumetric one). s_i = max(0, s_{i−1} + (x_i − mean)) flags when
+    * the cumulative excess exceeds [[W11FlagK]] mean-days.
+    *
+    * Integer-exactness device: deviations are scaled by nd (the type's
+    * day count), so d_i = x_i·nd − total and the fold is pure BIGINT —
+    * s_i = nd·CUSUM and the flag compares s_i > K·total (≡ CUSUM >
+    * K·mean) without a single float. The recursive max(0, ·) fold is
+    * not a SQL window function; both engines replay it as an
+    * order-pinned prefix-list fold (w10's device), bit-exact because
+    * everything is integer arithmetic. Per-row prefix folds are
+    * O(days²) per type — days is calendar-bounded (30 here; 3650 for a
+    * decade), so the quadratic term is capped regardless of corpus
+    * size, and the heavy input (the daily counts) comes from one
+    * map-side-combined aggregation.
+    */
+  def w11Cusum(s: SparkSession, dir: String): DataFrame =
+    cusumFrame(
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x")))
+
+  /** The injectable w11 core over any (event_type, day, x) daily-count
+    * frame — the fixture series is stationary (zero flags is the
+    * verified true negative); WindowsSpec plants a step-change series
+    * and asserts the flag fires exactly past the K-mean-days excess.
+    */
+  private[queries] def cusumFrame(daily: DataFrame): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("nd", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("x")).over(byType))
+      .withColumn("d", col("x") * col("nd") - col("total"))
+      .withColumn("ds", collect_list(col("d")).over(ordered))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        expr("aggregate(ds, CAST(0 AS BIGINT)," +
+          " (s, d) -> greatest(CAST(0 AS BIGINT), s + d))").as("cusum_scaled"))
+      .withColumn("flagged", col("cusum_scaled") > lit(W11FlagK) *
+        sum(col("n_events")).over(byType))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val w11Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2
+       |), scaled AS (
+       |  SELECT event_type, day, x,
+       |    count(*) OVER (PARTITION BY event_type)::BIGINT AS nd,
+       |    sum(x) OVER (PARTITION BY event_type)::BIGINT AS total
+       |  FROM daily
+       |), pref AS (
+       |  SELECT event_type, day, x, total,
+       |    list(x * nd - total) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ds
+       |  FROM scaled
+       |)
+       |SELECT event_type, day, x AS n_events,
+       |  list_reduce(list_prepend(0::BIGINT, ds),
+       |    (s, d) -> greatest(0, s + d)) AS cusum_scaled,
+       |  list_reduce(list_prepend(0::BIGINT, ds),
+       |    (s, d) -> greatest(0, s + d)) > $W11FlagK * total AS flagged
+       |FROM pref ORDER BY event_type, day""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -332,6 +409,7 @@ object Windows {
     "w8_session_window" -> (w8SessionWindow _),
     "w9_gap_fill" -> (w9GapFill _),
     "w10_ewma" -> (w10Ewma _),
+    "w11_cusum" -> (w11Cusum _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -345,5 +423,6 @@ object Windows {
     "w8_session_window" -> w8Sql,
     "w9_gap_fill" -> w9Sql,
     "w10_ewma" -> w10Sql,
+    "w11_cusum" -> w11Sql,
   )
 }

@@ -441,4 +441,29 @@ class TrainingDataSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == got.toSet)
   }
+
+  test("w11 cusum: step-change fires the flag exactly past the K-mean-days excess") {
+    import spark.implicits._
+    // planted series: 20 quiet days at 10/day, then a sustained step to
+    // 100/day. nd=30, total=1200, mean=40: quiet-day deviations are
+    // negative (cusum pinned at 0), step days add 1800 scaled units each,
+    // so the flag (cusum > 2*total = 2400) fires from the SECOND step day
+    val daily = ((1 to 20).map(d => ("a", f"2024-01-$d%02d", 10L)) ++
+      (21 to 30).map(d => ("a", f"2024-01-$d%02d", 100L)))
+      .toDF("event_type", "day", "x")
+    val out = graft.queries.Windows.cusumFrame(daily).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out.take(20).forall(t => t._2 == 0L && !t._3), "quiet days must stay at 0")
+    val step = out.drop(20)
+    assert(step.head._2 == 1800L && !step.head._3, s"first step day ${step.head}")
+    assert(step.drop(1).forall(_._3), "flag must stay on past the second step day")
+    assert(step.map(_._2).toSeq == (1 to 10).map(_ * 1800L), "cusum ramp wrong")
+    // the fixture: the statistic is nonzero and varies (the fold is
+    // exercised; whether flags fire depends on the sf's volume profile —
+    // sf0.001's small daily counts do, sf0.01's stationary ones don't)
+    val fix = graft.queries.Windows.w11Cusum(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getBoolean(4)))
+    assert(fix.exists(_._1 > 0) && fix.exists(_._1 == 0))
+  }
 }
