@@ -1193,6 +1193,56 @@ object Text {
        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
        |WHERE rank <= $T31Cap ORDER BY source, rank""".stripMargin
 
+  // t32: sketch counters and the heavy threshold denominator — an item
+  // is heavy when freq > n/T32Denom; the sketch's guarantee covers
+  // everything above n/(T32K+1), a strictly wider net.
+  val T32K = 200
+  val T32Denom = 100L
+
+  /** T32: exact heavy hitters via the two-pass Misra–Gries pattern —
+    * "which tokens exceed 1% of the corpus" without shuffling the full
+    * vocabulary. Pass 1: the mergeable
+    * [[graft.functions.FreqSketchAggregator]] (≤ [[T32K]] counters per
+    * partial, so the shuffle carries one k-entry map per partition)
+    * plus the total count, in ONE ungrouped aggregate; every token with
+    * true frequency > n/(k+1) is guaranteed present in the sketch under
+    * any partitioning, and the threshold n/[[T32Denom]] sits strictly
+    * above that, so the candidate set is provably complete. Pass 2:
+    * exact counts for the ≤ k broadcast candidates only. Output is
+    * therefore EXACT and deterministic — the oracle is the plain
+    * HAVING-count query — while the vocabulary-sized groupBy an exact
+    * one-pass answer needs never runs. (The same two-pass shape serves
+    * frequent domains/URLs/n-grams at 100 TB.)
+    */
+  def t32HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .cache() // two passes: sketch + total, then candidate recount
+    val row = toks.agg(
+      graft.functions.FreqSketch.freqSketch(T32K)(col("w")).as("sk"),
+      count(lit(1)).as("n")).first()
+    val n = row.getLong(1)
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    toks.filter(col("w").isin(cands: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * T32Denom > n)
+      .select(col("w").as("token"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
+  val t32Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+       |  FROM documents
+       |), t AS (SELECT w FROM toks WHERE w <> ''),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM t)
+       |SELECT w AS token, count(*)::BIGINT AS n_occurrences
+       |FROM t GROUP BY w
+       |HAVING count(*) * $T32Denom > (SELECT n FROM nn)
+       |ORDER BY n_occurrences DESC, token""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1225,6 +1275,7 @@ object Text {
     "t29_boilerplate" -> (t29Boilerplate _),
     "t30_shard_manifest" -> (t30ShardManifest _),
     "t31_domain_cap" -> (t31DomainCap _),
+    "t32_heavy_hitters" -> (t32HeavyHitters _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1258,6 +1309,7 @@ object Text {
     "t29_boilerplate" -> t29Sql,
     "t30_shard_manifest" -> t30Sql,
     "t31_domain_cap" -> t31Sql,
+    "t32_heavy_hitters" -> t32Sql,
   )
 
   lazy val t12Sql: String =
