@@ -418,6 +418,20 @@ class PlansSpec extends AnyFunSuite {
       s"unexpected shuffle keys $exKeys")
   }
 
+  test("t32 sketch pass aggregates partially: one k-entry partial per partition") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val agg = toks.agg(
+      graft.functions.FreqSketch.freqSketch(graft.queries.Text.T32K)(col("w")))
+    val plan = executedPlan(agg)
+    // partial_freqsketchaggregator below the exchange = the map-side
+    // combine that keeps the shuffle at one sketch per partition
+    assert(plan.toLowerCase.contains("partial_freqsketchaggregator"),
+      plan.take(400))
+  }
+
   test("g1b fixed-point rounds: no cartesian, top-100 via TakeOrderedAndProject") {
     val plan = executedPlan(Graph.g1bPageRankFixed(spark, dir))
     // the 10 rounds live behind the final checkpoint; the visible plan
