@@ -374,13 +374,138 @@ object Graph {
     (state.df.select(col("id"), col("auth").as("authority"), col("hub")), it)
   }
 
+  // g3 planted-partition parameters: K interleaved communities (block r
+  // holds ids ≡ r mod K) with three intra-block affine edges per node
+  // incl. a block ring, so each block is connected and blocks never
+  // touch — the ground truth LPA must recover. Pure integer arithmetic
+  // (DIV / %) and a fixed round count make every round hash-twinnable.
+  val G3K = 16
+  val G3Rounds = 6
+
+  /** G3: community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) — the third frontier signal after g1/g2: a
+    * crawl/curation pipeline groups pages into communities to diversify
+    * sampling or cap per-community quotas. Each round, every node adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * smallest label — both choices integer-exact, so a fixed
+    * [[G3Rounds]]-round run is deterministic in ANY engine and the
+    * DuckDB twin (unrolled CTE rounds of the identical mode-argmax)
+    * matches hash-exactly — the g1b doctrine applied to a second
+    * iterative-graph operator.
+    *
+    * The fixture graph is a planted partition: [[G3K]] communities
+    * interleaved by id mod K, each internally connected by three affine
+    * intra-block edges (incl. a block ring) and with NO inter-block
+    * edges, so the expected answer is exactly K communities labelled by
+    * each block's minimum id (0..K−1) — which the spec pins. Edges are
+    * symmetrized, so every node has in-degree ≥ 1 and the per-round
+    * inner join covers all n nodes (no keep-old-label outer path).
+    *
+    * Scale shape per round: one keyed equi-join edges⋈labels on src
+    * (labels are (id, lbl) longs — text never enters the loop) + two
+    * map-side-combined integer aggregates (label counts per dst, then a
+    * struct-max argmax — NOT a per-node window). Lineage grows linearly
+    * (each round references the previous labels frame once); the static
+    * edge list is checkpointed once and released after the single final
+    * materialization, g1b's loop discipline.
+    */
+  def g3LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val k = G3K
+    // block-local coordinates: r = community, q = index within block,
+    // m = block size (blocks are id ≡ r mod K, so m = ((n−1−r) div K)+1)
+    val base = docs.select(col("id"),
+      (col("id") % k).as("r"),
+      expr(s"id DIV $k").as("q"),
+      (expr(s"($n - 1 - (id % $k)) DIV $k") + lit(1L)).as("m"))
+    val out = base.select(col("id").as("src"), explode(array(
+      col("r") + lit(k) * ((col("q") * 7 + 1) % col("m")),
+      col("r") + lit(k) * ((col("q") * 13 + 3) % col("m")),
+      col("r") + lit(k) * ((col("q") + 1) % col("m")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val eEdges = Checkpoints.eager(
+      out.union(out.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val fin = Checkpoints.eager(labelPropagate(
+      docs.select(col("id"), col("id").as("lbl")), eEdges.df, G3Rounds))
+    eEdges.release()
+    fin.df.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .select(col("lbl").as("community"), col("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(100)
+  }
+
+  /** `rounds` synchronous mode-label updates over (labels(id, lbl),
+    * edges(src, dst)); edges must already be symmetrized and cover
+    * every node as a dst. Per round: one keyed join + two map-side-
+    * combined integer aggregates; argmax(count, tie → smallest label)
+    * is a struct max, not a per-node window.
+    */
+  private[queries] def labelPropagate(init: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = init
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("dst").as("id"), (-col("b.nl")).as("lbl"))
+    }
+    labels
+  }
+
+  /** The g3 twin: identical edge construction and G3Rounds unrolled
+    * rounds of the mode-argmax (window rank over the grouped counts —
+    * the per-round frame is label-count rows, tiny next to the corpus,
+    * so the oracle-side window is fine where the Spark side uses the
+    * distributed struct-max).
+    */
+  val g3Sql: String = {
+    val rounds = (1 to G3Rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT e.dst AS id, l.lbl AS lbl,
+         |      row_number() OVER (PARTITION BY e.dst
+         |                         ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM l${i - 1} l JOIN edges e ON e.src = l.id
+         |    GROUP BY e.dst, l.lbl
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |b AS (
+       |  SELECT doc_id AS id, doc_id % $G3K AS r, doc_id // $G3K AS q,
+       |    ((SELECT n FROM nn) - 1 - doc_id % $G3K) // $G3K + 1 AS m
+       |  FROM documents
+       |),
+       |e0 AS (
+       |  SELECT id AS src, r + $G3K * ((q * 7 + 1) % m) AS dst FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q * 13 + 3) % m) FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q + 1) % m) FROM b
+       |),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 WHERE src <> dst
+       |    UNION ALL SELECT dst, src FROM e0 WHERE src <> dst
+       |  )
+       |),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT lbl AS community, count(*)::BIGINT AS size FROM l$G3Rounds
+       |GROUP BY lbl ORDER BY size DESC, community LIMIT 100""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "g1_pagerank" -> (g1PageRank _),
     "g1b_pagerank_fixed" -> (g1bPageRankFixed _),
     "g2_hits" -> (g2Hits _),
+    "g3_label_prop" -> (g3LabelProp _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "g1b_pagerank_fixed" -> g1bSql,
+    "g3_label_prop" -> g3Sql,
   )
 }

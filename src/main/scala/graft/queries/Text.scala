@@ -1243,6 +1243,158 @@ object Text {
        |HAVING count(*) * $T32Denom > (SELECT n FROM nn)
        |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  // t33 BM25 parameters (Robertson/Spärck Jones): the standard k1/b and
+  // the Lucene-form idf ln(1 + (N−df+0.5)/(df+0.5)), which is positive
+  // for every df. The query is a fixed term set — retrieval QUERIES are
+  // tiny; the corpus is what scales.
+  val T33K1 = 1.2
+  val T33B = 0.75
+  val T33Terms = Seq("filter", "hash", "vector")
+  val T33TopK = 50
+
+  /** T33: BM25 ranked retrieval — score every document against a fixed
+    * query term set and return the top-[[T33TopK]]. The canonical
+    * lexical-retrieval operator a curation pipeline runs for targeted
+    * corpus slicing (pull the docs most about X) and for building
+    * retrieval eval sets; s1's dense cosine top-k is its embedding twin.
+    *
+    * Scale shape: the explode is filtered to QUERY TERMS ONLY before any
+    * shuffle (the isin predicate is a tiny broadcast-able literal set),
+    * so the tf aggregate carries ≤ |terms| rows per doc, never the
+    * vocabulary; df for the ≤ |terms| query terms comes from the same
+    * frame and broadcasts back; the top-K is TakeOrderedAndProject. The
+    * per-doc score folds the ≤ |terms| contributions in term-sorted
+    * order (the m11 device), so the double sum is order-independent and
+    * the DuckDB twin — same IEEE expression tree, constants carried via
+    * round-trip literals — matches hash-exactly.
+    */
+  def t33Bm25(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokenize(col("text")), x => x =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = tot.getLong(0)
+    val avgdl = tot.getLong(1).toDouble / nDocs
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(T33Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * ((col("tf") * lit(T33K1 + 1)) /
+      (col("tf") + lit(T33K1) *
+        (lit(1 - T33B) + lit(T33B) * (col("dl") / lit(avgdl)))))
+    tf.join(broadcast(df), Seq("w"))
+      .select(col("doc_id"), col("w"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("w"), col("c")))),
+            x => x.getField("c")),
+          lit(0.0), (a, x) => a + x), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(T33TopK)
+  }
+
+  val t33Sql: String = {
+    val terms = T33Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(
+       |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+       |      x -> x <> ''))::BIGINT AS dl,
+       |    list_filter(string_split_regex(
+       |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents
+       |), nn AS (
+       |  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+       |  FROM d
+       |), fl AS (
+       |  SELECT doc_id, dl, unnest(toks) AS w FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, w, count(*)::BIGINT AS tf FROM fl
+       |  WHERE w IN ($terms) GROUP BY 1, 2, 3
+       |), df AS (
+       |  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), co AS (
+       |  SELECT doc_id, w,
+       |    ln(1.0 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
+       |      * ((tf * ${T33K1 + 1}) / (tf + $T33K1 *
+       |          (${1 - T33B} + $T33B * (dl / (SELECT avgdl FROM nn))))) AS c
+       |  FROM tf JOIN df USING (w)
+       |)
+       |SELECT doc_id,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(c ORDER BY w)), (a, x) -> a + x), 6) AS bm25
+       |FROM co GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $T33TopK""".stripMargin
+  }
+
+  // t34 zone-map parameters: shard width (docs per shard in arrival
+  // layout / chars per shard in the range layout) and the probe range.
+  val T34ShardDocs = 32L
+  val T34CharsWidth = 50L
+  val T34Lo = 150L
+  val T34Hi = 250L
+
+  /** T34: zone-map shard pruning audit — for two physical layouts of the
+    * same corpus, compute each shard's min/max statistics on the probe
+    * column and the pruning decision a reader would make for the range
+    * predicate n_chars ∈ [[[T34Lo]], [[T34Hi]]]. Layout `arrival` shards
+    * by ingestion order (doc_id ranges — what a naive append-only writer
+    * produces); layout `by_nchars` shards by value range (n_chars DIV
+    * width — what a sort-keyed / range-partitioned write produces). This
+    * is the parquet row-group min/max + file-footer pruning mechanics
+    * made first-class: at 100 TB the difference between the two layouts
+    * is whether a selective range scan reads every file or 2% of them,
+    * and this operator MEASURES it (kept-shard fraction per layout)
+    * instead of asserting it. `n_match` is the true per-shard match
+    * count, so false-keep shards (kept but zero matches) are visible —
+    * the clustering-quality signal (Delta OPTIMIZE ZORDER's motivating
+    * metric).
+    *
+    * Scale shape: shard assignment is a pure row function of the
+    * arrival key / probe value (map-side, no sort, no window); the audit
+    * is one map-side-combined aggregate to |shards| rows per layout.
+    * All columns integer-exact.
+    */
+  def t34ZonePrune(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+    def audit(layout: String, shard: org.apache.spark.sql.Column): DataFrame =
+      d.groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_nc"),
+          max(col("n_chars")).as("max_nc"),
+          sum(when(col("n_chars").between(T34Lo, T34Hi), 1L).otherwise(0L))
+            .as("n_match"))
+        .select(lit(layout).as("layout"), col("shard"), col("n_docs"),
+          col("min_nc"), col("max_nc"),
+          (col("max_nc") >= T34Lo && col("min_nc") <= T34Hi)
+            .cast("int").as("kept"),
+          col("n_match"))
+    audit("arrival", expr(s"doc_id DIV $T34ShardDocs"))
+      .unionByName(audit("by_nchars", expr(s"n_chars DIV $T34CharsWidth")))
+      .orderBy(col("layout"), col("shard"))
+  }
+
+  val t34Sql: String = {
+    def one(layout: String, shard: String) =
+      s"""SELECT '$layout' AS layout, $shard AS shard,
+         |  count(*)::BIGINT AS n_docs,
+         |  min(n_chars)::BIGINT AS min_nc, max(n_chars)::BIGINT AS max_nc,
+         |  CAST(max(n_chars) >= $T34Lo AND min(n_chars) <= $T34Hi AS INT) AS kept,
+         |  count(*) FILTER (n_chars BETWEEN $T34Lo AND $T34Hi)::BIGINT AS n_match
+         |FROM documents GROUP BY 2""".stripMargin
+    one("arrival", s"doc_id // $T34ShardDocs") + "\nUNION ALL\n" +
+      one("by_nchars", s"n_chars // $T34CharsWidth") +
+      "\nORDER BY layout, shard"
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1276,6 +1428,8 @@ object Text {
     "t30_shard_manifest" -> (t30ShardManifest _),
     "t31_domain_cap" -> (t31DomainCap _),
     "t32_heavy_hitters" -> (t32HeavyHitters _),
+    "t33_bm25" -> (t33Bm25 _),
+    "t34_zone_prune" -> (t34ZonePrune _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1310,6 +1464,8 @@ object Text {
     "t30_shard_manifest" -> t30Sql,
     "t31_domain_cap" -> t31Sql,
     "t32_heavy_hitters" -> t32Sql,
+    "t33_bm25" -> t33Sql,
+    "t34_zone_prune" -> t34Sql,
   )
 
   lazy val t12Sql: String =

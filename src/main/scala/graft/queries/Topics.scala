@@ -1423,6 +1423,106 @@ object Topics {
       "       / sum(cnt), 6) AS nll\n" +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** Absolute discount for [[m25KneserNeyNll]] — Kneser-Ney's standard
+    * D = 0.75 (Chen & Goodman 1999 report the estimate
+    * n1/(n1+2·n2) ≈ 0.75 on natural text; a fixed D keeps the model
+    * twinnable where the count-of-counts estimate would be one more
+    * scalar to reproduce, and KenLM's default is the same family).
+    */
+  val M25D = 0.75
+
+  /** M25: Kneser-Ney smoothed bigram LM scoring — the upgrade from
+    * m19's interpolated-MLE: instead of backing off to raw unigram
+    * frequency, KN backs off to the CONTINUATION probability (in how
+    * many distinct contexts does this word appear?), which is what
+    * CCNet's actual KenLM models use and why "Francisco" (frequent but
+    * only after "San") stops looking like a good continuation
+    * everywhere. For each bigram in the corpus model:
+    * {{{
+    *   p(w2|w1) = (cb − D)/c1  +  (D·N1+(w1·)/c1) · (N1+(·w2)/T)
+    * }}}
+    * with cb the bigram count, c1 the left-context total, N1+(w1·)
+    * the distinct continuations of w1, N1+(·w2) the distinct left
+    * contexts of w2, T the distinct bigram types — every factor an
+    * exact integer count, so the double expression tree is identical
+    * in both engines and the twin hash-matches (the m19 doctrine).
+    * Per-doc NLL folds the doc's distinct bigrams in sorted order.
+    *
+    * Scale shape: identical to m19 — the model tables span every
+    * distinct corpus bigram, far beyond broadcast, so the scoring join
+    * stays keyed under AQE; all four model statistics come from ONE
+    * grouped pass over the bigram counts (n1l/n1r/T are aggregations
+    * OF cb, not separate corpus scans); shuffles carry (word, count)
+    * pairs, never text.
+    */
+  def m25KneserNeyNll(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val bigrams = c
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tokens"), lit(1), size(col("tokens")) - 1),
+          slice(col("tokens"), lit(2), size(col("tokens")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val left = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1l"))
+    val right = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val tTypes = cb.agg(count(lit(1))).head().getLong(0)
+    val model = cb.join(left, Seq("w1")).join(right, Seq("w2"))
+      .select(col("w1"), col("w2"),
+        log((col("cb") - lit(M25D)) / col("c1") +
+          (lit(M25D) * col("n1l") / col("c1")) *
+            (col("n1r") / lit(tTypes.toDouble))).as("lp"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("w1", "w2"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_big"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("w1"), col("w2"), col("cnt"), col("lp")))),
+            x => x.getField("cnt") * x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_big"),
+        round(-(col("s") / col("n_big")), 6).as("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m25Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), bgz AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z\n" +
+      "  FROM toks WHERE len(toks) >= 2\n" +
+      "), bg AS (\n" +
+      "  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz\n" +
+      "), cb AS (\n" +
+      "  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2\n" +
+      "), lft AS (\n" +
+      "  SELECT w1, sum(cb) AS c1, count(*) AS n1l FROM cb GROUP BY 1\n" +
+      "), rgt AS (\n" +
+      "  SELECT w2, count(*) AS n1r FROM cb GROUP BY 1\n" +
+      "), tt AS (\n" +
+      "  SELECT count(*)::DOUBLE AS t FROM cb\n" +
+      "), model AS (\n" +
+      "  SELECT w1, w2,\n" +
+      s"    ln((cb - $M25D) / c1 + ($M25D * n1l / c1) * (n1r / (SELECT t FROM tt))) AS lp\n" +
+      "  FROM cb JOIN lft USING (w1) JOIN rgt USING (w2)\n" +
+      "), per AS (\n" +
+      "  SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3\n" +
+      "), j AS (\n" +
+      "  SELECT doc_id, w1, w2, cnt, lp FROM per JOIN model USING (w1, w2)\n" +
+      ")\n" +
+      "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_big,\n" +
+      "  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n" +
+      "       list(cnt * lp ORDER BY w1, w2)), (a, x) -> a + x))\n" +
+      "       / sum(cnt), 6) AS kn_nll\n" +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"
+
   /** Feature-hash width and per-class training cap for [[m20QualityClassifier]]. */
   val M20Buckets = 4096
   val M20TrainPerClass = 2048
@@ -1611,6 +1711,7 @@ object Topics {
     "m22_ldavis_components" -> (m22LdavisComponents _),
     "m23_unigram_train" -> (m23UnigramTrain _),
     "m24_unigram_encode" -> (m24UnigramEncode _),
+    "m25_kneser_ney" -> (m25KneserNeyNll _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1626,5 +1727,6 @@ object Topics {
     "m17_source_mix" -> m17Sql,
     "m19_bigram_nll" -> m19Sql,
     "m21_ppl_buckets" -> m21Sql,
+    "m25_kneser_ney" -> m25Sql,
   )
 }

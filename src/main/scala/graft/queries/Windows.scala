@@ -398,6 +398,53 @@ object Windows {
        |    (s, d) -> greatest(0, s + d)) > $W11FlagK * total AS flagged
        |FROM pref ORDER BY event_type, day""".stripMargin
 
+  /** W12: day-of-week seasonal profile — per (event_type, weekday), the
+    * mean value and its deviation from the event type's overall mean:
+    * the baseline table every anomaly detector and dashboard normalizes
+    * against (w11's CUSUM flags level shifts; w12 supplies the expected
+    * weekly shape those shifts are measured from). Weekday numbering is
+    * Sunday = 0 (Spark's dayofweek is 1-based — shifted to match the
+    * twin engine's convention once, here, not in every consumer).
+    *
+    * Exactness: both means run through the w1 integer cent sums, the
+    * overall mean is derived from the SAME per-dow partials (one corpus
+    * scan, then a 7-row-per-type re-aggregation — the q39 mergeable-
+    * state device), and the deviation subtracts the two unrounded
+    * doubles before the single terminal round — identical IEEE trees in
+    * both engines. Scale: one map-side-combined aggregate to
+    * |event_type|×7 rows; everything after is broadcast-sized.
+    */
+  def w12Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sc"))
+    val tot = per.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("nt"), sum(col("sc")).as("st"))
+    per.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n_events"),
+        round((col("sc") / lit(100.0)) / col("n_events"), 6).as("avg_value"),
+        round((col("sc") / lit(100.0)) / col("n_events")
+          - (col("st") / lit(100.0)) / col("nt"), 6).as("deviation"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val w12Sql: String =
+    """WITH per AS (
+      |  SELECT event_type, dayofweek(ts) AS dow, count(*) AS n_events,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS sc
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, sum(n_events) AS nt, sum(sc) AS st
+      |  FROM per GROUP BY 1
+      |)
+      |SELECT event_type, CAST(dow AS INT) AS dow, n_events,
+      |  round((sc / 100.0) / n_events, 6) AS avg_value,
+      |  round((sc / 100.0) / n_events - (st / 100.0) / nt, 6) AS deviation
+      |FROM per JOIN tot USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -410,6 +457,7 @@ object Windows {
     "w9_gap_fill" -> (w9GapFill _),
     "w10_ewma" -> (w10Ewma _),
     "w11_cusum" -> (w11Cusum _),
+    "w12_seasonality" -> (w12Seasonality _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -424,5 +472,6 @@ object Windows {
     "w9_gap_fill" -> w9Sql,
     "w10_ewma" -> w10Sql,
     "w11_cusum" -> w11Sql,
+    "w12_seasonality" -> w12Sql,
   )
 }

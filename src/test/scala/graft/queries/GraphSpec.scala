@@ -167,4 +167,45 @@ class GraphSpec extends AnyFunSuite {
     assert(hIters > 1 && afterHits.size <= 2,
       s"hits ($hIters rounds) leaked ${afterHits.size} persistent RDD pins")
   }
+
+  test("label propagation recovers disjoint planted components exactly") {
+    // two triangles {0,1,2} and {10,11,12}: after 2 rounds every node
+    // holds its component's minimum id (mode over 2 neighbors ties at
+    // 1-1 → smallest label wins, which is the component min)
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val init = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .toDF("id").selectExpr("id", "id AS lbl")
+    val got = Graph.labelPropagate(init, edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation argmax prefers the majority label, then the smallest") {
+    // star center 100 with neighbors labelled {5, 5, 9}: majority 5.
+    // second center 200 with neighbors {3, 7}: tie → smallest (3).
+    val edges = Seq((5L, 100L), (6L, 100L), (9L, 100L), (3L, 200L), (7L, 200L))
+      .toDF("src", "dst")
+    val init = Seq((5L, 5L), (6L, 5L), (9L, 9L), (3L, 3L), (7L, 7L),
+      (100L, 100L), (200L, 200L)).toDF("id", "lbl")
+    val got = Graph.labelPropagate(init, edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100L) === 5L)
+    assert(got(200L) === 3L)
+  }
+
+  test("g3 on the fixture: sizes partition the corpus, labels stay in-block") {
+    val rows = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.Tables.documents(spark, TestSpark.sfDir).count()
+    assert(rows.map(_._2).sum === n, "community sizes must partition the corpus")
+    // the planted partition has no inter-block edges, so every surviving
+    // label is a node id of its own block; blocks are ids mod K
+    assert(rows.nonEmpty && rows.length <= 100)
+    // deterministic: a second run yields the identical table
+    val again = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }

@@ -386,4 +386,130 @@ class QueriesSpec extends AnyFunSuite {
     assert(html.contains("<table>") && html.contains("mean_quality") &&
       html.contains("total_tokens"))
   }
+
+  test("t33 BM25 matches a driver-side scorer on the fixture") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val n = docs.length
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val terms = Text.T33Terms
+    val dfreq = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length
+      // contributions folded in term-sorted order, like the query
+      val cs = terms.sorted.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          Some(idf * ((tf * (Text.T33K1 + 1)) /
+            (tf + Text.T33K1 * (1 - Text.T33B + Text.T33B * (dl / avgdl)))))
+        }
+      }
+      if (cs.isEmpty) None
+      else Some(id -> BigDecimal(cs.foldLeft(0.0)(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(Text.T33TopK)
+    val got = Text.t33Bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((gi, gs), (ei, es)) =>
+      assert(gi === ei); assert(math.abs(gs - es) < 1e-9)
+    }
+  }
+
+  test("t34 zone pruning is sound and the range layout prunes strictly better") {
+    val rows = Text.t34ZonePrune(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))
+    val direct = Tables.documents(spark, dir)
+      .filter(col("n_chars").between(Text.T34Lo, Text.T34Hi)).count()
+    for (layout <- Seq("arrival", "by_nchars")) {
+      val l = rows.filter(_._1 == layout)
+      // soundness: a pruned shard contains no matches; totals reconcile
+      assert(l.filter(_._6 == 0).forall(_._7 == 0L), s"$layout pruned a match")
+      assert(l.map(_._7).sum === direct, s"$layout match total")
+      // zone maps are consistent: min <= max, counts positive
+      assert(l.forall(s => s._4 <= s._5 && s._3 > 0))
+    }
+    def keptFrac(layout: String): Double = {
+      val l = rows.filter(_._1 == layout)
+      l.count(_._6 == 1).toDouble / l.length
+    }
+    // arrival order is uncorrelated with n_chars → every shard spans the
+    // probe range; value-range sharding keeps only the covering shards
+    assert(keptFrac("by_nchars") < keptFrac("arrival"),
+      s"range layout should prune better: ${keptFrac("by_nchars")} vs ${keptFrac("arrival")}")
+    // and in the range layout, kept shards are exactly those overlapping
+    rows.filter(_._1 == "by_nchars").foreach { s =>
+      val overlaps = s._5 >= Text.T34Lo && s._4 <= Text.T34Hi
+      assert((s._6 == 1) === overlaps)
+    }
+  }
+
+  test("m25 Kneser-Ney NLL matches a driver-side model on the fixture") {
+    val toks = Topics.corpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+    val bigrams = toks.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(bg => (id, bg._1, bg._2)) }
+    val cb = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.length.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1l = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1r = cb.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val t = cb.size.toDouble
+    val d = Topics.M25D
+    def lp(w1: String, w2: String): Double =
+      math.log((cb((w1, w2)) - d) / c1(w1) +
+        (d * n1l(w1) / c1(w1)) * (n1r(w2) / t))
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val per = bs.groupBy(b => (b._2, b._3)).toSeq
+        .map { case ((w1, w2), v) => (w1, w2, v.length.toLong) }
+        .sortBy(x => (x._1, x._2))
+      val nBig = per.map(_._3).sum
+      val s = per.foldLeft(0.0) { case (a, (w1, w2, cnt)) => a + cnt * lp(w1, w2) }
+      id -> (nBig, BigDecimal(-(s / nBig))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Topics.m25KneserNeyNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (nBig, nll)) =>
+      assert(got(id)._1 === nBig)
+      assert(math.abs(got(id)._2 - nll) < 1e-9, s"doc $id")
+    }
+    // KN probabilities are proper: every per-bigram lp is a log-prob < 0
+    assert(cb.keys.forall { case (w1, w2) => lp(w1, w2) < 0.0 })
+  }
+
+  test("w12 seasonality matches driver-side day-of-week profiles") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val per = ev.groupBy(e => (e._1, e._2)).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._3).sum)) }
+    val tot = ev.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._3).sum)) }
+    val got = Windows.w12Seasonality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === per.keySet)
+    per.foreach { case ((et, dow), (n, sc)) =>
+      val (nt, st) = tot(et)
+      val mean = (sc / 100.0) / n
+      val dev = mean - (st / 100.0) / nt
+      val (gn, gm, gd) = got((et, dow))
+      assert(gn === n)
+      assert(math.abs(gm - BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(gd - BigDecimal(dev).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // weekday deviations within one event type sum to ~0 when weighted
+    val byType = got.toSeq.groupBy(_._1._1)
+    byType.foreach { case (_, rows) =>
+      val wsum = rows.map { case (_, (n, _, dv)) => n * dv }.sum
+      val ntot = rows.map(_._2._1).sum
+      assert(math.abs(wsum / ntot) < 1e-5)
+    }
+  }
 }
