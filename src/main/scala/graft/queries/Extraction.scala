@@ -281,11 +281,101 @@ object Extraction {
       |JOIN delays d USING (domain)
       |ORDER BY url""".stripMargin
 
+  // x5 block-classification thresholds: a block is main content when its
+  // tag-stripped text is at least MinLen chars AND its anchor-text share
+  // is at most 1/3 — the jusText/Arc90 "link density" rule kept on an
+  // INTEGER grid (llen·3 ≤ tlen) so the classification is exact in any
+  // engine, no float compare at the boundary.
+  val X5MinLen = 40
+
+  /** X5: main-content extraction by text/link density — the boilerplate-
+    * removal pass between x2's field extraction and the text pipeline:
+    * split the page into blocks, strip tags, and keep only blocks that
+    * are long enough and not link-dominated (navigation, footers, and
+    * related-links rails are short and mostly anchor text — the
+    * jusText/Readability-class heuristic, Kohlschütter's "boilerplate
+    * detection using shallow text features" shape). The reference scrapes
+    * hand-picked CSS selectors per site (ArticlesSpider.py:18-33); a
+    * 100 TB general crawl has no per-site selectors, which is exactly
+    * what the density heuristic replaces. t29's per-source paragraph
+    * dedup catches TEMPLATED boilerplate; x5 catches STRUCTURAL
+    * boilerplate on a single page with no cross-doc state at all.
+    *
+    * Following the x1/x2 doctrine the fixture synthesizes a 4-block page
+    * (link-dense nav, two content paragraphs — one carrying an inline
+    * link — and a link-dense footer) and the REAL operator runs over the
+    * block array as higher-order functions: transform → per-block
+    * (text, text-length, anchor-text-length), filter on the integer
+    * density rule, aggregate the rejects. Map-only scalar work — no
+    * explode, no shuffle; a crawl archive classifies embarrassingly
+    * parallel, and the per-block stats stay inside whole-stage codegen.
+    */
+  def x5MainContent(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<div><a href=\"/\">home</a> <a href=\"/news\">news</a> <a href=\"/sport\">sport</a></div>\n"),
+      lit("<p>"), substring(col("text"), 1, 120), lit("</p>\n"),
+      lit("<p>"), substring(col("text"), 121, 120),
+      lit(" read <a href=\"/more\">more here</a></p>\n"),
+      lit("<div><a href=\"/about\">about</a> <a href=\"/contact\">contact us</a> (c) example</div>"))
+    def tlenOf(b: org.apache.spark.sql.Column) =
+      length(regexp_replace(b, "<[^>]*>", ""))
+    def llenOf(b: org.apache.spark.sql.Column) =
+      length(array_join(
+        regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1)), ""))
+    val isContent = (x: org.apache.spark.sql.Column) =>
+      x.getField("tlen") >= X5MinLen &&
+        x.getField("llen") * 3 <= x.getField("tlen")
+    Tables.documents(s, dir)
+      .filter(!col("text").contains("<") && !col("text").contains("&"))
+      .select(col("doc_id"), split(html, "\n").as("bs"))
+      .select(col("doc_id"),
+        transform(col("bs"), b => struct(
+          regexp_replace(b, "<[^>]*>", "").as("txt"),
+          tlenOf(b).as("tlen"), llenOf(b).as("llen"))).as("stats"))
+      .select(col("doc_id"),
+        size(col("stats")).as("n_blocks"),
+        size(filter(col("stats"), isContent)).as("n_content"),
+        array_join(
+          transform(filter(col("stats"), isContent), x => x.getField("txt")),
+          " ").as("main_text"),
+        aggregate(filter(col("stats"), x => !isContent(x)),
+          lit(0L), (a, x) => a + x.getField("tlen")).as("boiler_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x5Sql: String =
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    '<div><a href="/">home</a> <a href="/news">news</a> <a href="/sport">sport</a></div>' || chr(10) ||
+       |    '<p>' || substr(text, 1, 120) || '</p>' || chr(10) ||
+       |    '<p>' || substr(text, 121, 120) || ' read <a href="/more">more here</a></p>' || chr(10) ||
+       |    '<div><a href="/about">about</a> <a href="/contact">contact us</a> (c) example</div>' AS html
+       |  FROM documents WHERE NOT contains(text, '<') AND NOT contains(text, '&')
+       |), blocks AS (
+       |  SELECT doc_id, list_transform(string_split(html, chr(10)), b -> struct_pack(
+       |    txt := regexp_replace(b, '<[^>]*>', '', 'g'),
+       |    tlen := length(regexp_replace(b, '<[^>]*>', '', 'g')),
+       |    llen := coalesce(length(array_to_string(
+       |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1), '')), 0))) AS stats
+       |  FROM synth
+       |)
+       |SELECT doc_id,
+       |  len(stats)::INT AS n_blocks,
+       |  len(list_filter(stats, x -> x.tlen >= $X5MinLen AND x.llen * 3 <= x.tlen))::INT AS n_content,
+       |  array_to_string(list_transform(
+       |    list_filter(stats, x -> x.tlen >= $X5MinLen AND x.llen * 3 <= x.tlen),
+       |    x -> x.txt), ' ') AS main_text,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(
+       |    list_filter(stats, x -> NOT (x.tlen >= $X5MinLen AND x.llen * 3 <= x.tlen)),
+       |    x -> x.tlen::BIGINT)), (a, x) -> a + x) AS boiler_chars
+       |FROM blocks ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "x1_sitemap_parse" -> (x1SitemapParse _),
     "x2_html_extract" -> (x2HtmlExtract _),
     "x3_url_canonical" -> (x3UrlCanonical _),
     "x4_robots_filter" -> (x4RobotsFilter _),
+    "x5_main_content" -> (x5MainContent _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -293,5 +383,6 @@ object Extraction {
     "x2_html_extract" -> x2Sql,
     "x3_url_canonical" -> x3Sql,
     "x4_robots_filter" -> x4Sql,
+    "x5_main_content" -> x5Sql,
   )
 }

@@ -445,6 +445,78 @@ object Windows {
       |FROM per JOIN tot USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
 
+  // w13: trailing-baseline length and the flag threshold (|z| > 2σ)
+  val W13Baseline = 7
+  val W13SigmaK = 2.0
+
+  /** W13: trailing z-score anomaly flags — per event type, each day's
+    * event count against the mean/σ of the PRECEDING [[W13Baseline]]
+    * days (the current day never contaminates its own baseline): the
+    * volume-anomaly monitor every ingestion pipeline runs (w11's CUSUM
+    * catches sustained level shifts; w13 catches single-day spikes).
+    * Days with fewer than a full baseline behind them report null z
+    * (pandas min_periods semantics, w2's doctrine); a zero-variance
+    * baseline also reports null z but still flags any deviation.
+    *
+    * Exactness: daily counts are integers, so the windowed Σx and Σx²
+    * are exact BIGINTs and mean/variance are single double expressions
+    * over them — identical IEEE trees in both engines (the variance is
+    * guarded with greatest(·, 0) against the tiny negative float
+    * residue Σx²−(Σx)²/n can leave when σ = 0). Scale: the window runs
+    * over the post-aggregation per-type daily series — #days rows per
+    * type regardless of event volume — partitioned by event_type.
+    */
+  def w13AnomalyFlags(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-W13Baseline, -1)
+    val withStats = daily
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("sc", sum(col("n_events")).over(w))
+      .withColumn("sq", sum(col("n_events") * col("n_events")).over(w))
+    val mean = col("sc") / col("bn")
+    val variance = greatest(
+      (col("sq") - col("sc") * col("sc") / col("bn")) / col("bn"), lit(0.0))
+    val std = sqrt(variance)
+    withStats
+      .withColumn("z",
+        when(col("bn") < W13Baseline, lit(null))
+          .when(std > 0, round((col("n_events") - mean) / std, 6)))
+      .withColumn("flagged",
+        when(col("bn") < W13Baseline, lit(false))
+          .otherwise(abs(col("n_events") - mean) > lit(W13SigmaK) * std))
+      .select(col("event_type"), col("day"), col("n_events"), col("z"),
+        col("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val w13Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type, day, n_events,
+       |    count(*) OVER tw AS bn,
+       |    sum(n_events) OVER tw AS sc,
+       |    sum(n_events * n_events) OVER tw AS sq
+       |  FROM daily
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN $W13Baseline PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, day, n_events,
+       |  CASE WHEN bn < $W13Baseline THEN NULL
+       |       WHEN sqrt(greatest((sq - sc * sc / bn) / bn, 0.0)) > 0
+       |       THEN round((n_events - sc / bn)
+       |                  / sqrt(greatest((sq - sc * sc / bn) / bn, 0.0)), 6)
+       |       END AS z,
+       |  CASE WHEN bn < $W13Baseline THEN false
+       |       ELSE abs(n_events - sc / bn)
+       |            > $W13SigmaK * sqrt(greatest((sq - sc * sc / bn) / bn, 0.0))
+       |       END AS flagged
+       |FROM st ORDER BY event_type, day""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -458,6 +530,7 @@ object Windows {
     "w10_ewma" -> (w10Ewma _),
     "w11_cusum" -> (w11Cusum _),
     "w12_seasonality" -> (w12Seasonality _),
+    "w13_anomaly_flags" -> (w13AnomalyFlags _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -473,5 +546,6 @@ object Windows {
     "w10_ewma" -> w10Sql,
     "w11_cusum" -> w11Sql,
     "w12_seasonality" -> w12Sql,
+    "w13_anomaly_flags" -> w13Sql,
   )
 }

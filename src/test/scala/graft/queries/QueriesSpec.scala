@@ -512,4 +512,66 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(wsum / ntot) < 1e-5)
     }
   }
+
+  test("w13 anomaly flags match a driver-side trailing-window baseline") {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = Windows.w13AnomalyFlags(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    assert(got.keySet === daily.map(d => (d._1, d._2)).toSet)
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      series.zipWithIndex.foreach { case ((day, x), i) =>
+        val base = series.slice(math.max(0, i - Windows.W13Baseline), i).map(_._2)
+        val (gn, gz, gf) = got((et, day))
+        assert(gn === x)
+        if (base.length < Windows.W13Baseline) {
+          assert(gz.isEmpty && !gf, s"$et $day should be unflaggable")
+        } else {
+          val bn = base.length.toDouble
+          val sc = base.sum.toDouble; val sq = base.map(v => v * v).sum.toDouble
+          val mean = sc / bn
+          val std = math.sqrt(math.max((sq - sc * sc / bn) / bn, 0.0))
+          val expFlag = math.abs(x - mean) > Windows.W13SigmaK * std
+          assert(gf === expFlag, s"$et $day flag")
+          if (std > 0)
+            assert(math.abs(gz.get - BigDecimal((x - mean) / std)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+          else assert(gz.isEmpty)
+        }
+      }
+    }
+  }
+
+  test("x5 keeps the content paragraphs and rejects the link-dense chrome") {
+    val texts = Tables.documents(spark, dir)
+      .filter(!col("text").contains("<") && !col("text").contains("&"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Extraction.x5MainContent(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got.keySet === texts.keySet)
+    texts.foreach { case (id, text) =>
+      val (nb, nc, main, boiler) = got(id)
+      assert(nb === 4)
+      // driver replay of the block classifier
+      val p1 = text.substring(0, math.min(120, text.length))
+      val p2raw = if (text.length > 120) text.substring(120, math.min(240, text.length)) else ""
+      val p2 = p2raw + " read more here" // anchor text survives tag-strip
+      val nav = "home news sport"; val foot = "about contact us (c) example"
+      val blocks = Seq((nav, 13), (p1, 0), (p2, 9), (foot, 13))
+      val kept = blocks.filter { case (t, l) => t.length >= Extraction.X5MinLen && l * 3 <= t.length }
+      assert(nc === kept.length)
+      assert(main === kept.map(_._1).mkString(" "))
+      assert(boiler === blocks.filterNot { case (t, l) =>
+        t.length >= Extraction.X5MinLen && l * 3 <= t.length }.map(_._1.length.toLong).sum)
+    }
+    // the fixture's long docs keep exactly the two paragraphs
+    assert(got.values.count(_._2 == 2) > got.size / 2)
+  }
 }
