@@ -440,6 +440,48 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t33 BM25: query-term filter below the tf exchange, bounded top-k") {
+    val plan = executedPlan(Text.t33Bm25(spark, dir))
+    // the isin predicate sits in the scan stage, so the tf shuffle
+    // carries <= |terms| rows per doc, never the vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+    assert(plan.contains(Text.T33Terms.head), "query-term filter missing from the plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x5 content extraction is map-only: no exchange below the sort") {
+    // block split, per-block stats, filter, fold are all higher-order
+    // scalar functions — the only allowed exchange is the final orderBy's
+    // range partitioning (AQE renders it once per initial/final plan)
+    val plan = executedPlan(Extraction.x5MainContent(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"x5 should carry no hash exchange:\n${plan.take(600)}")
+    assert(!plan.contains("Window"))
+  }
+
+  test("t34 zone audit: map-side-combined aggregates, no sort, no window") {
+    val plan = executedPlan(Text.t34ZonePrune(spark, dir))
+    assert(plan.contains("partial_count"), "zone stats must combine map-side")
+    assert(!plan.contains("Window"), "zone assignment must not sort/window")
+  }
+
+  test("g3 rounds argmax via struct max partials, never a per-node window") {
+    val plan = executedPlan(Graph.g3LabelProp(spark, dir))
+    assert(!plan.contains("Window"), "label argmax degraded to a window")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
+  test("w13 anomaly window is keyed by event_type above the daily aggregation") {
+    val plan = executedPlan(Windows.w13AnomalyFlags(spark, dir))
+    // the window consumes the post-agg daily frame (bounded series),
+    // partitioned by event_type — not a global single-partition window
+    assert(plan.contains("Window"), plan.take(300))
+    assert(plan.contains("partitionBy=[event_type") ||
+      plan.contains("hashpartitioning(event_type"),
+      s"w13 window must be keyed by event_type:\n${plan.take(600)}")
+    assert(plan.contains("HashAggregate"), "daily aggregation missing")
+  }
+
   test("bucketed co-located join eliminates the shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assume(wh != null)
