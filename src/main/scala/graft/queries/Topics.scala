@@ -1523,6 +1523,88 @@ object Topics {
       "       / sum(cnt), 6) AS kn_nll\n" +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** M26: per-source KL domain distance — for every source s, the
+    * Kullback-Leibler divergence KL(P_s ‖ Q) between the source's
+    * unigram distribution and the add-one-smoothed corpus distribution,
+    * plus its decomposition into cross-entropy and entropy
+    * (KL = H(P,Q) − H(P)). The standard "how far is this domain from
+    * the corpus mix" planning statistic: sources with large KL are the
+    * ones temperature mixing (q31/m17) up- or down-weights hardest, and
+    * the same quantity drives DSIR-style importance weights (t21) at
+    * the domain level. P_s needs no smoothing (only observed terms
+    * contribute, p > 0); Q is add-one so q > 0 for every corpus term.
+    *
+    * Exactness WITHOUT per-group folds: a per-source sorted fold
+    * (the m11 device) would collect_list the source's entire
+    * vocabulary into one array — fine per doc, corpus-scale per group.
+    * Instead each (source, term) contribution is computed as one IEEE
+    * expression of exact integer counts, rounded onto a 1e-9 grid,
+    * and summed as BIGINT micro-units (the q35 device): identical
+    * doubles on both engines round identically, and the integer sum is
+    * order-independent under any partitioning. Scale: two grouped
+    * passes over (source, term, count) + one keyed join of the corpus
+    * count table (vocabulary-sized — correctly NOT broadcast, the m11
+    * call), shuffles carrying (string, long) pairs only.
+    */
+  def m26DomainKl(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{cleanChain, contentTokens, tokenize}
+    // source rides the token scan directly — one pass, no corpus join
+    val flat = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(contentTokens(tokenize(cleanChain(col("text"))))).as("term"))
+    val srcTerm = flat.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+    val corpusTerm = srcTerm.groupBy(col("term")).agg(sum(col("cs")).as("ct"))
+    val totals = corpusTerm.agg(sum(col("ct")).as("n"), count(lit(1)).as("v")).head()
+    val nTot = totals.getLong(0); val v = totals.getLong(1)
+    val srcTot = srcTerm.groupBy(col("source")).agg(
+      sum(col("cs")).as("ns"), count(lit(1)).as("vocab"))
+    val p = col("cs") / col("ns")
+    val q = (col("ct") + lit(1.0)) / lit((nTot + v).toDouble)
+    val micro = (x: org.apache.spark.sql.Column) =>
+      round(x * lit(1e9)).cast("long")
+    srcTerm.join(corpusTerm, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .select(col("source"), col("ns"), col("vocab"),
+        micro(p * log(p / q)).as("kl_u"),
+        micro(-p * log(q)).as("ce_u"),
+        micro(-p * log(p)).as("h_u"))
+      .groupBy(col("source"), col("ns").as("n_tokens"), col("vocab"))
+      .agg(round(sum(col("kl_u")) / lit(1e9), 6).as("kl"),
+        round(sum(col("ce_u")) / lit(1e9), 6).as("cross_entropy"),
+        round(sum(col("h_u")) / lit(1e9), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
+  val m26Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT d.source, unnest(t.toks) AS term\n" +
+      "  FROM toks t JOIN documents d USING (doc_id)\n" +
+      "), st AS (\n" +
+      "  SELECT source, term, count(*) AS cs FROM flat GROUP BY 1, 2\n" +
+      "), ct AS (\n" +
+      "  SELECT term, sum(cs)::BIGINT AS ct FROM st GROUP BY 1\n" +
+      "), tot AS (\n" +
+      "  SELECT sum(ct)::DOUBLE + count(*)::DOUBLE AS nv FROM ct\n" +
+      "), stot AS (\n" +
+      "  SELECT source, sum(cs)::BIGINT AS ns, count(*)::BIGINT AS vocab\n" +
+      "  FROM st GROUP BY 1\n" +
+      "), u AS (\n" +
+      "  SELECT source, ns, vocab,\n" +
+      "    CAST(round((cs / ns) * ln((cs / ns) / ((ct + 1.0) / (SELECT nv FROM tot))) * 1e9) AS BIGINT) AS kl_u,\n" +
+      "    CAST(round(-(cs / ns) * ln((ct + 1.0) / (SELECT nv FROM tot)) * 1e9) AS BIGINT) AS ce_u,\n" +
+      "    CAST(round(-(cs / ns) * ln(cs / ns) * 1e9) AS BIGINT) AS h_u\n" +
+      "  FROM st JOIN ct USING (term) JOIN stot USING (source)\n" +
+      ")\n" +
+      "SELECT source, ns AS n_tokens, vocab,\n" +
+      "  round(sum(kl_u) / 1e9, 6) AS kl,\n" +
+      "  round(sum(ce_u) / 1e9, 6) AS cross_entropy,\n" +
+      "  round(sum(h_u) / 1e9, 6) AS entropy\n" +
+      "FROM u GROUP BY 1, 2, 3 ORDER BY source"
+
   /** Feature-hash width and per-class training cap for [[m20QualityClassifier]]. */
   val M20Buckets = 4096
   val M20TrainPerClass = 2048
@@ -1712,6 +1794,7 @@ object Topics {
     "m23_unigram_train" -> (m23UnigramTrain _),
     "m24_unigram_encode" -> (m24UnigramEncode _),
     "m25_kneser_ney" -> (m25KneserNeyNll _),
+    "m26_domain_kl" -> (m26DomainKl _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1728,5 +1811,6 @@ object Topics {
     "m19_bigram_nll" -> m19Sql,
     "m21_ppl_buckets" -> m21Sql,
     "m25_kneser_ney" -> m25Sql,
+    "m26_domain_kl" -> m26Sql,
   )
 }

@@ -574,4 +574,46 @@ class QueriesSpec extends AnyFunSuite {
     // the fixture's long docs keep exactly the two paragraphs
     assert(got.values.count(_._2 == 2) > got.size / 2)
   }
+
+  test("m26 domain KL matches a driver-side model; KL = H(P,Q) - H(P) >= 0") {
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flat = Topics.corpus(spark, dir).collect()
+      .flatMap(r => r.getSeq[String](1).map(t => (srcOf(r.getLong(0)), t)))
+    val st = flat.groupBy(identity).map { case ((s, t), v) => (s, t) -> v.length.toLong }
+    val ct = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nv = ct.values.sum.toDouble + ct.size.toDouble
+    val ns = st.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def micro(x: Double): Long = math.round(x * 1e9)
+    val expected = st.groupBy(_._1._1).map { case (s, m) =>
+      val terms = m.toSeq.map { case ((_, t), cs) => (t, cs) }
+      val (klU, ceU, hU) = terms.foldLeft((0L, 0L, 0L)) {
+        case ((k, c, h), (t, cs)) =>
+          val p = cs.toDouble / ns(s)
+          val q = (ct(t) + 1.0) / nv
+          (k + micro(p * math.log(p / q)),
+            c + micro(-p * math.log(q)),
+            h + micro(-p * math.log(p)))
+      }
+      s -> ((ns(s), terms.size.toLong,
+        BigDecimal(klU / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ceU / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(hU / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = Topics.m26DomainKl(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (s, (n, v, kl, ce, h)) =>
+      val (gn, gv, gkl, gce, gh) = got(s)
+      assert(gn === n); assert(gv === v)
+      assert(math.abs(gkl - kl) < 1e-9, s"$s kl")
+      assert(math.abs(gce - ce) < 1e-9, s"$s ce")
+      assert(math.abs(gh - h) < 1e-9, s"$s h")
+      // Gibbs: KL >= 0 against the smoothed corpus; decomposition holds
+      assert(gkl > 0.0)
+      assert(math.abs(gkl - (gce - gh)) < 3e-6)
+    }
+  }
 }
