@@ -1178,6 +1178,149 @@ object Relational {
       |        / count(*), 6) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // q40 entity-resolution parameters: blocking prefix length and the
+  // edit-distance acceptance threshold.
+  val Q40BlockLen = 3
+  val Q40MaxDist = 2
+
+  /** Q40: entity resolution via blocking + edit-distance verify — match
+    * dirty records against a clean catalog without the O(n·m) cartesian
+    * every naive fuzzy join hides. The canonical MDM/dedup operator for
+    * STRUCTURED keys (names, addresses, product titles), next to the
+    * d-family's set-similarity operators for long text. Following the
+    * x1/x3 doctrine the fixture synthesizes the dirty side (three
+    * deterministic corruption modes per part row: doubled last char,
+    * squeezed space, case-flipped head — each edit distance 1 from its
+    * source name) and the REAL operator runs distributed:
+    *
+    *  1. BLOCK: both sides key on the first [[Q40BlockLen]] chars of
+    *     the alphanumeric-normalized name — chosen to SURVIVE the
+    *     corruption modes, the property a real blocking key needs.
+    *     Candidates exist only within a block, so the join is a keyed
+    *     equi-join (AQE broadcasts the catalog side when it fits; at a
+    *     100 TB record volume it shuffles on the block key, and a
+    *     skewed block — every "Customer#..." in one bucket — is
+    *     exactly what AQE skew-split handles).
+    *  2. VERIFY: levenshtein ≤ [[Q40MaxDist]] inside the block only.
+    *  3. RESOLVE: best match per record via a struct-min partial
+    *     aggregate (min distance, then lexicographic name — exact
+    *     integers, map-side combined, no per-record window).
+    *
+    * Near-threshold ambiguity is real and visible: "red bolt" sits at
+    * distance 2 from "hot bolt", so the argmin (not the filter) is
+    * what keeps the true distance-1 match. All comparisons integer,
+    * the oracle window-ranks the same candidates — hash-exact.
+    */
+  def q40EntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+    val catalog = parts.groupBy(col("p_name").as("clean_name"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+    val dirtyName =
+      when(col("p_partkey") % 3 === 0,
+        concat(col("p_name"), substring(col("p_name"), -1, 1)))
+        .when(col("p_partkey") % 3 === 1,
+          regexp_replace(col("p_name"), " ", ""))
+        .otherwise(concat(upper(substring(col("p_name"), 1, 1)),
+          substring(col("p_name"), 2, 1000)))
+    def blockKey(c: Column): Column =
+      substring(regexp_replace(lower(c), "[^a-z0-9]", ""), 1, Q40BlockLen)
+    val dirty = parts.select(col("p_partkey").as("record_id"),
+      dirtyName.as("dirty_name"))
+    dirty.withColumn("bk", blockKey(col("dirty_name")))
+      .join(catalog.withColumn("bk", blockKey(col("clean_name"))), Seq("bk"))
+      .filter(levenshtein(col("dirty_name"), col("clean_name")) <= Q40MaxDist)
+      .select(col("record_id"), col("dirty_name"),
+        struct(levenshtein(col("dirty_name"), col("clean_name")).as("d"),
+          col("clean_name").as("nm"), col("entity_id").as("eid")).as("cand"))
+      .groupBy(col("record_id"), col("dirty_name"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("record_id"), col("dirty_name"),
+        col("best.nm").as("matched_name"), col("best.eid").as("entity_id"),
+        col("best.d").as("distance"))
+      .orderBy(col("record_id"))
+  }
+
+  val q40Sql: String =
+    s"""WITH catalog AS (
+       |  SELECT p_name AS clean_name, min(p_partkey) AS entity_id
+       |  FROM part GROUP BY 1
+       |), dirty AS (
+       |  SELECT p_partkey AS record_id,
+       |    CASE WHEN p_partkey % 3 = 0 THEN p_name || substr(p_name, -1, 1)
+       |         WHEN p_partkey % 3 = 1 THEN replace(p_name, ' ', '')
+       |         ELSE upper(substr(p_name, 1, 1)) || substr(p_name, 2) END AS dirty_name
+       |  FROM part
+       |), cand AS (
+       |  SELECT d.record_id, d.dirty_name, c.clean_name, c.entity_id,
+       |    levenshtein(d.dirty_name, c.clean_name) AS distance,
+       |    row_number() OVER (PARTITION BY d.record_id
+       |      ORDER BY levenshtein(d.dirty_name, c.clean_name), c.clean_name) AS rn
+       |  FROM dirty d JOIN catalog c
+       |    ON substr(regexp_replace(lower(d.dirty_name), '[^a-z0-9]', '', 'g'), 1, $Q40BlockLen)
+       |     = substr(regexp_replace(lower(c.clean_name), '[^a-z0-9]', '', 'g'), 1, $Q40BlockLen)
+       |  WHERE levenshtein(d.dirty_name, c.clean_name) <= $Q40MaxDist
+       |)
+       |SELECT record_id, dirty_name, clean_name AS matched_name, entity_id,
+       |  CAST(distance AS INT) AS distance
+       |FROM cand WHERE rn = 1 ORDER BY record_id""".stripMargin
+
+  /** Q41: ordered funnel conversion — of the users who viewed, how many
+    * then clicked AFTER the view, then purchased after the click. The
+    * product-analytics staple, implemented as CASCADED CONDITIONAL
+    * AGGREGATES: stage k is one filter + keyed min-aggregate joined to
+    * stage k−1's (user, ts) table, so per-user state is a single
+    * timestamp — no per-user event arrays, no window over a user's full
+    * history (the formulation that dies on heavy users at 100 TB).
+    * Strict ts ordering (>) between stages; each stage's join is keyed
+    * by user_id and left to AQE (stage tables shrink monotonically, so
+    * later joins broadcast even when the first shuffles). Counts are
+    * exact integers; rates are single divisions at the end — hash-exact.
+    */
+  def q41Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val total = Tables.events(s, dir).select(col("user_id")).distinct().count()
+    def stage(evType: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val clicked = stage("click", viewed)
+    val bought = stage("purchase", clicked)
+    val n1 = viewed.count(); val n2 = clicked.count(); val n3 = bought.count()
+    import s.implicits._
+    Seq(
+      (1, "view", n1, total),
+      (2, "click", n2, n1),
+      (3, "purchase", n3, n2))
+      .toDF("stage", "event_type", "n_users", "prev_users")
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(col("n_users") / col("prev_users").cast("double"), 6).as("conversion"))
+      .orderBy(col("stage"))
+  }
+
+  val q41Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+      |), n AS (SELECT count(DISTINCT user_id)::BIGINT AS n0 FROM events)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'view' AS event_type,
+      |    (SELECT count(*) FROM v)::BIGINT AS n_users,
+      |    round((SELECT count(*) FROM v) / (SELECT n0 FROM n)::DOUBLE, 6) AS conversion
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)::BIGINT,
+      |    round((SELECT count(*) FROM c) / (SELECT count(*) FROM v)::DOUBLE, 6)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)::BIGINT,
+      |    round((SELECT count(*) FROM p) / (SELECT count(*) FROM c)::DOUBLE, 6)
+      |) ORDER BY stage""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1218,6 +1361,8 @@ object Relational {
     "q37_rollup" -> (q37Rollup _),
     "q38_pivot_daily" -> (q38PivotDaily _),
     "q39_incremental_agg" -> (q39IncrementalAgg _),
+    "q40_entity_match" -> (q40EntityMatch _),
+    "q41_funnel" -> (q41Funnel _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1258,5 +1403,7 @@ object Relational {
     "q37_rollup" -> q37Sql,
     "q38_pivot_daily" -> q38Sql,
     "q39_incremental_agg" -> q39Sql,
+    "q40_entity_match" -> q40Sql,
+    "q41_funnel" -> q41Sql,
   )
 }

@@ -517,6 +517,55 @@ object Windows {
        |       END AS flagged
        |FROM st ORDER BY event_type, day""".stripMargin
 
+  /** W14: weekly retention cohorts — users grouped by first-seen week,
+    * and for each (cohort, weeks-since-first) cell the fraction of the
+    * cohort still active: the canonical retention triangle every
+    * product-analytics layer computes, and for a data engine the
+    * standard test that "first event per key → rejoin → bucketed
+    * distinct count" composes scalably. Shape: one keyed min-aggregate
+    * (first event per user), one keyed equi-join back onto the event
+    * stream (user-keyed, AQE-planned), one (cohort, offset) distinct
+    * count, and a broadcast of the |cohorts|-row size dim. Per-user
+    * state is a single date — no per-user event arrays, no window over
+    * user history. Counts exact integers; the rate is one terminal
+    * division — hash-exact.
+    */
+  def w14RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val active = ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("first_day"),
+        floor(datediff(col("day"), col("first_day")) / 7).cast("long").as("week"))
+      .distinct()
+    val cohorts = first.groupBy(col("first_day")).agg(count(lit(1)).as("cohort_size"))
+    active.groupBy(col("first_day"), col("week"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohorts), Seq("first_day"))
+      .select(col("first_day").as("cohort_day"), col("week"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_day"), col("week"))
+  }
+
+  val w14Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |), first AS (
+      |  SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1
+      |), active AS (
+      |  SELECT DISTINCT e.user_id, f.first_day,
+      |    CAST(floor(date_diff('day', f.first_day, e.day) / 7) AS BIGINT) AS week
+      |  FROM ev e JOIN first f USING (user_id)
+      |), cohorts AS (
+      |  SELECT first_day, count(*) AS cohort_size FROM first GROUP BY 1
+      |)
+      |SELECT a.first_day AS cohort_day, a.week,
+      |  count(*) AS n_active, c.cohort_size,
+      |  round(count(*) / c.cohort_size::DOUBLE, 6) AS retention
+      |FROM active a JOIN cohorts c USING (first_day)
+      |GROUP BY 1, 2, 4 ORDER BY cohort_day, week""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -531,6 +580,7 @@ object Windows {
     "w11_cusum" -> (w11Cusum _),
     "w12_seasonality" -> (w12Seasonality _),
     "w13_anomaly_flags" -> (w13AnomalyFlags _),
+    "w14_retention_cohorts" -> (w14RetentionCohorts _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -547,5 +597,6 @@ object Windows {
     "w11_cusum" -> w11Sql,
     "w12_seasonality" -> w12Sql,
     "w13_anomaly_flags" -> w13Sql,
+    "w14_retention_cohorts" -> w14Sql,
   )
 }

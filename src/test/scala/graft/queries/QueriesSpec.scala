@@ -616,4 +616,93 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(gkl - (gce - gh)) < 3e-6)
     }
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q40 resolves every dirty record to its true source entity") {
+    val parts = Tables.part(spark, dir).select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val catalog = parts.groupBy(_._2).map { case (n, v) => n -> v.map(_._1).min }
+    def block(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+      .take(Relational.Q40BlockLen)
+    val expected = parts.map { case (k, name) =>
+      val dirtyN = (k % 3) match {
+        case 0 => name + name.last
+        case 1 => name.replace(" ", "")
+        case _ => name.substring(0, 1).toUpperCase + name.substring(1)
+      }
+      val cands = catalog.keys.toSeq
+        .filter(c => block(c) == block(dirtyN))
+        .map(c => (lev(dirtyN, c), c))
+        .filter(_._1 <= Relational.Q40MaxDist)
+      k -> (dirtyN, cands.minBy(x => (x._1, x._2)))
+    }.toMap
+    val got = Relational.q40EntityMatch(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got.keySet === expected.keySet, "every dirty record must match")
+    expected.foreach { case (k, (dn, (d, cn))) =>
+      val (gdn, gcn, geid, gd) = got(k)
+      assert(gdn === dn); assert(gcn === cn, s"record $k")
+      assert(gd === d); assert(geid === catalog(cn))
+    }
+    // every corruption mode is distance 1 from its source, and the
+    // argmin must recover exactly the source name
+    val sources = parts.toMap
+    got.foreach { case (k, (_, matched, _, dist)) =>
+      assert(dist === 1, s"record $k distance")
+      assert(matched === sources(k), s"record $k must match its true source")
+    }
+  }
+
+  test("q41 funnel matches a driver-side replay and shrinks monotonically") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def stageTimes: (Long, Long, Long) = {
+      var n1 = 0L; var n2 = 0L; var n3 = 0L
+      byUser.values.foreach { es =>
+        val t1 = es.filter(_._2 == "view").map(_._3).minOption
+        t1.foreach { v =>
+          n1 += 1
+          val t2 = es.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption
+          t2.foreach { c =>
+            n2 += 1
+            if (es.exists(e => e._2 == "purchase" && e._3 > c)) n3 += 1
+          }
+        }
+      }
+      (n1, n2, n3)
+    }
+    val (n1, n2, n3) = stageTimes
+    val got = Relational.q41Funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1)._1 === n1); assert(got(2)._1 === n2); assert(got(3)._1 === n3)
+    assert(n1 >= n2 && n2 >= n3, "funnel must shrink monotonically")
+    assert(got(2)._2 === BigDecimal(n2.toDouble / n1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("w14 cohorts: week-0 retention is exactly 1 and rates never exceed it") {
+    val rows = Windows.w14RetentionCohorts(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // by definition every user is active in their own first week
+    rows.filter(_._2 == 0L).foreach { case (c, _, nActive, size, ret) =>
+      assert(nActive === size, s"cohort $c week 0")
+      assert(ret === 1.0)
+    }
+    assert(rows.nonEmpty && rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    // cohort sizes sum to the distinct user count
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum === users)
+  }
 }
