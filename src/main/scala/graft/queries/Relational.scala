@@ -1321,6 +1321,51 @@ object Relational {
       |    round((SELECT count(*) FROM p) / (SELECT count(*) FROM c)::DOUBLE, 6)
       |) ORDER BY stage""".stripMargin
 
+  /** Sample size for [[q42WeightedSample]]. */
+  val Q42K = 100
+
+  /** Q42: weighted sampling WITHOUT replacement in one distributed pass —
+    * the Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws
+    * u ∈ (0,1] and the top-K rows by u^(1/w) are exactly a weighted
+    * sample without replacement. Token-weighted subsampling is how a
+    * curation pipeline downsamples a corpus while preserving the token
+    * budget's composition (q26/t17 sample uniformly per stratum; q42
+    * weights each ROW — here by n_chars, the document's cost).
+    *
+    * Determinism doctrine: u comes from the md5-bucket coin (q26's
+    * device — a pure row function, reproducible across retries and
+    * repartitioning, never an RNG), mapped to (0,1] via (v+1)/2^32. The
+    * rank key is ln(u)/w — the same ordering as u^(1/w) (ln is monotone,
+    * w > 0) without pow's cross-libm drift (the m17 sqrt argument: ln
+    * and division are correctly rounded where pow is not). Top-K plans
+    * as TakeOrderedAndProject: each partition keeps a K-row heap — the
+    * one-pass distributed form of weighted reservoir sampling, no sort,
+    * no shuffle beyond K rows per partition. Both engines compute
+    * identical doubles from identical integers, so the cut and the
+    * output hash match exactly.
+    */
+  def q42WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v + lit(1L)) / lit(4294967296.0)
+    val key = log(u) / col("n_chars")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(Q42K)
+      .select(col("doc_id"), col("n_chars"), round(col("es_key") * 1e6, 6).as("es_key_e6"))
+  }
+
+  val q42Sql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars,
+       |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT + 1)
+       |       / 4294967296.0) / n_chars AS es_key
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars, round(es_key * 1e6, 6) AS es_key_e6
+       |FROM c ORDER BY es_key DESC, doc_id LIMIT $Q42K""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1363,6 +1408,7 @@ object Relational {
     "q39_incremental_agg" -> (q39IncrementalAgg _),
     "q40_entity_match" -> (q40EntityMatch _),
     "q41_funnel" -> (q41Funnel _),
+    "q42_weighted_sample" -> (q42WeightedSample _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1405,5 +1451,6 @@ object Relational {
     "q39_incremental_agg" -> q39Sql,
     "q40_entity_match" -> q40Sql,
     "q41_funnel" -> q41Sql,
+    "q42_weighted_sample" -> q42Sql,
   )
 }

@@ -705,4 +705,32 @@ class QueriesSpec extends AnyFunSuite {
     val users = Tables.events(spark, dir).select("user_id").distinct().count()
     assert(rows.filter(_._2 == 0L).map(_._4).sum === users)
   }
+
+  test("q42 ES sample matches a driver replay and over-represents heavy docs") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 1L) / 4294967296.0
+    }
+    val expected = docs
+      .map { case (id, w) => (id, w, math.log(md5u(id)) / w) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(Relational.Q42K)
+    val got = Relational.q42WeightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, _, gk), (_, _, ek)) =>
+      assert(math.abs(gk - BigDecimal(ek * 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // weighted-without-replacement property: char-heavy docs are
+    // over-represented relative to a uniform draw
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }
