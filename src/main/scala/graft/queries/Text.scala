@@ -1395,6 +1395,84 @@ object Text {
       "\nORDER BY layout, shard"
   }
 
+  // t35 per-paragraph gate thresholds — every rule sits on an integer
+  // grid (uniq·2 ≥ cnt; 2·cnt ≤ sumlen ≤ 12·cnt) so the classification
+  // is exact in any engine, the x5 doctrine applied within documents.
+  val T35MinTok = 4
+
+  /** T36: paragraph-level quality gate — classify each 16-token window
+    * (t19's paragraph convention) with three integer-exact rules
+    * (length ≥ [[T35MinTok]], unique-token ratio ≥ ½, mean token length
+    * in [2, 12]) and reassemble the document from surviving paragraphs
+    * only. The FineWeb-Edu/jusText refinement of DOC-level filtering:
+    * t10/t22/t25 drop whole documents, but a mostly-good page with one
+    * garbage block (a pasted log, a repeated-token run) should lose the
+    * BLOCK — at 100 TB this recovers the long tail of documents a
+    * doc-level gate throws away. x5 removes structural chrome at parse
+    * time; t35 removes degenerate text blocks after it.
+    *
+    * Scale shape: the window explode and the three rules are per-row
+    * scalar work fused into the scan; the only shuffle is t19's
+    * reassembly groupBy (doc-keyed, map-side combined, paragraphs ride
+    * as (idx, text) pairs). Everything integer until nothing — there
+    * are no doubles in this operator at all, so the twin hash-matches
+    * by construction.
+    */
+  def t35ParaQuality(s: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    val paraTokens = slice(col("t"), col("idx") * P + 1, lit(P))
+    val paras = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / P.toDouble).cast("int"))).as("idx"))
+      .select(col("doc_id"), col("idx"), paraTokens.as("ptoks"))
+    val cnt = size(col("ptoks"))
+    val uniq = size(array_distinct(col("ptoks")))
+    val sumlen = aggregate(transform(col("ptoks"), t => length(t)),
+      lit(0), (a, x) => a + x)
+    val pass = cnt >= T35MinTok && uniq * 2 >= cnt &&
+      sumlen >= cnt * 2 && sumlen <= cnt * 12
+    val flagged = paras.select(col("doc_id"), col("idx"),
+      array_join(col("ptoks"), " ").as("para"), pass.as("ok"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(array_sort(collect_list(
+              struct(col("idx"), col("ok"), col("para")))),
+              x => x.getField("ok")),
+            x => x.getField("para")), " ").as("body"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t35Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+       |  FROM documents
+       |), ids AS (
+       |  SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) AS idx, t
+       |  FROM toks WHERE len(t) > 0
+       |), paras AS (
+       |  SELECT doc_id, idx, t[idx*16 + 1 : idx*16 + 16] AS ptoks
+       |  FROM ids
+       |), cls AS (
+       |  SELECT doc_id, idx, array_to_string(ptoks, ' ') AS para,
+       |    len(ptoks) >= $T35MinTok
+       |    AND len(list_distinct(ptoks)) * 2 >= len(ptoks)
+       |    AND list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(ptoks, x -> length(x)::BIGINT)), (a, x) -> a + x)
+       |        BETWEEN len(ptoks) * 2 AND len(ptoks) * 12 AS ok
+       |  FROM paras
+       |)
+       |SELECT doc_id, count(*) AS n_paras,
+       |  count(*) FILTER (ok)::BIGINT AS n_kept,
+       |  coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (ok), '') AS body
+       |FROM cls GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "t1_clean_chain" -> (t1CleanChain _),
     "t2_word_count" -> (t2WordCount _),
@@ -1430,6 +1508,7 @@ object Text {
     "t32_heavy_hitters" -> (t32HeavyHitters _),
     "t33_bm25" -> (t33Bm25 _),
     "t34_zone_prune" -> (t34ZonePrune _),
+    "t35_para_quality" -> (t35ParaQuality _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1466,6 +1545,7 @@ object Text {
     "t32_heavy_hitters" -> t32Sql,
     "t33_bm25" -> t33Sql,
     "t34_zone_prune" -> t34Sql,
+    "t35_para_quality" -> t35Sql,
   )
 
   lazy val t12Sql: String =

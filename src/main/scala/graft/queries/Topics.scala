@@ -1605,6 +1605,77 @@ object Topics {
       "  round(sum(h_u) / 1e9, 6) AS entropy\n" +
       "FROM u GROUP BY 1, 2, 3 ORDER BY source"
 
+  /** Vocabulary-size grid for [[m27VocabCoverage]]. */
+  val M27Sizes = Seq(256L, 1024L, 4096L, 16384L)
+
+  /** M27: vocabulary coverage curve — for each candidate vocabulary size
+    * V, the fraction of corpus TOKEN MASS covered by the V most frequent
+    * terms: the tokenizer-budget planning table (how large must the
+    * vocab be before OOV mass is negligible — the capacity question
+    * behind m12's BPE size and m9's OOV rate, answered for every V in
+    * one pass).
+    *
+    * Exactness WITHOUT a vocabulary sort: ranking 10⁸ terms to take a
+    * prefix sum is the naive shape. Instead the term-count table folds
+    * into a COUNT-OF-COUNTS histogram (frequency f → #terms at f),
+    * which Zipf bounds at O(√total) distinct frequencies — the q33/m21
+    * bounded-bin device — and coverage at V is exact from the histogram
+    * alone: frequencies above the cutoff contribute fully, and the
+    * boundary frequency contributes (V − terms-above) · f, which is
+    * independent of WHICH tied terms a ranker would pick, so no
+    * tie-break policy is needed at all. The cumulative window runs over
+    * the bounded histogram; every quantity is an exact integer until
+    * the single terminal division.
+    */
+  def m27VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{cleanChain, contentTokens, tokenize}
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(contentTokens(tokenize(cleanChain(col("text"))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .cache()
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cumt", sum(col("nt")).over(w))
+    val tot = counts.agg(sum(col("c")).as("total"), count(lit(1)).as("n_terms"))
+    val vs = M27Sizes.toDF("v")
+    cum.crossJoin(vs)
+      .groupBy(col("v"))
+      .agg(sum(col("c") *
+        least(col("nt"), greatest(col("v") - (col("cumt") - col("nt")), lit(0L))))
+        .as("covered_tokens"))
+      .crossJoin(tot)
+      .select(col("v").as("vocab_size"), col("covered_tokens"),
+        col("total").as("total_tokens"), col("n_terms"),
+        round(col("covered_tokens").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
+  val m27Sql: String =
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, " + OracleSql.cleanTokens + " AS toks\n" +
+      "  FROM documents\n" +
+      "), flat AS (\n" +
+      "  SELECT unnest(toks) AS term FROM toks\n" +
+      "), counts AS (\n" +
+      "  SELECT term, count(*) AS c FROM flat GROUP BY 1\n" +
+      "), hist AS (\n" +
+      "  SELECT c, count(*) AS nt FROM counts GROUP BY 1\n" +
+      "), cum AS (\n" +
+      "  SELECT c, nt, sum(nt) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cumt\n" +
+      "  FROM hist\n" +
+      "), tot AS (\n" +
+      "  SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS n_terms FROM counts\n" +
+      "), vs AS (SELECT unnest([" + M27Sizes.mkString(", ") + "])::BIGINT AS v)\n" +
+      """SELECT v AS vocab_size,
+        |  sum(c * least(nt, greatest(v - (cumt - nt), 0)))::BIGINT AS covered_tokens,
+        |  (SELECT total FROM tot) AS total_tokens,
+        |  (SELECT n_terms FROM tot) AS n_terms,
+        |  round(sum(c * least(nt, greatest(v - (cumt - nt), 0)))::DOUBLE
+        |        / (SELECT total FROM tot), 6) AS coverage
+        |FROM cum, vs GROUP BY v ORDER BY vocab_size""".stripMargin
+
   /** Feature-hash width and per-class training cap for [[m20QualityClassifier]]. */
   val M20Buckets = 4096
   val M20TrainPerClass = 2048
@@ -1795,6 +1866,7 @@ object Topics {
     "m24_unigram_encode" -> (m24UnigramEncode _),
     "m25_kneser_ney" -> (m25KneserNeyNll _),
     "m26_domain_kl" -> (m26DomainKl _),
+    "m27_vocab_coverage" -> (m27VocabCoverage _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1812,5 +1884,6 @@ object Topics {
     "m21_ppl_buckets" -> m21Sql,
     "m25_kneser_ney" -> m25Sql,
     "m26_domain_kl" -> m26Sql,
+    "m27_vocab_coverage" -> m27Sql,
   )
 }

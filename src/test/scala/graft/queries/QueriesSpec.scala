@@ -733,4 +733,57 @@ class QueriesSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean,
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
+
+  test("m27 coverage equals the sorted-prefix answer at every vocab size") {
+    val counts = Topics.corpus(spark, dir).collect()
+      .flatMap(_.getSeq[String](1))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+      .sorted(Ordering.Long.reverse)
+    val total = counts.sum
+    val got = Topics.m27VocabCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Topics.M27Sizes.foreach { v =>
+      val (covered, gt, gn) = got(v)
+      assert(gt === total); assert(gn === counts.length.toLong)
+      // ties at the cut contribute the same mass whichever terms a
+      // ranker keeps, so the sorted prefix is THE answer
+      assert(covered === counts.take(v.toInt).sum, s"V=$v")
+    }
+    // the curve is monotone and saturates once V >= |vocab|
+    val cs = Topics.M27Sizes.map(v => got(v)._1)
+    assert(cs.zip(cs.tail).forall { case (a, b) => b >= a })
+    if (counts.length <= Topics.M27Sizes.last)
+      assert(got(Topics.M27Sizes.last)._1 === total)
+  }
+
+  test("t35 paragraph gate matches a driver replay of the integer rules") {
+    val texts = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Text.t35ParaQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val paras = toks.grouped(16).toSeq
+        def ok(p: Array[String]): Boolean = {
+          val cnt = p.length; val uniq = p.distinct.length
+          val sumlen = p.map(_.length).sum
+          cnt >= Text.T35MinTok && uniq * 2 >= cnt &&
+            sumlen >= cnt * 2 && sumlen <= cnt * 12
+        }
+        val kept = paras.filter(ok)
+        val (gn, gk, gb) = got(id)
+        assert(gn === paras.length.toLong, s"doc $id n_paras")
+        assert(gk === kept.length.toLong, s"doc $id n_kept")
+        assert(gb === kept.map(_.mkString(" ")).mkString(" "), s"doc $id body")
+      }
+    }
+    // the gate actually rejects something on the fixture (repeated-token
+    // windows exist in the word soup) while keeping the bulk
+    val totals = got.values.map(v => (v._1, v._2)).unzip
+    assert(totals._2.sum < totals._1.sum)
+    assert(totals._2.sum * 2 > totals._1.sum)
+  }
 }
