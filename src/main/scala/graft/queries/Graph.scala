@@ -497,15 +497,132 @@ object Graph {
        |GROUP BY lbl ORDER BY size DESC, community LIMIT 100""".stripMargin
   }
 
+  /** G4: exact triangle count + global clustering coefficient over the
+    * g3 planted-partition graph — the graph-structure statistic (how
+    * clique-ish is the link neighborhood) that separates organic link
+    * communities from spam farms and random graphs, computed by the
+    * degree-ORIENTED join (Suri & Vassilvitskii's MapReduce algorithm,
+    * WWW 2011; Schank & Wagner's forward algorithm): orient every
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, so each triangle {a,b,c} is counted EXACTLY once as the
+    * wedge a→b, a→c closed by b→c, and — the scale property — every
+    * node's oriented out-degree is O(√m) regardless of how skewed the
+    * raw degree distribution is: the wedge self-join that explodes on
+    * hubs in the naive formulation is provably bounded here. Three
+    * keyed equi-joins + integer aggregates; no doubles until the two
+    * terminal divisions (global coefficient = 3·triangles / wedges,
+    * both exact BIGINTs). Hash-twinned: DuckDB replays the identical
+    * joins.
+    *
+    * Output is one row: nodes, undirected edges, wedges (open triplet
+    * count Σ d(d−1)/2), triangles, and the global clustering
+    * coefficient.
+    */
+  def g4Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val k = G3K
+    val base = docs.select(col("id"),
+      (col("id") % k).as("r"),
+      expr(s"id DIV $k").as("q"),
+      (expr(s"($n - 1 - (id % $k)) DIV $k") + lit(1L)).as("m"))
+    val out = base.select(col("id").as("src"), explode(array(
+      col("r") + lit(k) * ((col("q") * 7 + 1) % col("m")),
+      col("r") + lit(k) * ((col("q") * 13 + 3) % col("m")),
+      col("r") + lit(k) * ((col("q") + 1) % col("m")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // undirected edge set, one row per unordered pair (u < v)
+    val und = out.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct().cache()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d")).cache()
+    val wedges = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).as("w")).head().getLong(0)
+    val nEdges = und.count()
+    // orient u→v when (deg(u), u) < (deg(v), v): total order, acyclic
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .cache()
+    val wedgesAtA = oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    val triangles = wedgesAtA
+      .join(oriented.select(
+        least(col("s"), col("t")).as("b"), greatest(col("s"), col("t")).as("c")),
+        Seq("b", "c"))
+      .count()
+    import s.implicits._
+    und.unpersist(); deg.unpersist(); oriented.unpersist()
+    Seq((n, nEdges, wedges, triangles))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  val g4Sql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |b AS (
+       |  SELECT doc_id AS id, doc_id % $G3K AS r, doc_id // $G3K AS q,
+       |    ((SELECT n FROM nn) - 1 - doc_id % $G3K) // $G3K + 1 AS m
+       |  FROM documents
+       |),
+       |e0 AS (
+       |  SELECT id AS src, r + $G3K * ((q * 7 + 1) % m) AS dst FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q * 13 + 3) % m) FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q + 1) % m) FROM b
+       |),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e0 WHERE src <> dst
+       |),
+       |deg AS (
+       |  SELECT id, count(*)::BIGINT AS d FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+       |  ) GROUP BY 1
+       |),
+       |ori AS (
+       |  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS s,
+       |         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS t
+       |  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v
+       |),
+       |tri AS (
+       |  SELECT count(*)::BIGINT AS t3 FROM (
+       |    SELECT w1.a, w1.b, w2.c
+       |    FROM (SELECT s AS a, t AS b FROM ori) w1
+       |    JOIN (SELECT s AS a, t AS c FROM ori) w2 USING (a)
+       |    WHERE w1.b < w2.c
+       |  ) w JOIN (SELECT least(s, t) AS b, greatest(s, t) AS c FROM ori) e
+       |    USING (b, c)
+       |),
+       |agg AS (
+       |  SELECT (SELECT n FROM nn) AS n_nodes,
+       |    (SELECT count(*)::BIGINT FROM und) AS n_edges,
+       |    (SELECT sum((d * (d - 1)) // 2)::BIGINT FROM deg) AS n_wedges,
+       |    (SELECT t3 FROM tri) AS n_triangles
+       |)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+       |FROM agg""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "g1_pagerank" -> (g1PageRank _),
     "g1b_pagerank_fixed" -> (g1bPageRankFixed _),
     "g2_hits" -> (g2Hits _),
     "g3_label_prop" -> (g3LabelProp _),
+    "g4_triangles" -> (g4Triangles _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "g1b_pagerank_fixed" -> g1bSql,
     "g3_label_prop" -> g3Sql,
+    "g4_triangles" -> g4Sql,
   )
 }

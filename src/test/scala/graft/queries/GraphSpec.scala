@@ -195,6 +195,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got(200L) === 3L)
   }
 
+  test("g4 triangle count matches a driver-side brute force on the fixture graph") {
+    val n = graft.Tables.documents(spark, TestSpark.sfDir).count()
+    val k = Graph.G3K
+    // replay the planted-partition edge synthesis
+    val edges = (0L until n).flatMap { id =>
+      val r = id % k; val q = id / k
+      val m = (n - 1 - r) / k + 1
+      Seq((q * 7 + 1) % m, (q * 13 + 3) % m, (q + 1) % m)
+        .map(qq => (id, r + k * qq)).filter { case (a, b) => a != b }
+    }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def connected(a: Long, b: Long) =
+      und.contains((math.min(a, b), math.max(a, b)))
+    val nbrs = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = und.toSeq.map { case (u, v) =>
+      (nbrs(u) & nbrs(v)).size
+    }.sum / 3L // each triangle counted once per edge
+    val wedges = nbrs.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val row = Graph.g4Triangles(spark, TestSpark.sfDir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === und.size.toLong)
+    assert(row.getLong(2) === wedges)
+    assert(row.getLong(3) === tri)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+    assert(adj.nonEmpty && connected(und.head._1, und.head._2))
+  }
+
   test("g3 on the fixture: sizes partition the corpus, labels stay in-block") {
     val rows = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
