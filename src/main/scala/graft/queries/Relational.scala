@@ -1228,10 +1228,16 @@ object Relational {
       dirtyName.as("dirty_name"))
     dirty.withColumn("bk", blockKey(col("dirty_name")))
       .join(catalog.withColumn("bk", blockKey(col("clean_name"))), Seq("bk"))
-      .filter(levenshtein(col("dirty_name"), col("clean_name")) <= Q40MaxDist)
+      // distance projected ONCE before the filter references it — the
+      // multi-reference recompute trap (filter + struct would each
+      // re-run the O(|a|·|b|) DP per candidate row)
+      .select(col("record_id"), col("dirty_name"), col("clean_name"),
+        col("entity_id"),
+        levenshtein(col("dirty_name"), col("clean_name")).as("d"))
+      .filter(col("d") <= Q40MaxDist)
       .select(col("record_id"), col("dirty_name"),
-        struct(levenshtein(col("dirty_name"), col("clean_name")).as("d"),
-          col("clean_name").as("nm"), col("entity_id").as("eid")).as("cand"))
+        struct(col("d"), col("clean_name").as("nm"),
+          col("entity_id").as("eid")).as("cand"))
       .groupBy(col("record_id"), col("dirty_name"))
       .agg(min(col("cand")).as("best"))
       .select(col("record_id"), col("dirty_name"),
