@@ -937,6 +937,7 @@ object Similarity {
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
     "s3_ivf_kmeans" -> (s3IvfKmeans _),
+    "s13_probe_sweep" -> (s13ProbeSweep _),
     "s4_label_centroid" -> (s4LabelCentroid _),
     "s5_quantize" -> (s5Quantize _),
     "s6_lsh_topk" -> (s6LshTopK _),
@@ -948,8 +949,144 @@ object Similarity {
     "s12_hard_negatives" -> (s12HardNegatives _),
   )
 
+  /** Probe counts swept by [[s13ProbeSweep]]. */
+  val S13Probes = Seq(1, 2, 4, 8)
+
+  /** S13: IVF probe-count sweep — the recall/cost trade-off table an
+    * index OPERATOR (not just its user) needs: for each nprobe in
+    * [[S13Probes]], the mean recall@K of the s2-family IVF against the
+    * exact s1 answer AND the average candidate-set size the rerank had
+    * to score — the two axes the "how many cells do we probe" dial
+    * actually moves. s10 evaluates ONE configuration; s13 measures the
+    * curve, which is how the dial gets set before a 100 TB index build
+    * is committed. Cell assignment, probing, and rerank reuse s2's
+    * exact machinery (broadcast centroid panel, bounded TopK
+    * aggregator); recall folds as exact integer hit counts over the
+    * NQ·K pair universe, divided once at the end — hash-twinned, with
+    * the oracle replaying all four probe settings.
+    */
+  def s13ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val NCELL = 16
+    val maxProbe = S13Probes.max
+    val all = vecs(s, dir)
+    val exact = s1CosineTopK(s, dir).select(col("id1"), col("id2"))
+    val cents = all.filter(col("vec_id") < NCELL)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = all.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cs"))
+    val cells = sims.groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"))
+    // cached: referenced by both the candidate join and the vector
+    // lookup — without the pin each branch re-runs the cell-assignment
+    // groupBy (Bench/Verify release it after the query)
+    val corpus = all.join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"),
+        col("cell")).cache()
+    val qside = all.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    // probe sets are NESTED (top-1 ⊆ top-2 ⊆ …), so the whole sweep is
+    // ONE plan: probe once at the max setting, tag every candidate with
+    // the smallest nprobe whose probe set reaches it (min covering-cell
+    // rank), and each sweep row is a filter over that tagged frame — no
+    // per-setting job loop, no driver round-trips
+    val probes = sims.filter(col("vec_id") < NQ)
+      .groupBy(col("vec_id"))
+      .agg(TopK.topK(maxProbe)(col("cs"), col("cent_id")).as("pc"))
+      .select(col("vec_id").as("id1"), posexplode(col("pc.id")).as(Seq("pr", "cell")))
+      .select(col("id1"), (col("pr") + 1).as("prank"), col("cell"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(min(col("prank")).as("prank"))
+      .join(broadcast(qside), Seq("id1"))
+      .join(corpus.select(col("id2"), col("v2"), col("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("prank"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+    val tagged = S13Probes
+      .map(np => scored.filter(col("prank") <= np).withColumn("nprobe", lit(np)))
+      .reduce(_ unionByName _)
+    val candCounts = tagged.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = tagged
+      .groupBy(col("nprobe"), col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
+      .select(col("nprobe"), col("id1"), explode(col("top.id")).as("id2"))
+      .join(exact, Seq("id1", "id2"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    candCounts.join(hits, Seq("nprobe"))
+      .select(col("nprobe"), lit(NQ).as("n_queries"), col("n_hits"),
+        round(col("n_hits") / lit((NQ * K).toDouble), 6).as("mean_recall"),
+        round(col("n_candidates") / lit(NQ.toDouble), 6).as("avg_candidates"))
+      .orderBy(col("nprobe"))
+  }
+
+  val s13Sql: String = {
+    val perProbe = S13Probes.map { np =>
+      s"""p$np AS (
+         |  SELECT vec_id AS id1, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+         |    FROM sims WHERE vec_id < $NQ) WHERE rn <= $np
+         |),
+         |cand$np AS (
+         |  SELECT DISTINCT p.id1, c.id2 FROM p$np p JOIN corpus c USING (cell)
+         |  WHERE p.id1 <> c.id2
+         |),
+         |a$np AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT cd.id1, cd.id2,
+         |      row_number() OVER (PARTITION BY cd.id1
+         |        ORDER BY round(list_dot_product(q.v, c.v2) / (q.nrm * c.n2), 6) DESC,
+         |                 cd.id2) AS rank
+         |    FROM cand$np cd
+         |    JOIN n q ON q.vec_id = cd.id1
+         |    JOIN (SELECT DISTINCT id2, v2, n2 FROM corpus) c ON c.id2 = cd.id2
+         |  ) WHERE rank <= $K
+         |),
+         |r$np AS (
+         |  SELECT $np AS nprobe, $NQ AS n_queries,
+         |    (SELECT count(*)::BIGINT FROM exact e
+         |       JOIN a$np a ON a.id1 = e.id1 AND a.id2 = e.id2) AS n_hits,
+         |    (SELECT count(*)::BIGINT FROM cand$np) AS n_candidates
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = S13Probes.map(np => s"SELECT * FROM r$np").mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |ex_scored AS (
+       |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id
+       |), exact AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |           row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank
+       |    FROM ex_scored) WHERE rank <= $K
+       |),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |sims AS (
+       |  SELECT a.vec_id, a.nrm, c.cent_id,
+       |         round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6) AS cs
+       |  FROM n a CROSS JOIN cents c
+       |),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims) WHERE rn = 1
+       |),
+       |corpus AS (SELECT s.vec_id AS id2, n.v AS v2, n.nrm AS n2, s.cell
+       |           FROM cells s JOIN n ON n.vec_id = s.vec_id),
+       |$perProbe
+       |SELECT nprobe, n_queries, n_hits,
+       |  round(n_hits / ${(NQ * K).toDouble}, 6) AS mean_recall,
+       |  round(n_candidates / ${NQ.toDouble}, 6) AS avg_candidates
+       |FROM ($union) ORDER BY nprobe""".stripMargin
+  }
+
   val oracle: ListMap[String, String] = ListMap(
     "s1_cosine_topk" -> s1Sql,
+    "s13_probe_sweep" -> s13Sql,
     "s2_ivf_topk" -> s2Sql,
     "s4_label_centroid" -> s4Sql,
     "s5_quantize" -> s5Sql,

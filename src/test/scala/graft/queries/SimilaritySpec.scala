@@ -303,4 +303,19 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $q mismatch")
     }
   }
+
+  test("s13 probe sweep: recall and cost both rise monotonically with nprobe") {
+    val rows = Similarity.s13ProbeSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Similarity.S13Probes)
+    val recalls = rows.map(_._3); val cands = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must be monotone in nprobe: ${recalls.mkString(",")}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a },
+      s"candidate cost must grow with nprobe: ${cands.mkString(",")}")
+    assert(recalls.forall(r => r > 0.0 && r <= 1.0))
+    // probing every queried cell must beat the single-cell recall on
+    // this clustered fixture by a visible margin
+    assert(recalls.last > recalls.head)
+  }
 }
