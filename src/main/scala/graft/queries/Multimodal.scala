@@ -649,6 +649,149 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
       |ORDER BY media_id""".stripMargin
 
+  // mm8 windowing: samples (or fallback bytes) per window, the PCM
+  // activity threshold (rms >= 0.01 ~ -40 dBFS), and the byte-path
+  // integer threshold (mean square > 10000 i.e. byte-RMS > 100 — sits
+  // inside the ASCII letter band so fixture windows split both ways).
+  val Mm8Window = 256
+  val Mm8PcmRms = 0.01
+  val Mm8ByteMeanSq = 10000L
+
+  private val mm8Schema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("n_windows", LongType),
+    StructField("n_active", LongType),
+    StructField("longest_quiet", LongType)))
+
+  /** Per-window activity flags → (n, nActive, longest quiet run). */
+  private def runStats(flags: Array[Boolean]): (Long, Long, Long) = {
+    var cur = 0L; var best = 0L; var active = 0L
+    flags.foreach { a =>
+      if (a) { active += 1; cur = 0L }
+      else { cur += 1; if (cur > best) best = cur }
+    }
+    (flags.length.toLong, active, best)
+  }
+
+  /** Windowed PCM activity flags for a decodable 16-bit WAV payload. */
+  private[queries] def wavActivity(payload: Array[Byte]): Option[Array[Boolean]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val flags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          while (bb.remaining() >= 2) {
+            var ss = 0.0; var n = 0
+            while (n < Mm8Window && bb.remaining() >= 2) {
+              val v = bb.getShort.toDouble / 32768.0
+              ss += v * v; n += 1
+            }
+            flags += math.sqrt(ss / n) >= Mm8PcmRms
+          }
+          Some(flags.toArray)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The injectable mm8 core — MultimodalSpec drives it with generated
+    * sine/silence PCM WAVs.
+    */
+  private[queries] def activityFrame(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mm8Schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          wavActivity(payload) match {
+            case Some(flags) =>
+              val (n, a, q) = runStats(flags)
+              Row(id, true, n, a, q)
+            case None =>
+              // byte fallback: integer mean-square per 256-byte window
+              val flags = payload.grouped(Mm8Window).map { w =>
+                var ss = 0L
+                w.foreach { b => val v = (b & 0xff).toLong; ss += v * v }
+                ss > w.length * Mm8ByteMeanSq
+              }.toArray
+              val (n, a, q) = runStats(flags)
+              Row(id, false, n, a, q)
+          }
+        }
+      }(enc)
+  }
+
+  /** MM8: voice-activity segmentation — split each audio payload into
+    * [[Mm8Window]]-sample windows, flag each as active (window RMS ≥
+    * [[Mm8PcmRms]]) or quiet, and report per clip the window count,
+    * active count, active ratio, and the longest quiet run: the
+    * silence-trim / segmentation planning pass a speech-data pipeline
+    * runs before chunking audio for training (mm7 scores the WHOLE
+    * clip; mm8 localizes). Real 16-bit PCM goes through the windowed
+    * decoder in the mm1 mapPartitions batch shape; non-audio payloads
+    * take the integer byte-window fallback (mean square > 10000),
+    * which the oracle replays exactly via codepoints — the run-length
+    * stat is gaps-and-islands (q34's device) on the oracle side and a
+    * linear scan executor-side, exact integers either way. Payload
+    * windows never leave the executor: the shuffle carries five
+    * numbers per clip.
+    */
+  def mm8AudioActivity(s: SparkSession, dir: String): DataFrame =
+    activityFrame(
+      mediaTable(s, dir)
+        .filter(col("meta.format") === "wav" && length(col("payload")) > 0)
+        .select(col("media_id"), col("payload")))
+      .select(col("media_id"), col("decoded"), col("n_windows"),
+        col("n_active"), col("longest_quiet"),
+        round(col("n_active") / col("n_windows").cast("double"), 6)
+          .as("active_ratio"))
+      .orderBy(col("media_id"))
+
+  val mm8Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) > 0
+       |), cp AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+       |    i -> (ord(substr(text, CAST(i AS INT), 1)))::BIGINT) AS cs
+       |  FROM d
+       |), win AS (
+       |  SELECT doc_id, unnest(range(0, (len(cs) - 1) // $Mm8Window + 1)) AS w, cs
+       |  FROM cp
+       |), st AS (
+       |  SELECT doc_id, w,
+       |    least($Mm8Window, len(cs) - w * $Mm8Window)::BIGINT AS n,
+       |    list_sum(list_transform(cs[w*$Mm8Window + 1 : w*$Mm8Window + $Mm8Window],
+       |      x -> x * x))::BIGINT AS ss
+       |  FROM win
+       |), fl AS (
+       |  SELECT doc_id, w, (ss > n * $Mm8ByteMeanSq) AS act FROM st
+       |), runs AS (
+       |  SELECT doc_id, act,
+       |    w - row_number() OVER (PARTITION BY doc_id, act ORDER BY w) AS grp
+       |  FROM fl
+       |), quiet AS (
+       |  SELECT doc_id, max(run)::BIGINT AS lq FROM (
+       |    SELECT doc_id, grp, count(*) AS run FROM runs WHERE NOT act
+       |    GROUP BY doc_id, grp
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT f.doc_id AS media_id, false AS decoded,
+       |  count(*) AS n_windows,
+       |  count(*) FILTER (act)::BIGINT AS n_active,
+       |  coalesce(any_value(q.lq), 0)::BIGINT AS longest_quiet,
+       |  round(count(*) FILTER (act) / count(*)::DOUBLE, 6) AS active_ratio
+       |FROM fl f LEFT JOIN quiet q USING (doc_id)
+       |GROUP BY f.doc_id ORDER BY media_id""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -657,6 +800,7 @@ object Multimodal {
     "mm5_phash_dups" -> (mm5PhashDups _),
     "mm6_phash_pairs" -> (mm6PhashPairs _),
     "mm7_wav_features" -> (mm7WavFeatures _),
+    "mm8_audio_activity" -> (mm8AudioActivity _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -667,5 +811,6 @@ object Multimodal {
     "mm5_phash_dups" -> mm5Sql,
     "mm6_phash_pairs" -> mm6Sql,
     "mm7_wav_features" -> mm7Sql,
+    "mm8_audio_activity" -> mm8Sql,
   )
 }

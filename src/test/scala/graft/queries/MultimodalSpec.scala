@@ -245,6 +245,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(rms3 - expRms) < 1e-9, s"fallback rms $rms3 vs $expRms")
   }
 
+  test("mm8 segments real PCM into active and quiet windows with exact runs") {
+    import spark.implicits._
+    def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val W = Multimodal.Mm8Window
+    // 2W loud, 3W silent, 1W loud, 2W silent → flags T T F F F T F F
+    val pattern = Array.fill[Short](2 * W)(16384.toShort) ++
+      new Array[Short](3 * W) ++ Array.fill[Short](W)(16384.toShort) ++
+      new Array[Short](2 * W)
+    val allQuiet = new Array[Short](4 * W)
+    val text = "definitely not a riff container".getBytes("UTF-8")
+    val media = Seq((1L, wavBytes(pattern, 8000f)),
+      (2L, wavBytes(allQuiet, 8000f)), (3L, text))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.activityFrame(media).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) === ((true, 8L, 3L, 3L)))
+    assert(rows(2L) === ((true, 4L, 0L, 4L)))
+    // text fallback: byte-path replay
+    val flags = text.grouped(W).map { w =>
+      w.map(b => { val v = (b & 0xff).toLong; v * v }).sum >
+        w.length * Multimodal.Mm8ByteMeanSq
+    }.toArray
+    val expQuiet = {
+      var cur = 0L; var best = 0L
+      flags.foreach(a => if (a) cur = 0 else { cur += 1; best = math.max(best, cur) })
+      best
+    }
+    assert(rows(3L) === ((false, flags.length.toLong,
+      flags.count(identity).toLong, expQuiet)))
+  }
+
   test("mulCmpGt matches BigInt semantics including Long-overflow products") {
     val cases = Seq(
       (3L, 4L, 2L, 6L), (5L, 7L, 36L, 1L),
