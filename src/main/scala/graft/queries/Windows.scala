@@ -566,6 +566,45 @@ object Windows {
       |FROM active a JOIN cohorts c USING (first_day)
       |GROUP BY 1, 2, 4 ORDER BY cohort_day, week""".stripMargin
 
+  /** W15: OHLC bucket downsampling — per (event_type, day): the first
+    * value (open), max (high), min (low), last value (close), and the
+    * event count: the canonical lossy time-series compaction every
+    * metrics store ships (candlesticks), and the general
+    * "first/last/extremes per bucket" reduction a 100 TB event archive
+    * compacts through before dashboarding. Open/close are
+    * min_by/max_by over the (ts, event_id) struct — total order, so
+    * ties are deterministic — aggregated in ONE map-side-combined pass
+    * (never a per-bucket sort or window over raw events); the oracle
+    * replays the same argmin/argmax by window rank. Values pass
+    * through untouched (no sums → no summation-order concern).
+    */
+  def w15Ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+
+  val w15Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM events
+      |)
+      |SELECT event_type, day,
+      |  max(CASE WHEN rf = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rl = 1 THEN value END) AS close,
+      |  count(*) AS n_events
+      |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "w1_daily_avg" -> (w1DailyAvg _),
     "w2_rolling_mean" -> (w2RollingMean _),
@@ -581,6 +620,7 @@ object Windows {
     "w12_seasonality" -> (w12Seasonality _),
     "w13_anomaly_flags" -> (w13AnomalyFlags _),
     "w14_retention_cohorts" -> (w14RetentionCohorts _),
+    "w15_ohlc" -> (w15Ohlc _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -598,5 +638,6 @@ object Windows {
     "w12_seasonality" -> w12Sql,
     "w13_anomaly_flags" -> w13Sql,
     "w14_retention_cohorts" -> w14Sql,
+    "w15_ohlc" -> w15Sql,
   )
 }

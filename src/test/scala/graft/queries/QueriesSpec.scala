@@ -786,4 +786,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(totals._2.sum < totals._1.sum)
     assert(totals._2.sum * 2 > totals._1.sum)
   }
+
+  test("w15 OHLC matches a driver replay; low <= open/close <= high") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4)))
+    val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val open = es.minBy(e => (e._3, e._4))._5
+      val close = es.maxBy(e => (e._3, e._4))._5
+      k -> ((open, es.map(_._5).max, es.map(_._5).min, close, es.length.toLong))
+    }
+    val got = Windows.w15Ohlc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) === e, s"bucket $k") }
+    got.values.foreach { case (o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
 }
