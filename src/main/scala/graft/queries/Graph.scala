@@ -538,22 +538,8 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("d")).cache()
     val wedges = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).as("w")).head().getLong(0)
     val nEdges = und.count()
-    // orient u→v when (deg(u), u) < (deg(v), v): total order, acyclic
-    val du = deg.select(col("id").as("u"), col("d").as("du"))
-    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
-    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("s"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("t"))
-      .cache()
-    val wedgesAtA = oriented.select(col("s").as("a"), col("t").as("b"))
-      .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a"))
-      .filter(col("b") < col("c"))
-    val triangles = wedgesAtA
+    val oriented = orientEdges(und, deg).cache()
+    val triangles = orientedWedges(oriented)
       .join(oriented.select(
         least(col("s"), col("t")).as("b"), greatest(col("s"), col("t")).as("c")),
         Seq("b", "c"))
@@ -566,6 +552,34 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("clustering_coeff"))
   }
+
+  /** Orient each undirected edge (u, v) from its (degree, id)-smaller
+    * endpoint — the total order that bounds every oriented out-degree
+    * at O(√m) (a node of raw degree d keeps an out-edge only toward
+    * neighbors of degree ≥ d, and fewer than √(2m) nodes have degree
+    * > √(2m)).
+    */
+  private[queries] def orientEdges(und: DataFrame, deg: DataFrame): DataFrame = {
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+  }
+
+  /** The oriented wedge frame (a; b < c with a→b, a→c): its size is
+    * Σ C(outdeg, 2), which the orientation bounds — GraphSpec measures
+    * this against the naive Σ C(deg, 2) on a hub graph.
+    */
+  private[queries] def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
 
   val g4Sql: String =
     s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

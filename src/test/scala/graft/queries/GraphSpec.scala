@@ -224,6 +224,39 @@ class GraphSpec extends AnyFunSuite {
     assert(adj.nonEmpty && connected(und.head._1, und.head._2))
   }
 
+  test("degree orientation kills the hub wedge blow-up (measured, star graph)") {
+    // star: hub 0 with 400 spokes. Naive wedge counting enumerates
+    // C(400,2) = 79,800 wedges at the hub; the (degree, id) orientation
+    // points every edge INTO the hub, so the oriented wedge frame is
+    // EMPTY — the measured receipt behind g4's O(sqrt m) out-degree
+    // claim, on the graph shape (a mega-hub) where it matters.
+    val spokes = (1L to 400L)
+    val und = spokes.map(i => (0L, i))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("u", "v")
+    val deg = und.select(org.apache.spark.sql.functions.col("u").as("id"))
+      .union(und.select(org.apache.spark.sql.functions.col("v").as("id")))
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val naiveWedges = 400L * 399L / 2
+    val orientedCount = Graph.orientedWedges(Graph.orientEdges(und, deg)).count()
+    assert(orientedCount === 0L,
+      s"oriented star wedges must be 0, naive would be $naiveWedges")
+    // a triangle fan keeps exactly its real wedges: hub + ring pairs
+    val fan = (1L to 6L).map(i => (0L, i)) ++ (1L to 5L).map(i => (i, i + 1))
+    val fUnd = fan.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+    val fDeg = fUnd.select(org.apache.spark.sql.functions.col("u").as("id"))
+      .union(fUnd.select(org.apache.spark.sql.functions.col("v").as("id")))
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val fOriented = Graph.orientEdges(fUnd, fDeg)
+    val tri = Graph.orientedWedges(fOriented)
+      .join(fOriented.selectExpr("least(s, t) AS b", "greatest(s, t) AS c"),
+        Seq("b", "c")).count()
+    assert(tri === 5L, "fan has exactly 5 triangles")
+  }
+
   test("g3 on the fixture: sizes partition the corpus, labels stay in-block") {
     val rows = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
