@@ -14,6 +14,10 @@ import graft.expressions.{C4Lines, DeflateLen, Fnv64, GopherFlags, MinHash128, N
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the Rule half: domain-algebra rewrites over the native functions
+    // (NFC idempotence, sqrt∘self-dot → fused norm) — see
+    // expressions/GraftOptimizations.scala
+    e.injectOptimizerRule(_ => graft.expressions.GraftOptimizations)
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo("graft.expressions.VecDot", "vec_dot"),
