@@ -1222,10 +1222,21 @@ object Relational {
           regexp_replace(col("p_name"), " ", ""))
         .otherwise(concat(upper(substring(col("p_name"), 1, 1)),
           substring(col("p_name"), 2, 1000)))
-    def blockKey(c: Column): Column =
-      substring(regexp_replace(lower(c), "[^a-z0-9]", ""), 1, Q40BlockLen)
     val dirty = parts.select(col("p_partkey").as("record_id"),
       dirtyName.as("dirty_name"))
+    entityMatchFrame(dirty, catalog)
+  }
+
+  /** The q40 core over any dirty(record_id, dirty_name) /
+    * catalog(clean_name, entity_id) pair — QueriesSpec drives it with a
+    * planted single-mega-block fixture (every name sharing one blocking
+    * key) to pin completion + correctness under the worst-case skew the
+    * operator's scaladoc hands to AQE.
+    */
+  private[queries] def entityMatchFrame(dirty: DataFrame,
+      catalog: DataFrame): DataFrame = {
+    def blockKey(c: Column): Column =
+      substring(regexp_replace(lower(c), "[^a-z0-9]", ""), 1, Q40BlockLen)
     dirty.withColumn("bk", blockKey(col("dirty_name")))
       .join(catalog.withColumn("bk", blockKey(col("clean_name"))), Seq("bk"))
       // distance projected ONCE before the filter references it — the

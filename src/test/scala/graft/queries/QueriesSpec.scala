@@ -662,6 +662,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q40 survives a single mega-block: every record still resolves exactly") {
+    import spark.implicits._
+    // worst-case blocking skew: EVERY name shares the block key "cus"
+    // (the Customer#NNN shape) — the entire candidate space lands in one
+    // block and the join must still complete and resolve correctly
+    val catalog = (0L until 200L)
+      .map(i => (f"customer#$i%06d", i)).toDF("clean_name", "entity_id")
+    val dirty = (0L until 200L)
+      .map(i => (i + 1000L, f"customer#$i%06dX")).toDF("record_id", "dirty_name")
+    val got = Relational.entityMatchFrame(dirty, catalog).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(4)))).toMap
+    assert(got.size === 200)
+    (0L until 200L).foreach { i =>
+      val (matched, d) = got(i + 1000L)
+      assert(matched === f"customer#$i%06d", s"record $i")
+      assert(d === 1)
+    }
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
