@@ -1383,6 +1383,56 @@ object Relational {
        |SELECT doc_id, n_chars, round(es_key * 1e6, 6) AS es_key_e6
        |FROM c ORDER BY es_key DESC, doc_id LIMIT $Q42K""".stripMargin
 
+  /** Q43: winsorized robust statistics — per event type, clip values at
+    * the exact [p1, p99] band and report the clip counts and the
+    * winsorized mean: the outlier-robust summary a metrics pipeline
+    * publishes when raw means are sensor-spike hostages (and the
+    * data-cleaning primitive behind learned-feature clipping). Exact
+    * percentiles (q24's parity: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both (n−1)p interpolation) broadcast back as a
+    * |event_type|-row dim; the winsorized mean runs through the m26
+    * micro-unit device — clamp(value) is the same IEEE expression in
+    * both engines, so its 1e-6-grid integer sum is order-independent
+    * and the twin hash-matches. One full scan + one bounded-dim
+    * broadcast join; no second pass.
+    */
+  def q43Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+    val clamped = least(greatest(col("value"), col("p01")), col("p99"))
+    Tables.events(s, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("p01"), col("p99"), col("value"),
+        round(clamped * 1000000).cast("long").as("cu"))
+      .groupBy(col("event_type"), col("p01"), col("p99"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("cu")).as("su"))
+      .select(col("event_type"), round(col("p01"), 6).as("p01"),
+        round(col("p99"), 6).as("p99"), col("n"), col("n_clip_lo"),
+        col("n_clip_hi"),
+        round((col("su") / lit(1000000.0)) / col("n"), 6).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val q43Sql: String =
+    """WITH st AS (
+      |  SELECT event_type, quantile_cont(value, 0.01) AS p01,
+      |         quantile_cont(value, 0.99) AS p99
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, round(p01, 6) AS p01, round(p99, 6) AS p99,
+      |  count(*) AS n,
+      |  count(*) FILTER (value < p01)::BIGINT AS n_clip_lo,
+      |  count(*) FILTER (value > p99)::BIGINT AS n_clip_hi,
+      |  round((sum(CAST(round(least(greatest(value, p01), p99) * 1000000)
+      |             AS BIGINT)) / 1000000.0) / count(*), 6) AS winsorized_mean
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY e.event_type, p01, p99 ORDER BY e.event_type""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1426,6 +1476,7 @@ object Relational {
     "q40_entity_match" -> (q40EntityMatch _),
     "q41_funnel" -> (q41Funnel _),
     "q42_weighted_sample" -> (q42WeightedSample _),
+    "q43_winsorize" -> (q43Winsorize _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1469,5 +1520,6 @@ object Relational {
     "q40_entity_match" -> q40Sql,
     "q41_funnel" -> q41Sql,
     "q42_weighted_sample" -> q42Sql,
+    "q43_winsorize" -> q43Sql,
   )
 }

@@ -681,6 +681,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 winsorized mean is robust: clip counts ~1% and mean within band") {
+    val rows = Relational.q43Winsorize(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(rows.map(_._1).toSet === raw.keySet)
+    rows.foreach { case (et, p01, p99, n, lo, hi, wmean) =>
+      val vs = raw(et).map(_._2)
+      assert(n === vs.length.toLong)
+      // percentile band: at most ~1% clipped each side (+1 interpolation slack)
+      assert(lo <= n / 100 + 1, s"$et clipped $lo low of $n")
+      assert(hi <= n / 100 + 1, s"$et clipped $hi high of $n")
+      assert(p01 <= p99 && wmean >= p01 - 1e-6 && wmean <= p99 + 1e-6)
+      // driver replay of the winsorized mean through the same micro grid
+      val exp = {
+        val sorted = vs.sorted
+        def pct(p: Double): Double = {
+          val rank = p * (sorted.length - 1)
+          val i = rank.toInt
+          if (i + 1 < sorted.length) sorted(i) + (rank - i) * (sorted(i + 1) - sorted(i))
+          else sorted(i)
+        }
+        val (a, b) = (pct(0.01), pct(0.99))
+        val su = vs.map(v => math.round(math.min(math.max(v, a), b) * 1000000)).sum
+        BigDecimal((su / 1000000.0) / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(math.abs(wmean - exp) < 1e-9, s"$et wmean $wmean vs $exp")
+    }
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
