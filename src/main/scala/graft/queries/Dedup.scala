@@ -1372,6 +1372,59 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** D18: signal-ensemble duplicate clusters — connected components over
+    * the UNION of the three lexical near-dup pair generators (d2 MinHash
+    * banding, d3 SimHash pigeonhole, d5 winnowing fingerprints). Each
+    * signal has a different blind spot (MinHash misses short docs whose
+    * bands all collide away, SimHash misses long docs with localized
+    * edits, winnowing misses reorderings); production dedup stacks union
+    * the candidate edges BEFORE clustering so one signal's recall hole
+    * doesn't split a cluster (d7 clusters a single signal's pairs — d18
+    * is the stack's actual shape). Output labels every clustered doc
+    * with its component's minimum id.
+    *
+    * Scale shape: the three generators' own documented sub-quadratic
+    * shapes, one distinct over (id1, id2) edges, then the d7
+    * alternating-star loop (one keyed shuffle + one released checkpoint
+    * per round). Twin: the three exact pair bases (each family's
+    * oracle, ORDER BY stripped, wrapped as subqueries) unioned and
+    * transitively closed by the d7 recursive CTE.
+    */
+  def d18EnsembleClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2"))
+      .unionByName(d3SimHashPairs(s, dir).select(col("id1"), col("id2")))
+      .unionByName(d5WinnowPairs(s, dir).select(col("id1"), col("id2")))
+      .distinct()
+    val (cp, _) = connectedComponentsWithRounds(pairs)
+    cp.df.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String = {
+    def strip(sql: String): String = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+    s"""WITH RECURSIVE base AS (
+       |  SELECT id1, id2 FROM (
+       |${strip(d2Sql)}
+       |  )
+       |  UNION SELECT id1, id2 FROM (
+       |${strip(d3Sql)}
+       |  )
+       |  UNION SELECT id1, id2 FROM (
+       |${strip(d5Sql)}
+       |  )
+       |), edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM base
+       |  UNION ALL
+       |  SELECT id2, id1 FROM base
+       |), reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -1390,6 +1443,7 @@ object Dedup {
     "d15_cluster_reps" -> (d15ClusterReps _),
     "d16_containment_pairs" -> (d16ContainmentPairs _),
     "d17_soft_weights" -> (d17SoftDedupWeights _),
+    "d18_ensemble_clusters" -> (d18EnsembleClusters _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1411,5 +1465,6 @@ object Dedup {
     "d15_cluster_reps" -> d15Sql,
     "d16_containment_pairs" -> d16Sql,
     "d17_soft_weights" -> d17Sql,
+    "d18_ensemble_clusters" -> d18Sql,
   )
 }

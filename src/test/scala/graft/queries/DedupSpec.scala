@@ -607,4 +607,31 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (id, c) => assert(math.abs(c - exp(id)) < 1e-6) }
     assert(got.nonEmpty, "threshold must bite on the fixture")
   }
+
+  test("d18 ensemble clusters refine-union the single-signal d7 clusters") {
+    import org.apache.spark.sql.functions.col
+    val ens = Dedup.d18EnsembleClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership: every endpoint of every signal's pair graph is clustered
+    val endpoints = (Dedup.d2MinHashPairs(spark, dir).select(col("id1"), col("id2")).collect() ++
+      Dedup.d3SimHashPairs(spark, dir).select(col("id1"), col("id2")).collect() ++
+      Dedup.d5WinnowPairs(spark, dir).select(col("id1"), col("id2")).collect())
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ens.keySet === endpoints)
+    // labels are canonical minima of their own component
+    ens.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl, s"cluster $lbl label not its min id")
+    }
+    // coarsening: the union graph can only MERGE d7's (d2-only) clusters,
+    // never split them — same d7 cluster ⇒ same d18 cluster
+    val d7 = Dedup.d7DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d7.groupBy(_._2).values.foreach { members =>
+      val ids = members.keys.toSeq
+      assert(ids.map(ens).distinct.size === 1,
+        s"d7 cluster ${ids.take(3)} split by the ensemble")
+    }
+    // and the extra signals genuinely contribute edges on the fixture
+    assert(ens.size >= d7.size)
+  }
 }
