@@ -346,6 +346,33 @@ class TopicsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer round-trip: BPE and unigram pieces always reassemble the word") {
+    // lossless-segmentation property over arbitrary words and merge
+    // tables: whatever merges apply, concatenating the pieces (minus the
+    // </w> boundary) must reproduce the input exactly — the integrity
+    // contract that lets a pipeline bill by tokens without ever storing
+    // the tokenized form
+    val corpus = Array(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L), ("unhug", 2L), ("gg", 7L), ("u", 3L))
+    val learned = Topics.bpeMerges(corpus, 6).map(m => (m._2, m._3)).toArray
+    val probe = Seq("hug", "pun", "bugs", "gnu", "unplugged", "x", "uggg")
+    probe.foreach { w =>
+      (0 to learned.length).foreach { k =>
+        val pieces = Topics.bpeEncode(w, learned.take(k))
+        assert(pieces.mkString.stripSuffix("</w>").replace("</w>", "") === w,
+          s"bpe($w, $k merges): $pieces")
+      }
+    }
+    // unigram segmentation round-trips too, incl. OOV chars
+    val uniWords = corpus.map { case (w, n) => (w, n) }
+    val trained = Topics.unigramTrain(uniWords)
+    val tot = math.max(1L, trained.map(_._2).sum).toDouble
+    val probs = trained.map { case (p, u, _) => p -> math.max(u / tot, 1e-12) }.toMap
+    probe.foreach { w =>
+      assert(Topics.unigramSegment(w, probs).mkString === w, s"unigram($w)")
+    }
+  }
+
   test("m13 on the fixture: word counts match tokenize, token counts bounded and monotone") {
     val out = Topics.m13BpeEncode(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
