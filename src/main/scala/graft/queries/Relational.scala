@@ -1433,6 +1433,62 @@ object Relational {
       |FROM events e JOIN st USING (event_type)
       |GROUP BY e.event_type, p01, p99 ORDER BY e.event_type""".stripMargin
 
+  /** Q44: per-group OLS trend — for each event type, the least-squares
+    * slope of value over time (cents/day) and the fit's R²: the trend
+    * line every dashboard overlays and the drift detector's linear
+    * sibling (w13 flags spikes; q44 quantifies sustained direction).
+    * Closed form from five EXACT integer sums — x = epoch day, y =
+    * cents, Σx, Σy, Σxy, Σx², Σy² all map-side-combined BIGINTs (one
+    * pass, one |groups|-row aggregate), so the slope numerator
+    * n·Σxy − Σx·Σy is exact integer arithmetic in both engines before
+    * the single double division, and R² squares the same exact factors
+    * after one deterministic int→double conversion. Magnitudes: at the
+    * fixture's 10⁴ rows/group the factors sit near 10¹⁶ — inside
+    * Long; a 100 TB deployment groups by finer windows first (w1) or
+    * widens the sums to DECIMAL, the documented trade.
+    */
+  def q44TrendOls(s: SparkSession, dir: String): DataFrame = {
+    val x = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val y = round(col("value") * 100).cast("long")
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+    val agg = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("event_type"), col("n"),
+      round(num / denX.cast("double"), 6).as("slope_cents_per_day"),
+      round((num.cast("double") * num.cast("double")) /
+        (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q44Sql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |), a AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+      |    AS slope_cents_per_day,
+      |  round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+      |        / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |    AS r2
+      |FROM a ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1477,6 +1533,7 @@ object Relational {
     "q41_funnel" -> (q41Funnel _),
     "q42_weighted_sample" -> (q42WeightedSample _),
     "q43_winsorize" -> (q43Winsorize _),
+    "q44_trend_ols" -> (q44TrendOls _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1521,5 +1578,6 @@ object Relational {
     "q41_funnel" -> q41Sql,
     "q42_weighted_sample" -> q42Sql,
     "q43_winsorize" -> q43Sql,
+    "q44_trend_ols" -> q44Sql,
   )
 }

@@ -714,6 +714,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q44 OLS slope/R2 match a driver-side regression; R2 in [0,1]") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long"),
+        round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Relational.q44TrendOls(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val num = n * sxy - sx * sy
+      val slope = num / (n * sxx - sx * sx).toDouble
+      val r2 = (num.toDouble * num.toDouble) /
+        ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      val (gn, gs, gr) = got(et)
+      assert(gn === n)
+      assert(math.abs(gs - BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(gr - BigDecimal(r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(gr >= 0.0 && gr <= 1.0, s"$et r2=$gr")
+    }
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
