@@ -1489,6 +1489,71 @@ object Relational {
       |    AS r2
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** Q45: two-proportion A/B z-test — split users into arms by the
+    * stable user_id parity (the deterministic stand-in for an
+    * experiment assignment), measure a per-user binary outcome, and
+    * report the pooled two-proportion z statistic: the experimentation
+    * readout every product pipeline computes, and the statistical-test
+    * primitive the engine was missing next to q33's PSI (distribution
+    * drift) and w13's z-flags (volume anomalies). The outcome is
+    * "more purchases than signups" — a comparison of two per-user
+    * counts, so its base rate sits near ½ at EVERY fixture scale
+    * (any has-an-event flag saturates to 1 on a dense event stream and
+    * degenerates the test — measured: all 150 sf0.01 users have
+    * purchases). One pass: per-user counts (map-side combined), then a
+    * 2-row arm aggregate; z is a single IEEE expression over exact
+    * integer counts, identical in both engines — hash-twinned, with a
+    * null z when the pooled variance is zero (both sides guard alike).
+    */
+  def q45AbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)))
+        .cast("long").as("converted"))
+    val arms = perUser
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("c").as("c_b"))
+    val pa = col("c_a") / col("n_a")
+    val pb = col("c_b") / col("n_b")
+    val pp = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.crossJoin(b)
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(pb - pa, 6).as("lift"),
+        when(se > 0, round((pb - pa) / se, 6)).as("z"))
+  }
+
+  val q45Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+      |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS converted
+      |  FROM events GROUP BY 1
+      |), arms AS (
+      |  SELECT user_id % 2 AS arm, count(*)::BIGINT AS n,
+      |    sum(converted)::BIGINT AS c
+      |  FROM pu GROUP BY 1
+      |), a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE arm = 0),
+      |b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE arm = 1)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  round(c_a / n_a, 6) AS p_a, round(c_b / n_b, 6) AS p_b,
+      |  round(c_b / n_b - c_a / n_a, 6) AS lift,
+      |  CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)) * (1.0 - (c_a + c_b) / (n_a + n_b))
+      |                 * (1.0 / n_a + 1.0 / n_b)) > 0
+      |       THEN round((c_b / n_b - c_a / n_a)
+      |         / sqrt(((c_a + c_b) / (n_a + n_b)) * (1.0 - (c_a + c_b) / (n_a + n_b))
+      |                * (1.0 / n_a + 1.0 / n_b)), 6)
+      |       END AS z
+      |FROM a, b""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1534,6 +1599,7 @@ object Relational {
     "q42_weighted_sample" -> (q42WeightedSample _),
     "q43_winsorize" -> (q43Winsorize _),
     "q44_trend_ols" -> (q44TrendOls _),
+    "q45_ab_test" -> (q45AbTest _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1579,5 +1645,6 @@ object Relational {
     "q42_weighted_sample" -> q42Sql,
     "q43_winsorize" -> q43Sql,
     "q44_trend_ols" -> q44Sql,
+    "q45_ab_test" -> q45Sql,
   )
 }

@@ -741,6 +741,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 A/B z-test matches a driver-side computation and stays finite") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val conv = ev.groupBy(_._1).map { case (u, es) =>
+      u -> (es.count(_._2 == "purchase") > es.count(_._2 == "signup"))
+    }
+    val (na, ca) = (conv.count(_._1 % 2 == 0),
+      conv.count(kv => kv._1 % 2 == 0 && kv._2))
+    val (nb, cb) = (conv.count(_._1 % 2 == 1),
+      conv.count(kv => kv._1 % 2 == 1 && kv._2))
+    val row = Relational.q45AbTest(spark, dir).collect().head
+    assert(row.getLong(0) === na.toLong && row.getLong(1) === ca.toLong)
+    assert(row.getLong(2) === nb.toLong && row.getLong(3) === cb.toLong)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pb - pa) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(7) - BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // the outcome metric is non-degenerate on the fixture (the reason
+    // it compares two counts instead of a saturating has-event flag)
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb)
+    assert(!row.isNullAt(7) && !row.getDouble(7).isNaN)
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
