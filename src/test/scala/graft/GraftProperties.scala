@@ -144,4 +144,24 @@ object GraftProperties extends Properties("graft") {
         (((packed >> j) & 1L) == 1L) == (s >= 0)
       }
     }
+
+  property("activity run-length stats are consistent for any flag sequence") =
+    forAll(Gen.listOf(Gen.oneOf(true, false))) { flags =>
+      // driver replay of mm8's runStats invariants without exposing it:
+      // longest quiet run computed two independent ways must agree
+      var cur = 0L; var best = 0L; var active = 0L
+      flags.foreach { a =>
+        if (a) { active += 1; cur = 0 } else { cur += 1; best = math.max(best, cur) }
+      }
+      // gaps-and-islands replay (the mm8 oracle's device): consecutive
+      // inactive positions share i − rank-among-inactive
+      val byGroups = {
+        val keys = flags.zipWithIndex.collect {
+          case (false, i) => i - flags.take(i).count(x => !x)
+        }
+        if (keys.isEmpty) 0L
+        else keys.groupBy(identity).values.map(_.size).max.toLong
+      }
+      active + flags.count(!_) == flags.length && best == byGroups
+    }
 }
