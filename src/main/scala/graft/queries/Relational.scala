@@ -1554,6 +1554,53 @@ object Relational {
       |       END AS z
       |FROM a, b""".stripMargin
 
+  /** Q46: clickstream transition matrix — per user, order events by
+    * time and count consecutive (from → to) event-type pairs, then the
+    * conditional transition probability per source state: the
+    * first-order Markov model behind "what do users do after X"
+    * analyses, next-event prediction baselines, and funnel discovery
+    * (q41 checks ONE ordered path; q46 measures them all). The lead
+    * window is partitioned per user (at 100 TB partition by
+    * (user, session) via q21 first — a power user's full history in
+    * one window partition is the documented bound); the transition
+    * aggregate and the per-source totals are exact integer counts,
+    * with the single probability division at the end — hash-twinned.
+    */
+  def q46Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q46Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n_transitions
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), t AS (
+      |  SELECT from_type, sum(n_transitions) AS tot FROM c GROUP BY 1
+      |)
+      |SELECT from_type, to_type, n_transitions,
+      |  round(n_transitions / tot::DOUBLE, 6) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_by_date" -> (q2TopKByDate _),
@@ -1600,6 +1647,7 @@ object Relational {
     "q43_winsorize" -> (q43Winsorize _),
     "q44_trend_ols" -> (q44TrendOls _),
     "q45_ab_test" -> (q45AbTest _),
+    "q46_transitions" -> (q46Transitions _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1646,5 +1694,6 @@ object Relational {
     "q43_winsorize" -> q43Sql,
     "q44_trend_ols" -> q44Sql,
     "q45_ab_test" -> q45Sql,
+    "q46_transitions" -> q46Sql,
   )
 }

@@ -766,6 +766,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(!row.isNullAt(7) && !row.getDouble(7).isNaN)
   }
 
+  test("q46 transition matrix matches a driver replay; rows are distributions") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Relational.q46Transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, n) => assert(got(k)._1 === n, s"pair $k") }
+    // each from-state's probabilities sum to ~1 (a proper distribution)
+    got.toSeq.groupBy(_._1._1).foreach { case (from, rows) =>
+      val s = rows.map(_._2._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$from row sums to $s")
+    }
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
