@@ -370,12 +370,81 @@ object Extraction {
        |    x -> x.tlen::BIGINT)), (a, x) -> a + x) AS boiler_chars
        |FROM blocks ORDER BY doc_id""".stripMargin
 
+  /** X6: sitemap-INDEX recursion + politeness fetch plan — the level
+    * above x1: real sites ship a `<sitemapindex>` of per-section
+    * sitemaps, and the crawler must parse the index, fan out to each
+    * child sitemap, parse ITS `<loc>` entries, and schedule fetches
+    * under the domain's crawl delay (x4's directive). Following the
+    * x1/x2 doctrine both levels are synthesized from fixture fields
+    * (one child sitemap per source, one URL per document) and the REAL
+    * operators run distributed: both parse levels are the native
+    * single-scan `xml_fields` `loc[]` all-occurrences mode, the
+    * per-domain sequence is a posexplode ordinal (no window — document
+    * order IS the sitemap's), and the schedule offset is
+    * seq · crawl_delay. Scale note: the sitemap protocol itself caps a
+    * file at 50k URLs, so the per-source assembled string and its
+    * parse are bounded BY SPEC — the fan-out across sitemaps is where
+    * the data grows, and that's the exploded, embarrassingly parallel
+    * axis.
+    */
+  def x6SitemapIndex(s: SparkSession, dir: String): DataFrame = {
+    // level 0: the index document (one row), listing every child sitemap
+    val index = Tables.documents(s, dir)
+      .select(col("source")).distinct()
+      .agg(concat(lit("<sitemapindex>"),
+        concat_ws("", array_sort(collect_list(concat(
+          lit("<sitemap><loc>https://"), col("source"),
+          lit(".example.com/sitemap.xml</loc></sitemap>"))))),
+        lit("</sitemapindex>")).as("xml"))
+    val children = index
+      .select(explode(expr("xml_fields(xml, 'loc[]').c0")).as("sitemap_url"))
+      .select(col("sitemap_url"),
+        regexp_extract(col("sitemap_url"), "https://([a-z0-9]+)\\.", 1).as("source"))
+    // level 1: each child sitemap's body, assembled per source in doc order
+    val bodies = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(concat(lit("<urlset>"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id")))),
+          x => concat(lit("<url><loc>https://"), col("source"),
+            lit(".example.com/news/"), x.getField("doc_id").cast("string"),
+            lit("</loc></url>")))),
+        lit("</urlset>")).as("xml"))
+    val urls = children.join(bodies, Seq("source"))
+      .select(col("source"), col("sitemap_url"),
+        posexplode(expr("xml_fields(xml, 'loc[]').c0")).as(Seq("i", "url")))
+    val delay = (lit(2) + length(col("source")) % 5).cast("long")
+    urls.select(col("source"), col("sitemap_url"),
+      (col("i") + 1).cast("long").as("seq"), col("url"),
+      delay.as("crawl_delay"),
+      ((col("i") + 1) * delay).as("offset_s"))
+      .orderBy(col("source"), col("seq"))
+  }
+
+  val x6Sql: String =
+    """WITH bodies AS (
+      |  SELECT source,
+      |    string_agg('https://' || source || '.example.com/news/' || doc_id,
+      |               chr(10) ORDER BY doc_id) AS locs
+      |  FROM documents GROUP BY 1
+      |), urls AS (
+      |  SELECT source, 'https://' || source || '.example.com/sitemap.xml' AS sitemap_url,
+      |    unnest(string_split(locs, chr(10))) AS url,
+      |    generate_subscripts(string_split(locs, chr(10)), 1) AS seq
+      |  FROM bodies
+      |)
+      |SELECT source, sitemap_url, CAST(seq AS BIGINT) AS seq, url,
+      |  (2 + length(source) % 5)::BIGINT AS crawl_delay,
+      |  (seq * (2 + length(source) % 5))::BIGINT AS offset_s
+      |FROM urls ORDER BY source, seq""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "x1_sitemap_parse" -> (x1SitemapParse _),
     "x2_html_extract" -> (x2HtmlExtract _),
     "x3_url_canonical" -> (x3UrlCanonical _),
     "x4_robots_filter" -> (x4RobotsFilter _),
     "x5_main_content" -> (x5MainContent _),
+    "x6_sitemap_index" -> (x6SitemapIndex _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -384,5 +453,6 @@ object Extraction {
     "x3_url_canonical" -> x3Sql,
     "x4_robots_filter" -> x4Sql,
     "x5_main_content" -> x5Sql,
+    "x6_sitemap_index" -> x6Sql,
   )
 }

@@ -787,6 +787,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x6 sitemap recursion covers every doc once with a contiguous schedule") {
+    val rows = Extraction.x6SitemapIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val docBySource = Tables.documents(spark, dir).select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(rows.map(_._1).toSet === docBySource.keySet)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // one URL per document, sequenced 1..n in doc_id order
+      assert(rs.length === docBySource(src).length)
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+      val urls = rs.sortBy(_._3).map(_._4)
+      val expUrls = docBySource(src).map(_._2).sorted
+        .map(id => s"https://$src.example.com/news/$id")
+      assert(urls.toSeq === expUrls.toSeq)
+      // politeness: offset = seq * crawl_delay, delay per x4's formula
+      val d = 2L + src.length % 5
+      rs.foreach { r => assert(r._5 === d && r._6 === r._3 * d) }
+      assert(rs.head._2 === s"https://$src.example.com/sitemap.xml")
+    }
+  }
+
   test("q41 funnel matches a driver-side replay and shrinks monotonically") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
