@@ -129,8 +129,15 @@ object Bench {
         .map { case (k, (lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // state BOTH totals in the artifact: the headline warm total (the
+    // designed steady state) and the total with each artifact-backed
+    // query's cold time substituted in — so baseline comparisons can't
+    // quietly ignore the one-off model-fit cost (round-9 advice #8)
+    val coldMap = coldResults.toMap
+    val totalWithCold = results
+      .map { case (n, v) => coldMap.getOrElse(n, v) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cold$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_with_cold":$totalWithCold,"queries":$qs,"cold_queries":$cold$spreadJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's log tail truncates long stdout — persist the full
     // per-query map verbatim so every round's timings stay adjudicable

@@ -399,7 +399,10 @@ object Extraction {
     val children = index
       .select(explode(expr("xml_fields(xml, 'loc[]').c0")).as("sitemap_url"))
       .select(col("sitemap_url"),
-        regexp_extract(col("sitemap_url"), "https://([a-z0-9]+)\\.", 1).as("source"))
+        // [^.]+ (not [a-z0-9]+): a source containing '-', '_' or mixed
+        // case must round-trip through the URL without truncating the
+        // join key — everything up to the first label dot IS the source.
+        regexp_extract(col("sitemap_url"), "https://([^.]+)\\.", 1).as("source"))
     // level 1: each child sitemap's body, assembled per source in doc order
     val bodies = Tables.documents(s, dir)
       .groupBy(col("source"))

@@ -374,13 +374,182 @@ object Graph {
     (state.df.select(col("id"), col("auth").as("authority"), col("hub")), it)
   }
 
+  // g2b fixed-point parameters: same 1e-12 mass grid as g1b; the round
+  // count is FIXED so the iteration is hash-twinnable (g1b's doctrine,
+  // applied to the HITS family per the round-9 verdict).
+  val G2bRounds = 10
+
+  /** G2B: the hash-twinned HITS variant — g1b's doctrine applied to the
+    * hub/authority family, closing the last rows-only iterative-graph
+    * operator. Same ε-reset mixture shape as g2 but on an integer mass
+    * grid of [[G1bScale]]⁻¹ with floor division everywhere, over a
+    * skew graph built integer-exactly: dst = x² div n for
+    * x = (id·mult + add) mod n (in-link density ∝ rank^(-1/2) — the
+    * same Zipf-ish skew g2's u³ double formula plants, without the
+    * doubles), plus a ring edge (id+1 mod n) so every node has BOTH
+    * out-degree ≥ 1 and in-degree ≥ 1 — no dangling-mass terms, and
+    * each half-round is EXACTLY one keyed equi-join + one map-side-
+    * combined integer sum in both engines:
+    * {{{
+    *   a'(j) = εbase + (85 · Σ_{i→j} (h(i)  div odeg(i))) div 100
+    *   h'(i) = εbase + (85 · Σ_{i→j} (a'(j) div ideg(j))) div 100
+    * }}}
+    * with εbase = (15·Scale div 100) div n (ε = [[HitsReset]] as a
+    * 85/100 integer mixture). Integer sums are exact and order-
+    * independent, so shuffle order cannot diverge between engines; the
+    * twin is [[G2bRounds]] unrolled CTE pairs of the identical
+    * expression and matches bit-for-bit. Overflow bounds: Σh ≤ Scale
+    * = 1e12 so 85·sum ≤ 8.5e13 ≪ 2⁶³ (DuckDB's HUGEINT sum is CAST
+    * back per g1b); the edge formula needs x² < 2⁶³, i.e. n ≲ 3e9
+    * nodes — beyond that, widen to a two-limb square, noted here so
+    * the bound is explicit. g2 (convergence-terminated randomized
+    * HITS) remains the declared scale path; g2b is its exact gate
+    * twin. Loop discipline is g1b's: static edge/degree tables
+    * checkpointed once, one final materialization job, pins released.
+    */
+  def g2bHitsFixed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    def sqDst(mult: Long, add: Long) =
+      expr(s"(((id * $mult + $add) % $n) * ((id * $mult + $add) % $n)) DIV $n")
+    val edges = docs.select(col("id").as("src"),
+      explode(array(sqDst(2654435761L, 1), sqDst(40503L, 7),
+        sqDst(99991L, 13), expr(s"(id + 1) % $n"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val eEdges = Checkpoints.eager(edges)
+    val odeg = Checkpoints.eager(
+      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val ideg = Checkpoints.eager(
+      eEdges.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")))
+    val epsBase = (15L * G1bScale / 100L) / n
+    var hubs = docs.select(col("id"), lit(G1bScale / n).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to G2bRounds) {
+      auths = eEdges.df
+        .join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
+        .join(odeg.df, Seq("src"))
+        .select(col("dst").as("id"), expr("h DIV odeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .select(col("id"), (lit(epsBase) + expr("(85 * s) DIV 100")).as("a"))
+      hubs = eEdges.df
+        .join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .join(ideg.df, Seq("dst"))
+        .select(col("src").as("id"), expr("a DIV ideg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .select(col("id"), (lit(epsBase) + expr("(85 * s) DIV 100")).as("h"))
+    }
+    val fin = Checkpoints.eager(hubs.join(auths, Seq("id")))
+    eEdges.release(); odeg.release(); ideg.release()
+    fin.df.select(col("id").as("doc_id"), col("a").as("auth_e12"),
+        col("h").as("hub_e12"))
+      .orderBy(col("auth_e12").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** The g2b twin: [[G2bRounds]] unrolled a/h CTE pairs of the identical
+    * fixed-point half-rounds (final CAST pins DuckDB's HUGEINT sums back
+    * to BIGINT, the g1b precedent). Every CTE is `AS MATERIALIZED`:
+    * DuckDB inlines plain CTEs, and a CTE chain where round i references
+    * round i−1 AND the static edge/degree tables compounds to ~3^rounds
+    * copies of the edge derivation once inlined — measured 369 s at
+    * sf0.01 un-materialized vs sub-second materialized. Spark's side
+    * needs no such hint (the loop checkpoints the statics once).
+    */
+  val g2bSql: String = {
+    val eps = s"(15 * $G1bScale // 100) // (SELECT n FROM nn)"
+    val rounds = (1 to G2bRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT e.dst AS id,
+         |    $eps + (85 * sum(h.h // d.odeg)) // 100 AS a
+         |  FROM h${i - 1} h JOIN edges e ON e.src = h.id
+         |    JOIN odeg d ON d.src = h.id
+         |  GROUP BY e.dst
+         |),
+         |h$i AS MATERIALIZED (
+         |  SELECT e.src AS id,
+         |    $eps + (85 * sum(a.a // d.ideg)) // 100 AS h
+         |  FROM a$i a JOIN edges e ON e.dst = a.id
+         |    JOIN ideg d ON d.dst = a.id
+         |  GROUP BY e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+       |x AS (
+       |  SELECT doc_id AS src,
+       |    (doc_id * 2654435761 + 1) % (SELECT n FROM nn) AS x1,
+       |    (doc_id * 40503 + 7) % (SELECT n FROM nn) AS x2,
+       |    (doc_id * 99991 + 13) % (SELECT n FROM nn) AS x3
+       |  FROM documents
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, (x1 * x1) // (SELECT n FROM nn) AS dst FROM x
+       |    UNION ALL SELECT src, (x2 * x2) // (SELECT n FROM nn) FROM x
+       |    UNION ALL SELECT src, (x3 * x3) // (SELECT n FROM nn) FROM x
+       |    UNION ALL SELECT src, (src + 1) % (SELECT n FROM nn) FROM x
+       |  ) WHERE src <> dst
+       |),
+       |odeg AS MATERIALIZED (
+       |  SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+       |ideg AS MATERIALIZED (
+       |  SELECT dst, count(*)::BIGINT AS ideg FROM edges GROUP BY dst),
+       |h0 AS MATERIALIZED (SELECT doc_id AS id,
+       |       $G1bScale // (SELECT n FROM nn) AS h FROM documents),
+       |$rounds
+       |SELECT a.id AS doc_id, CAST(a.a AS BIGINT) AS auth_e12,
+       |  CAST(h.h AS BIGINT) AS hub_e12
+       |FROM a$G2bRounds a JOIN h$G2bRounds h ON h.id = a.id
+       |ORDER BY auth_e12 DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   // g3 planted-partition parameters: K interleaved communities (block r
   // holds ids ≡ r mod K) with three intra-block affine edges per node
   // incl. a block ring, so each block is connected and blocks never
-  // touch — the ground truth LPA must recover. Pure integer arithmetic
-  // (DIV / %) and a fixed round count make every round hash-twinnable.
+  // touch — labels can only ever merge WITHIN a block. Pure integer
+  // arithmetic (DIV / %) and a fixed round count make every round
+  // hash-twinnable.
   val G3K = 16
   val G3Rounds = 6
+
+  /** Planted-partition out-edge synthesis shared by g3/g4 — ONE
+    * definition on the Spark side (the twins share the matching
+    * [[PlantedSqlCtes]] fragment), so a constant tweak cannot
+    * desynchronize the two operators or their oracles. Blocks are
+    * id ≡ r (mod [[G3K]]); within block r of size m the node with
+    * in-block index q emits edges to indices (7q+1) % m, (13q+3) % m
+    * and the block ring (q+1) % m. Self-loops dropped; callers
+    * symmetrize / de-duplicate as their operator needs.
+    */
+  private[queries] def plantedOut(docs: DataFrame, n: Long): DataFrame = {
+    val k = G3K
+    val base = docs.select(col("id"),
+      (col("id") % k).as("r"),
+      expr(s"id DIV $k").as("q"),
+      (expr(s"($n - 1 - (id % $k)) DIV $k") + lit(1L)).as("m"))
+    base.select(col("id").as("src"), explode(array(
+      col("r") + lit(k) * ((col("q") * 7 + 1) % col("m")),
+      col("r") + lit(k) * ((col("q") * 13 + 3) % col("m")),
+      col("r") + lit(k) * ((col("q") + 1) % col("m")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** The twin-side mirror of [[plantedOut]]: `nn`/`b`/`e0` CTEs emitted
+    * once and spliced into BOTH g3Sql and g4Sql, so the SQL edge
+    * synthesis has a single source of truth like the Spark side.
+    */
+  private[queries] val PlantedSqlCtes: String =
+    s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |b AS (
+       |  SELECT doc_id AS id, doc_id % $G3K AS r, doc_id // $G3K AS q,
+       |    ((SELECT n FROM nn) - 1 - doc_id % $G3K) // $G3K + 1 AS m
+       |  FROM documents
+       |),
+       |e0 AS (
+       |  SELECT id AS src, r + $G3K * ((q * 7 + 1) % m) AS dst FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q * 13 + 3) % m) FROM b
+       |  UNION ALL SELECT id, r + $G3K * ((q + 1) % m) FROM b
+       |)""".stripMargin
 
   /** G3: community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara 2007) — the third frontier signal after g1/g2: a
@@ -393,13 +562,18 @@ object Graph {
     * matches hash-exactly — the g1b doctrine applied to a second
     * iterative-graph operator.
     *
-    * The fixture graph is a planted partition: [[G3K]] communities
-    * interleaved by id mod K, each internally connected by three affine
-    * intra-block edges (incl. a block ring) and with NO inter-block
-    * edges, so the expected answer is exactly K communities labelled by
-    * each block's minimum id (0..K−1) — which the spec pins. Edges are
-    * symmetrized, so every node has in-degree ≥ 1 and the per-round
-    * inner join covers all n nodes (no keep-old-label outer path).
+    * The fixture graph is a planted partition ([[plantedOut]]): [[G3K]]
+    * blocks interleaved by id mod K, each internally connected and with
+    * NO inter-block edges — so every label a node can ever hold belongs
+    * to its own block, and communities only merge within blocks. A
+    * fixed [[G3Rounds]]-round run is a deterministic PREFIX of
+    * convergence, not convergence itself: labels spread ~1 hop per
+    * round, so blocks of hundreds of nodes still hold several
+    * communities after 6 rounds (the fixture yields more than K — the
+    * spec pins the in-block invariant, partition totality, and
+    * determinism, not a terminal K). Edges are symmetrized, so every
+    * node has in-degree ≥ 1 and the per-round inner join covers all n
+    * nodes (no keep-old-label outer path).
     *
     * Scale shape per round: one keyed equi-join edges⋈labels on src
     * (labels are (id, lbl) longs — text never enters the loop) + two
@@ -412,18 +586,7 @@ object Graph {
   def g3LabelProp(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
     val n = docs.count()
-    val k = G3K
-    // block-local coordinates: r = community, q = index within block,
-    // m = block size (blocks are id ≡ r mod K, so m = ((n−1−r) div K)+1)
-    val base = docs.select(col("id"),
-      (col("id") % k).as("r"),
-      expr(s"id DIV $k").as("q"),
-      (expr(s"($n - 1 - (id % $k)) DIV $k") + lit(1L)).as("m"))
-    val out = base.select(col("id").as("src"), explode(array(
-      col("r") + lit(k) * ((col("q") * 7 + 1) % col("m")),
-      col("r") + lit(k) * ((col("q") * 13 + 3) % col("m")),
-      col("r") + lit(k) * ((col("q") + 1) % col("m")))).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val out = plantedOut(docs, n)
     val eEdges = Checkpoints.eager(
       out.union(out.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
@@ -474,17 +637,7 @@ object Graph {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-       |b AS (
-       |  SELECT doc_id AS id, doc_id % $G3K AS r, doc_id // $G3K AS q,
-       |    ((SELECT n FROM nn) - 1 - doc_id % $G3K) // $G3K + 1 AS m
-       |  FROM documents
-       |),
-       |e0 AS (
-       |  SELECT id AS src, r + $G3K * ((q * 7 + 1) % m) AS dst FROM b
-       |  UNION ALL SELECT id, r + $G3K * ((q * 13 + 3) % m) FROM b
-       |  UNION ALL SELECT id, r + $G3K * ((q + 1) % m) FROM b
-       |),
+    s"""WITH $PlantedSqlCtes,
        |edges AS (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM e0 WHERE src <> dst
@@ -521,16 +674,7 @@ object Graph {
   def g4Triangles(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
     val n = docs.count()
-    val k = G3K
-    val base = docs.select(col("id"),
-      (col("id") % k).as("r"),
-      expr(s"id DIV $k").as("q"),
-      (expr(s"($n - 1 - (id % $k)) DIV $k") + lit(1L)).as("m"))
-    val out = base.select(col("id").as("src"), explode(array(
-      col("r") + lit(k) * ((col("q") * 7 + 1) % col("m")),
-      col("r") + lit(k) * ((col("q") * 13 + 3) % col("m")),
-      col("r") + lit(k) * ((col("q") + 1) % col("m")))).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val out = plantedOut(docs, n)
     // undirected edge set, one row per unordered pair (u < v)
     val und = out.select(least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v")).distinct().cache()
@@ -582,17 +726,7 @@ object Graph {
       .filter(col("b") < col("c"))
 
   val g4Sql: String =
-    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-       |b AS (
-       |  SELECT doc_id AS id, doc_id % $G3K AS r, doc_id // $G3K AS q,
-       |    ((SELECT n FROM nn) - 1 - doc_id % $G3K) // $G3K + 1 AS m
-       |  FROM documents
-       |),
-       |e0 AS (
-       |  SELECT id AS src, r + $G3K * ((q * 7 + 1) % m) AS dst FROM b
-       |  UNION ALL SELECT id, r + $G3K * ((q * 13 + 3) % m) FROM b
-       |  UNION ALL SELECT id, r + $G3K * ((q + 1) % m) FROM b
-       |),
+    s"""WITH $PlantedSqlCtes,
        |und AS (
        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM e0 WHERE src <> dst
@@ -630,12 +764,14 @@ object Graph {
     "g1_pagerank" -> (g1PageRank _),
     "g1b_pagerank_fixed" -> (g1bPageRankFixed _),
     "g2_hits" -> (g2Hits _),
+    "g2b_hits_fixed" -> (g2bHitsFixed _),
     "g3_label_prop" -> (g3LabelProp _),
     "g4_triangles" -> (g4Triangles _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "g1b_pagerank_fixed" -> g1bSql,
+    "g2b_hits_fixed" -> g2bSql,
     "g3_label_prop" -> g3Sql,
     "g4_triangles" -> g4Sql,
   )

@@ -1173,7 +1173,7 @@ object Relational {
   val q39Sql: String =
     """SELECT CAST(ts AS DATE) AS day, event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |  round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
       |        / count(*), 6) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin

@@ -1323,7 +1323,7 @@ object Text {
        |), co AS (
        |  SELECT doc_id, w,
        |    ln(1.0 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
-       |      * ((tf * ${T33K1 + 1}) / (tf + $T33K1 *
+       |      * ((tf * CAST(${T33K1 + 1} AS DOUBLE)) / (tf + $T33K1 *
        |          (${1 - T33B} + $T33B * (dl / (SELECT avgdl FROM nn))))) AS c
        |  FROM tf JOIN df USING (w)
        |)

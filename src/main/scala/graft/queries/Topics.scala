@@ -863,6 +863,208 @@ object Topics {
       .orderBy(col("doc_id"))
   }
 
+  // m24b fixed-point parameters: log-probs live on an integer grid of
+  // 1e-6 nats (floor, not round — Java Math.round is half-up while
+  // DuckDB round() is half-away-from-zero, and log-probs are negative,
+  // so the two HALVE differently; floor is identical everywhere), and
+  // out-of-vocab single chars cost a flat −1e15 — large enough that no
+  // sum of in-vocab pieces can ever beat skipping a fallback.
+  val UniIlpScale = 1000000L
+  val UniFallbackIlp = -1000000000000000L
+
+  /** The SEED unigram model on the integer log-prob grid — the
+    * deterministic, SQL-derivable first step of [[unigramTrain]]
+    * (substring mass of the top-[[MaxWords]] words, capped to the top
+    * [[UniSeed]] pieces plus the single-char coverage floor), with
+    * ilp(p) = floor(ln(mass_p / Σmass) · [[UniIlpScale]]).
+    */
+  private[queries] def unigramSeedIlp(words: Array[(String, Long)])
+      : Map[String, Long] = {
+    val mass = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(UniMaxPiece, w.length - i))
+      mass.updateWith(w.substring(i, i + l)) {
+        prev => Some(prev.getOrElse(0L) + c) }
+    val chars = mass.keysIterator.filter(_.length == 1).toSet
+    val seed = mass.toSeq.sortBy { case (p, m) => (-m, p) }
+      .take(UniSeed).map(_._1).toSet ++ chars
+    val tot = seed.toSeq.map(mass).sum.toDouble
+    seed.iterator
+      .map(p => p -> math.floor(
+        math.log(mass(p) / tot) * UniIlpScale).toLong)
+      .toMap
+  }
+
+  /** Integer-grid Viterbi piece COUNT for `word`: the [[unigramSegment]]
+    * DP with Long scores (exact comparisons — no float ties) and the
+    * same tie rule (equal score → longer last piece). Missing pieces of
+    * length 1 fall back to [[UniFallbackIlp]]; longer missing pieces
+    * are skipped.
+    */
+  private[queries] def unigramCountInt(word: String,
+      ilp: Map[String, Long]): Int = {
+    val n = word.length
+    if (n == 0) return 0
+    val best = new Array[Long](n + 1)
+    val cnt = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, 1, n + 1, Long.MinValue)
+    var i = 1
+    while (i <= n) {
+      var l = math.min(i, UniMaxPiece)
+      while (l >= 1) { // longer pieces first win exact ties
+        val lp = ilp.get(word.substring(i - l, i)) match {
+          case Some(v) => v
+          case None => if (l == 1) UniFallbackIlp else Long.MinValue
+        }
+        if (lp != Long.MinValue && best(i - l) != Long.MinValue) {
+          val cand = best(i - l) + lp
+          if (cand > best(i)) { best(i) = cand; cnt(i) = cnt(i - l) + 1 }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    cnt(n)
+  }
+
+  /** M24B: the hash-twinned unigram-encode variant — the g1b/d10
+    * doctrine applied to the tokenizer family: m24 (encoding under the
+    * EM-trained m23 vocabulary) stays the declared path with spec
+    * coverage, and m24b runs the IDENTICAL Viterbi encode operator
+    * under the SEED model ([[unigramSeedIlp]] — deterministic substring
+    * mass, no EM), which DuckDB can re-derive from the parquet tables,
+    * so the encode machinery itself (DP, tie rule, OOV fallback,
+    * per-doc counts) gets a bit-exact gate row instead of rows-only.
+    *
+    * Exactness: log-probs are floor-quantized onto the 1e-6-nat integer
+    * grid, so every DP comparison is a Long comparison — no float ties,
+    * no accumulation-order sensitivity; the one transcendental (ln of a
+    * mass ratio) is computed once per vocab piece in both engines (the
+    * m11/m19/m25 precedent) and a 1-ulp divergence only matters if
+    * ln·1e6 lands within an ulp of an integer, which the 6-dp grid makes
+    * astronomically unlikely on any fixture. The twin's Viterbi is a
+    * recursive CTE over word positions carrying (scores, counts) lists,
+    * with the (score, length) argmax packed into one BIGINT
+    * ((score+2e17)·8+l — the offset keeps the packing positive, the ·8
+    * gap keeps score dominant over the ≤6 length tie-break).
+    *
+    * 100 TB shape = m24's: vocab is bounded ([[UniSeed]]+chars rows,
+    * derived from the map-side-combined word-count table), broadcasts;
+    * encoding is map-only with a per-task memo; per-doc counts computed
+    * in the scan projection — the only shuffle is the word count.
+    */
+  def m24bUnigramEncodeSeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(MaxWords)
+      .as[(String, Long)].collect()
+    val ilp = unigramSeedIlp(words)
+    val bc = s.sparkContext.broadcast(ilp)
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    val encLen = udf { (toks: Seq[String]) =>
+      toks.iterator.filter(_.nonEmpty)
+        .map(w => memo.getOrElseUpdate(w, unigramCountInt(w, bc.value)))
+        .sum
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokenize(col("text")), w => w =!= "").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_words"),
+        encLen(col("t")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The m24b twin: re-derives the seed vocabulary (substring mass →
+    * top-[[UniSeed]] + single-char floor → floor-quantized integer
+    * log-probs as a MAP scalar) and replays the Viterbi DP as a
+    * recursive CTE over word positions. CTE state is two BIGINT lists
+    * (best score / piece count per prefix); the per-step argmax over
+    * piece lengths 1..[[UniMaxPiece]] is a list_max over packed
+    * (score, length) BIGINTs, so the tie rule (longer piece wins equal
+    * scores) is the pack's low 3 bits. MATERIALIZED where referenced
+    * more than once (the g2b lesson: DuckDB inlines plain CTEs).
+    */
+  val m24bSql: String = {
+    val C = 200000000000000000L // packing offset: scores ≥ −(60·1e15) ≫ −C
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(
+       |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents
+       |),
+       |flat AS MATERIALIZED (
+       |  SELECT doc_id, unnest(toks) AS w FROM toks
+       |),
+       |topw AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS c FROM flat
+       |  GROUP BY 1 ORDER BY c DESC, w LIMIT $MaxWords
+       |),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(t.w, i, l) AS p, sum(t.c)::BIGINT AS mass
+       |  FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM topw) t
+       |  JOIN (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l) ll
+       |    ON i + l - 1 <= length(t.w)
+       |  GROUP BY 1
+       |),
+       |seed AS MATERIALIZED (
+       |  -- DISTINCT over UNION ALL inside a derived table, NOT a
+       |  -- top-level UNION: under WITH RECURSIVE, DuckDB applies
+       |  -- recursive-union treatment to ANY cte whose body is a
+       |  -- top-level UNION (even with no self-reference) and skips the
+       |  -- global dedup — measured duplicate map keys here
+       |  SELECT DISTINCT p, mass FROM (
+       |    SELECT p, mass FROM
+       |      (SELECT p, mass FROM subs ORDER BY mass DESC, p LIMIT $UniSeed)
+       |    UNION ALL
+       |    SELECT p, mass FROM subs WHERE length(p) = 1
+       |  )
+       |),
+       |vm AS MATERIALIZED (
+       |  SELECT map(
+       |    list(p ORDER BY p),
+       |    list(CAST(floor(ln(mass / (SELECT sum(mass)::DOUBLE FROM seed))
+       |                    * $UniIlpScale) AS BIGINT) ORDER BY p)) AS m
+       |  FROM seed
+       |),
+       |dw AS MATERIALIZED (SELECT DISTINCT w FROM flat),
+       |rec AS (
+       |  SELECT w, length(w) AS n, 0 AS i,
+       |    [CAST(0 AS BIGINT)] AS sc, [CAST(0 AS BIGINT)] AS ct
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, n, i + 1,
+       |    list_append(sc, ((b - (b % 8)) // 8) - $C),
+       |    list_append(ct, ct[i + 2 - (b % 8)] + 1)
+       |  FROM (
+       |    SELECT w, n, i, sc, ct,
+       |      list_max(list_filter(list_transform(
+       |        range(1, least($UniMaxPiece, i + 1) + 1),
+       |        l -> CASE
+       |          WHEN len(m[w[i + 2 - l : i + 1]]) > 0
+       |            THEN ((sc[i + 2 - l] + m[w[i + 2 - l : i + 1]][1])
+       |                  + $C) * 8 + l
+       |          WHEN l = 1
+       |            THEN ((sc[i + 2 - l] + $UniFallbackIlp) + $C) * 8 + l
+       |          ELSE NULL END),
+       |        x -> x IS NOT NULL)) AS b
+       |    FROM rec, vm
+       |    WHERE i < n
+       |  )
+       |),
+       |pieces AS MATERIALIZED (
+       |  SELECT w, ct[n + 1] AS np FROM rec WHERE i = n
+       |)
+       |SELECT f.doc_id, count(*)::BIGINT AS n_words,
+       |  CAST(sum(p.np) AS BIGINT) AS n_pieces
+       |FROM flat f JOIN pieces p USING (w)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** M13: BPE ENCODING with the m12-trained merge table — the apply
     * side of the tokenizer family (m8 counts one step's candidates, m12
     * learns the merge table, m13 runs the tokenizer over the corpus).
@@ -1864,6 +2066,7 @@ object Topics {
     "m22_ldavis_components" -> (m22LdavisComponents _),
     "m23_unigram_train" -> (m23UnigramTrain _),
     "m24_unigram_encode" -> (m24UnigramEncode _),
+    "m24b_unigram_encode_fixed" -> (m24bUnigramEncodeSeed _),
     "m25_kneser_ney" -> (m25KneserNeyNll _),
     "m26_domain_kl" -> (m26DomainKl _),
     "m27_vocab_coverage" -> (m27VocabCoverage _),
@@ -1882,6 +2085,7 @@ object Topics {
     "m17_source_mix" -> m17Sql,
     "m19_bigram_nll" -> m19Sql,
     "m21_ppl_buckets" -> m21Sql,
+    "m24b_unigram_encode_fixed" -> m24bSql,
     "m25_kneser_ney" -> m25Sql,
     "m26_domain_kl" -> m26Sql,
     "m27_vocab_coverage" -> m27Sql,

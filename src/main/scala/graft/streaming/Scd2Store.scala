@@ -147,7 +147,16 @@ object Scd2Store {
       // per-bucket volumes repartition(n, col) trades file count for
       // write parallelism
       .repartition(col("bucket"))
-      .write.partitionBy("bucket")
+      // overwrite, NOT the ErrorIfExists default: a crash between the
+      // generation write and the manifest swap leaves an orphan
+      // data/g<gen+1> directory, and the restarted job — whose manifest
+      // still says generation = gen — computes the SAME target path.
+      // The orphan is unreferenced (the pointer never moved), so
+      // truncating it is safe; erroring instead would wedge the store
+      // until a manual sweep. Static partition-overwrite semantics
+      // clear the whole orphan, including bucket dirs the retry does
+      // not touch. StreamScd2Spec's crash case pins this path.
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(new File(storeDir, genRel).toString)
     val newBuckets = m.buckets ++
       touched.toSeq.filter(b => new File(storeDir, s"$genRel/bucket=$b").exists())

@@ -262,12 +262,38 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val n = graft.Tables.documents(spark, TestSpark.sfDir).count()
     assert(rows.map(_._2).sum === n, "community sizes must partition the corpus")
-    // the planted partition has no inter-block edges, so every surviving
-    // label is a node id of its own block; blocks are ids mod K
-    assert(rows.nonEmpty && rows.length <= 100)
+    // 6 synchronous rounds are a deterministic PREFIX of convergence,
+    // not convergence: labels spread ~1 hop/round, so each ~31-node
+    // block still holds two communities — 32 total, MORE than K=16
+    // (the docstring's honesty claim, pinned). Labels are node ids, so
+    // community % K is the owning block: no inter-block edges exist,
+    // and the 32 communities must cover all 16 blocks exactly twice.
+    assert(rows.length === 32, s"fixture community count: ${rows.length}")
+    val perBlock = rows.groupBy(_._1 % Graph.G3K).view.mapValues(_.length).toMap
+    assert(perBlock.keySet === (0L until Graph.G3K.toLong).toSet)
+    assert(perBlock.values.forall(_ === 2), perBlock.toString)
     // deterministic: a second run yields the identical table
     val again = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("g2b fixed-point HITS: deterministic, ordered, mass-bounded, skewed") {
+    val rows = Graph.g2bHitsFixed(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 100)
+    // strictly valid ordering (auth desc, id asc on ties), all positive
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"$a !>= $b")
+    }
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0))
+    // floor division only sheds mass: no 100-row slice can exceed the
+    // total grid mass (Scale), and the x² div n skew concentrates
+    // authority on low ids — the fixture's top authority is doc 0
+    assert(rows.map(_._2).sum <= Graph.G1bScale)
+    assert(rows.head._1 === 0L, s"expected doc 0 atop, got ${rows.head._1}")
+    val again = Graph.g2bHitsFixed(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === again.toSeq)
   }
 }

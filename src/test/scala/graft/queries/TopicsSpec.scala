@@ -271,6 +271,38 @@ class TopicsSpec extends AnyFunSuite {
       assert(np >= nw, s"doc $id: fewer pieces than words") }
   }
 
+  test("m24b integer Viterbi: hand-trace, tie rule, fallback, m24 consistency") {
+    // hand-built integer log-prob grid: 'abc' segments as ab+c (-150)
+    // over abc (-250) and a+b+c (-300); tie between cd (-170) and
+    // c+d (-85-85 = -170) must pick the LONGER piece (cd → 1 piece)
+    val ilp = Map("ab" -> -100L, "abc" -> -250L, "c" -> -50L,
+      "a" -> -120L, "b" -> -130L, "cd" -> -170L, "d" -> -120L)
+    assert(Topics.unigramCountInt("abc", ilp) === 2)
+    assert(Topics.unigramCountInt("a", ilp) === 1)
+    assert(Topics.unigramCountInt("", ilp) === 0)
+    // tie: cd as one piece (longer last piece wins the equal score)
+    val tie = Map("c" -> -85L, "d" -> -85L, "cd" -> -170L)
+    assert(Topics.unigramCountInt("cd", tie) === 1)
+    // OOV chars survive via the flat fallback; OOV multi-char pieces
+    // can never be chosen (they are skipped, not scored)
+    assert(Topics.unigramCountInt("azb", ilp) === 3)
+    // seed model: every char of the training words is in the vocab, and
+    // all log-probs are strictly negative integers on the 1e-6 grid
+    val seed = Topics.unigramSeedIlp(Array(("ababab", 100L), ("xy", 5L)))
+    assert(Set("a", "b", "x", "y", "ab", "ababab").subsetOf(seed.keySet))
+    assert(seed.values.forall(_ < 0L))
+    // fixture m24b: same shape contract as m24 (pieces ≥ words, one row
+    // per doc), and deterministic across runs
+    val m24b = Topics.m24bUnigramEncodeSeed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m24b.nonEmpty && m24b.map(_._1).distinct.length === m24b.length)
+    m24b.foreach { case (id, nw, np) =>
+      assert(np >= nw, s"doc $id: fewer pieces than words") }
+    val again = Topics.m24bUnigramEncodeSeed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m24b.toSeq === again.toSeq)
+  }
+
   test("m9 OOV rate matches brute-force counting against the m1 vocabulary") {
     val vocab = Topics.m1Vocabulary(spark, dir).collect().map(_.getString(0)).toSet
     val out = Topics.m9OovRate(spark, dir).collect()

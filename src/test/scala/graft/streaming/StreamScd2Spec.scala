@@ -227,4 +227,46 @@ class StreamScd2Spec extends AnyFunSuite {
     StreamScd2.mergeBatch(spark, histDir, s2)
     assert(!new java.io.File(histDir, "data/g999").exists(), "orphan not swept")
   }
+
+  test("crash between generation write and manifest swap: retry reuses the path and converges") {
+    // the EXACT crash point the commit protocol claims to survive: the
+    // next generation directory is fully written but the manifest never
+    // swapped. The restarted job's manifest still says generation = g,
+    // so its retry computes the SAME data/g<g+1> target — this test
+    // pins that the retry overwrites the unreferenced orphan instead of
+    // failing on path-already-exists, that pre-crash reads are
+    // untouched, and that the retried merge converges to the clean-run
+    // history.
+    val histDir = java.nio.file.Files.createTempDirectory("scd2_crash").toString + "/hist"
+    val cleanDir = java.nio.file.Files.createTempDirectory("scd2_clean").toString + "/hist"
+    def snap(n: Int): DataFrame = spark.range(0, 32).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 === 0, md5(concat(col("id").cast("string"), lit(s"v$n"))))
+        .otherwise(md5(col("id").cast("string"))).as("digest"),
+      lit(n).as("snap"))
+    StreamScd2.mergeBatch(spark, histDir, snap(1))
+    val man = Scd2Store.readManifest(histDir)
+    val histBefore = Scd2Store.readHistory(spark, histDir).collect().toSet
+    // crash simulation: the retry's own target path, fully populated
+    val orphan = new java.io.File(histDir, s"data/g${man.generation + 1}/bucket=0")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "junk.parquet").toPath, "not parquet")
+    // the pointer never moved: reads and manifest are the pre-crash ones
+    assert(Scd2Store.readManifest(histDir) == man)
+    assert(Scd2Store.readHistory(spark, histDir).collect().toSet == histBefore)
+    // restart: the at-least-once re-delivery of snap 1 is a no-op...
+    StreamScd2.mergeBatch(spark, histDir, snap(1))
+    assert(Scd2Store.readManifest(histDir) == man, "replayed snap moved the pointer")
+    // ...and merging snap 2 lands on the orphan's path without error
+    StreamScd2.mergeBatch(spark, histDir, snap(2))
+    StreamScd2.mergeBatch(spark, cleanDir, snap(1))
+    StreamScd2.mergeBatch(spark, cleanDir, snap(2))
+    assert(Scd2Store.readHistory(spark, histDir).collect().toSet ==
+      Scd2Store.readHistory(spark, cleanDir).collect().toSet,
+      "crashed-then-retried store diverged from the clean run")
+    // the junk file cannot survive: its generation was truncated by the
+    // retry's overwrite
+    assert(!new java.io.File(orphan, "junk.parquet").exists(), "orphan file survived")
+  }
 }
