@@ -964,6 +964,15 @@ object Similarity {
     * aggregator); recall folds as exact integer hit counts over the
     * NQ·K pair universe, divided once at the end — hash-twinned, with
     * the oracle replaying all four probe settings.
+    *
+    * Bench-variance receipt (round-10 isolation probe, sf0.1, fresh JVM,
+    * 5 runs each): the round-9 in-suite spread [3.65, 8.42] REPRODUCES
+    * standalone — [3.73, 9.53] uncached, [3.31, 9.32] with the scored
+    * frame cached — so it is NOT suite-order cache eviction; the max is
+    * the first run (per-JVM codegen/JIT of the 4-branch sweep plan) and
+    * the rest is this VM's documented wall-clock noise. Caching `scored`
+    * did cut the median 5.17 s → 3.93 s (the union's two consumers were
+    * rescanning the join/dot tail eight times).
     */
   def s13ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     val NCELL = 16
@@ -1002,6 +1011,12 @@ object Similarity {
       .join(corpus.select(col("id2"), col("v2"), col("n2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("prank"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      // cached: the sweep unions one filtered branch per probe setting
+      // and feeds TWO consumers (candidate counts, recall hits) — eight
+      // rescans of the scored frame's join/dot tail without the pin
+      // (ReuseExchange dedups the exchanges, not the projections).
+      // Bounded: ≤ NQ · avg_candidates rows of (id,id,int,double).
+      .cache()
     val tagged = S13Probes
       .map(np => scored.filter(col("prank") <= np).withColumn("nprobe", lit(np)))
       .reduce(_ unionByName _)
