@@ -475,7 +475,7 @@ object Graph {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
-       |x AS (
+       |x AS MATERIALIZED (
        |  SELECT doc_id AS src,
        |    (doc_id * 2654435761 + 1) % (SELECT n FROM nn) AS x1,
        |    (doc_id * 40503 + 7) % (SELECT n FROM nn) AS x2,

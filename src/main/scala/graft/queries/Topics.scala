@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel}
 import org.apache.spark.ml.clustering.{LDA, LDAModel}
 import org.apache.spark.ml.linalg.{Vector => MlVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -871,6 +871,13 @@ object Topics {
   // sum of in-vocab pieces can ever beat skipping a fallback.
   val UniIlpScale = 1000000L
   val UniFallbackIlp = -1000000000000000L
+  // m24b packing invariant: the twin packs (score + C)·8 + l into one
+  // BIGINT with C = 2e17, which requires DP scores > −C. The worst
+  // score is all-OOV fallbacks, −len·1e15 — so token length must be
+  // ≤ 200. Enforced (not assumed) by capping encodable tokens at 100
+  // chars on BOTH sides; >100-char "words" are non-linguistic junk
+  // (URLs, base64 runs) a tokenizer pipeline drops anyway.
+  val UniMaxWordLen = 100
 
   /** The SEED unigram model on the integer log-prob grid — the
     * deterministic, SQL-derivable first step of [[unigramTrain]]
@@ -955,9 +962,13 @@ object Topics {
     */
   def m24bUnigramEncodeSeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // tokens longer than UniMaxWordLen are excluded EVERYWHERE (vocab
+    // mass, n_words, the DP) — the twin's packing invariant is enforced
+    // by construction, and the SQL side applies the same cap in `toks`
+    val keep = (w: Column) => w =!= "" && length(w) <= UniMaxWordLen
     val words = Tables.documents(s, dir)
       .select(explode(tokenize(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+      .filter(keep(col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
       .limit(MaxWords)
@@ -972,7 +983,7 @@ object Topics {
     }
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        filter(tokenize(col("text")), w => w =!= "").as("t"))
+        filter(tokenize(col("text")), keep).as("t"))
       .select(col("doc_id"), size(col("t")).as("n_words"),
         encLen(col("t")).as("n_pieces"))
       .orderBy(col("doc_id"))
@@ -989,12 +1000,15 @@ object Topics {
     * more than once (the g2b lesson: DuckDB inlines plain CTEs).
     */
   val m24bSql: String = {
-    val C = 200000000000000000L // packing offset: scores ≥ −(60·1e15) ≫ −C
+    // packing offset: the UniMaxWordLen=100 cap (enforced in `toks`
+    // below AND on the Spark side) bounds scores ≥ −(100·1e15) > −C,
+    // so (score + C) stays strictly positive by construction
+    val C = 200000000000000000L
     s"""WITH RECURSIVE toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(
        |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
-       |      x -> x <> '') AS toks
+       |      x -> x <> '' AND length(x) <= $UniMaxWordLen) AS toks
        |  FROM documents
        |),
        |flat AS MATERIALIZED (
@@ -1058,11 +1072,21 @@ object Topics {
        |),
        |pieces AS MATERIALIZED (
        |  SELECT w, ct[n + 1] AS np FROM rec WHERE i = n
+       |),
+       |perdoc AS MATERIALIZED (
+       |  SELECT f.doc_id, count(*)::BIGINT AS n_words,
+       |    CAST(sum(p.np) AS BIGINT) AS n_pieces
+       |  FROM flat f JOIN pieces p USING (w)
+       |  GROUP BY 1
        |)
-       |SELECT f.doc_id, count(*)::BIGINT AS n_words,
-       |  CAST(sum(p.np) AS BIGINT) AS n_pieces
-       |FROM flat f JOIN pieces p USING (w)
-       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |-- LEFT JOIN from documents, not an inner join over flat: a doc
+       |-- whose every token is filtered out has NO flat rows, but the
+       |-- Spark side still emits its (doc_id, 0, 0) row
+       |SELECT t.doc_id,
+       |  COALESCE(d.n_words, 0)::BIGINT AS n_words,
+       |  COALESCE(d.n_pieces, 0)::BIGINT AS n_pieces
+       |FROM toks t LEFT JOIN perdoc d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** M13: BPE ENCODING with the m12-trained merge table — the apply

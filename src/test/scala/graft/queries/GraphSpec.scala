@@ -257,21 +257,60 @@ class GraphSpec extends AnyFunSuite {
     assert(tri === 5L, "fan has exactly 5 triangles")
   }
 
+  /** Driver-side replay of g3: the identical [[Graph.plantedOut]] edge
+    * synthesis, symmetrize + distinct, [[Graph.G3Rounds]] synchronous
+    * mode-label updates (ties → smallest label), then the same
+    * (size desc, community) top-100 cut — so the spec's expected table
+    * is DERIVED from (n, G3K, G3Rounds), never pinned to a fixture.
+    */
+  private def simulateLabelProp(n: Long): Map[Long, Long] = {
+    val k = Graph.G3K.toLong
+    val out = for {
+      id <- (0L until n).toVector
+      r = id % k; q = id / k; m = (n - 1 - r) / k + 1
+      dst <- Seq(r + k * ((q * 7 + 1) % m), r + k * ((q * 13 + 3) % m),
+        r + k * ((q + 1) % m))
+      if dst != id
+    } yield (id, dst)
+    val edges = (out ++ out.map(_.swap)).distinct
+    val incoming = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl: Map[Long, Long] = (0L until n).map(i => i -> i).toMap
+    for (_ <- 1 to Graph.G3Rounds)
+      lbl = incoming.map { case (dst, srcs) =>
+        dst -> srcs.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (c, s) => (-s, c) }.take(100).toMap
+  }
+
   test("g3 on the fixture: sizes partition the corpus, labels stay in-block") {
     val rows = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val n = graft.Tables.documents(spark, TestSpark.sfDir).count()
-    assert(rows.map(_._2).sum === n, "community sizes must partition the corpus")
+    // the query's top-100 cut means the partition-totality check only
+    // applies when every community made it through the cut
+    if (rows.length < 100)
+      assert(rows.map(_._2).sum === n, "community sizes must partition the corpus")
     // 6 synchronous rounds are a deterministic PREFIX of convergence,
-    // not convergence: labels spread ~1 hop/round, so each ~31-node
-    // block still holds two communities — 32 total, MORE than K=16
-    // (the docstring's honesty claim, pinned). Labels are node ids, so
-    // community % K is the owning block: no inter-block edges exist,
-    // and the 32 communities must cover all 16 blocks exactly twice.
-    assert(rows.length === 32, s"fixture community count: ${rows.length}")
+    // not convergence: labels spread ~1 hop/round, so any block whose
+    // size exceeds the 6-round spread still holds SEVERAL communities —
+    // strictly more than K=16 total (the docstring's honesty claim,
+    // pinned as an INVARIANT, not the fixture-derived literal 32 — a
+    // literal would break whenever the fixture scale or G3Rounds moved).
+    // Labels are node ids, so community % K is the owning block: no
+    // inter-block edges exist, and every block must own ≥ 1 community.
+    assert(rows.length > Graph.G3K,
+      s"prefix-of-convergence must leave > K communities: ${rows.length}")
     val perBlock = rows.groupBy(_._1 % Graph.G3K).view.mapValues(_.length).toMap
     assert(perBlock.keySet === (0L until Graph.G3K.toLong).toSet)
-    assert(perBlock.values.forall(_ === 2), perBlock.toString)
+    // the EXACT expected table is derived, not pinned: replay the same
+    // synchronous mode-label rounds in plain Scala on the driver (n is
+    // ~500 at test sf) over the identical plantedOut edge synthesis —
+    // any n / G3K / G3Rounds change re-derives the expectation
+    val expected = simulateLabelProp(n)
+    assert(rows.map(r => r._1 -> r._2).toMap === expected,
+      s"distributed table diverges from the driver replay (n=$n)")
     // deterministic: a second run yields the identical table
     val again = Graph.g3LabelProp(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

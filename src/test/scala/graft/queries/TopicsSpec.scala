@@ -303,6 +303,20 @@ class TopicsSpec extends AnyFunSuite {
     assert(m24b.toSeq === again.toSeq)
   }
 
+  test("m24b packing invariant: the word-length cap bounds the twin's pack") {
+    // the twin packs (score + C)·8 + l into one BIGINT with C = 2e17;
+    // correctness needs score > −C (else b % 8 mis-decodes the length)
+    // and (0 + C)·8 + UniMaxPiece within Long range. The worst DP score
+    // under the UniMaxWordLen cap is every char OOV at UniFallbackIlp —
+    // these asserts trip if any of the three constants drifts apart.
+    val C = 200000000000000000L
+    val worst = Topics.UniMaxWordLen.toLong * Topics.UniFallbackIlp
+    assert(worst > -C,
+      s"cap ${Topics.UniMaxWordLen} lets DP scores reach $worst ≤ −C")
+    assert(C <= (Long.MaxValue - Topics.UniMaxPiece) / 8,
+      "packing ceiling overflows Long")
+  }
+
   test("m9 OOV rate matches brute-force counting against the m1 vocabulary") {
     val vocab = Topics.m1Vocabulary(spark, dir).collect().map(_.getString(0)).toSet
     val out = Topics.m9OovRate(spark, dir).collect()
