@@ -969,10 +969,16 @@ object Similarity {
     * 5 runs each): the round-9 in-suite spread [3.65, 8.42] REPRODUCES
     * standalone — [3.73, 9.53] uncached, [3.31, 9.32] with the scored
     * frame cached — so it is NOT suite-order cache eviction; the max is
-    * the first run (per-JVM codegen/JIT of the 4-branch sweep plan) and
-    * the rest is this VM's documented wall-clock noise. Caching `scored`
-    * did cut the median 5.17 s → 3.93 s (the union's two consumers were
-    * rescanning the join/dot tail eight times).
+    * the first run (per-JVM codegen/JIT) and the rest is this VM's
+    * documented wall-clock noise. Caching `scored` did cut the median
+    * 5.17 s → 3.93 s (two consumers were rescanning the join/dot tail).
+    * Round 11 replaced the former 4-way union-of-filtered-branches with
+    * one broadcast θ-join against the 4-row settings dim — same rows
+    * (probe sets are nested, so prank ≤ nprobe IS membership) but a
+    * quarter of the codegen per consumer; the union plan was the
+    * suite's most JIT-hungry and the prime suspect for r10's one-off
+    * 40 s driver-bench outlier (data here is 2000×64 floats — ALL cost
+    * is plan/codegen/shuffle fixed overhead, never bytes).
     */
   def s13ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     val NCELL = 16
@@ -997,7 +1003,7 @@ object Similarity {
     // probe sets are NESTED (top-1 ⊆ top-2 ⊆ …), so the whole sweep is
     // ONE plan: probe once at the max setting, tag every candidate with
     // the smallest nprobe whose probe set reaches it (min covering-cell
-    // rank), and each sweep row is a filter over that tagged frame — no
+    // rank), and membership in a sweep setting is prank ≤ nprobe — no
     // per-setting job loop, no driver round-trips
     val probes = sims.filter(col("vec_id") < NQ)
       .groupBy(col("vec_id"))
@@ -1011,15 +1017,19 @@ object Similarity {
       .join(corpus.select(col("id2"), col("v2"), col("n2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("prank"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-      // cached: the sweep unions one filtered branch per probe setting
-      // and feeds TWO consumers (candidate counts, recall hits) — eight
-      // rescans of the scored frame's join/dot tail without the pin
-      // (ReuseExchange dedups the exchanges, not the projections).
-      // Bounded: ≤ NQ · avg_candidates rows of (id,id,int,double).
+      // cached: the tagged sweep feeds TWO consumers (candidate counts,
+      // recall hits) — each would rescan the scored frame's join/dot
+      // tail without the pin (ReuseExchange dedups the exchanges, not
+      // the projections). Bounded: ≤ NQ · avg_candidates rows of
+      // (id,id,int,double).
       .cache()
-    val tagged = S13Probes
-      .map(np => scored.filter(col("prank") <= np).withColumn("nprobe", lit(np)))
-      .reduce(_ unionByName _)
+    // ONE broadcast θ-join against the 4-row settings dim instead of a
+    // 4-way union of filtered branches: same rows (probe sets are
+    // nested, so prank ≤ nprobe IS membership), but a single plan
+    // branch — the union variant compiled 4× the codegen per consumer
+    // and was the suite's most JIT-hungry plan (r10's 40 s outlier)
+    val settings = { import s.implicits._; S13Probes.toDF("nprobe") }
+    val tagged = scored.join(broadcast(settings), col("prank") <= col("nprobe"))
     val candCounts = tagged.groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_candidates"))
     val hits = tagged
