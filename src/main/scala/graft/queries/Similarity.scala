@@ -494,7 +494,8 @@ object Similarity {
   def s8KCenterSample(s: SparkSession, dir: String): DataFrame =
     kCenterFrame(vecs(s, dir), KCenterK)
 
-  private[queries] def kCenterFrame(allIn: DataFrame, k: Int): DataFrame = {
+  private[queries] def kCenterFrame(allIn: DataFrame, k: Int,
+      grid: Boolean = false): DataFrame = {
     val spark = allIn.sparkSession
     import spark.implicits._
     val n = allIn.count()
@@ -507,8 +508,13 @@ object Similarity {
       col("nrm"), lit(2.0).as("mind")))
     while (centers.length < math.min(k.toLong, n)) {
       val (_, cv, cn, _) = centers.last
-      val d = lit(1.0) -
+      val d0 = lit(1.0) -
         dot(col("v"), array(cv.map(lit): _*)) / (col("nrm") * lit(cn))
+      // grid = s8b's hash-twin mode: every distance snaps to the 1e-6
+      // grid BEFORE the running min / argmax, so each greedy pick is a
+      // comparison of identical doubles in both engines (the s2Sql
+      // precedent — round-6 cosines replay bit-for-bit in DuckDB)
+      val d = if (grid) round(d0, 6) else d0
       val next = Checkpoints.eager(
         cur.df.withColumn("mind", least(col("mind"), d)))
       cur.release()
@@ -937,12 +943,14 @@ object Similarity {
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ivf_topk" -> (s2IvfTopK _),
     "s3_ivf_kmeans" -> (s3IvfKmeans _),
+    "s3b_kmeans_fixed" -> (s3bKmeansFixed _),
     "s13_probe_sweep" -> (s13ProbeSweep _),
     "s4_label_centroid" -> (s4LabelCentroid _),
     "s5_quantize" -> (s5Quantize _),
     "s6_lsh_topk" -> (s6LshTopK _),
     "s7_quantized_topk" -> (s7QuantizedTopK _),
     "s8_kcenter_sample" -> (s8KCenterSample _),
+    "s8b_kcenter_fixed" -> (s8bKCenterFixed _),
     "s9_pq_topk" -> (s9PqTopK _),
     "s10_recall_eval" -> (s10RecallEval _),
     "s11_mmr_topk" -> (s11MmrTopK _),
@@ -1109,8 +1117,175 @@ object Similarity {
        |FROM ($union) ORDER BY nprobe""".stripMargin
   }
 
+  // s3b fixed-round Lloyd parameters: unit-vector dims are shifted by
+  // +1 (into [0, 2]) and floor-quantized onto a 1e-6 grid, so every
+  // distance, member sum, and floor-div centroid is exact non-negative
+  // BIGINT arithmetic — order-independent and engine-independent (the
+  // g1b doctrine; the +1 shift keeps Spark's truncating DIV and
+  // DuckDB's // on the same floor-division semantics). Magnitudes:
+  // per-pair distance ≤ 64·(2e6)² ≈ 2.6e14, total inertia ≤ n·that —
+  // far inside Long at any fixture sf.
+  val S3bCells = 16
+  val S3bRounds = 3
+  val S3bGrid = 1000000L
+
+  /** S3B: the hash-twinned TRAINED-quantizer variant — the g1b/d10/m24b
+    * doctrine applied to the IVF training step that s3 leaves rows-only:
+    * [[S3bRounds]] synchronous Lloyd iterations (assign to argmin
+    * squared-L2 centroid, tie → smallest cell; recompute centroids as
+    * per-dim floor-div means) over integer-grid unit vectors, seeded
+    * from the first [[S3bCells]] vectors. Output is the per-cell audit a
+    * quantizer build emits before committing a 100 TB index: member
+    * count, exact integer inertia, and the smallest member id — every
+    * value a BIGINT, so the DuckDB twin (unrolled assign/update CTE
+    * rounds of the identical expressions) matches bit-for-bit. s3
+    * (MLlib k-means‖, sampled init, early-stop) remains the declared
+    * scale path; s3b is its exact gate.
+    *
+    * Scale shape per round: points explode ONCE to (vec_id, dim, val)
+    * longs (cached — vectors never re-read); assignment is a broadcast
+    * join against the ≤ cells·dims centroid dim + two map-side-combined
+    * integer aggregates; the update is one grouped integer sum. The
+    * shuffles carry (vec_id, cell, partial-sum) longs, never vectors.
+    */
+  def s3bKmeansFixed(s: SparkSession, dir: String): DataFrame =
+    kmeansFixedFrame(s, dir, S3bRounds)
+
+  /** Rounds-parameterized form — the spec compares rounds = 0 (seed
+    * centroids, no training) against [[S3bRounds]] to pin that the
+    * Lloyd iterations actually tighten the cells.
+    */
+  private[queries] def kmeansFixedFrame(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val pts = vecs(s, dir)
+      .select(col("vec_id"), col("nrm"), posexplode(col("v")).as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"),
+        floor((col("x") / col("nrm") + lit(1.0)) * lit(S3bGrid.toDouble))
+          .cast("long").as("val"))
+      // reused twice per round + the final stats pass; n·dims longs —
+      // Bench/Verify release the pin after the query
+      .cache()
+    def assign(cents: DataFrame): DataFrame =
+      pts.join(broadcast(cents), Seq("d"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("val") - col("cval")) * (col("val") - col("cval")))
+          .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell"), col("b.dist").as("dist"))
+    var cents = pts.filter(col("vec_id") < S3bCells)
+      .select(col("vec_id").as("cell"), col("d"), col("val").as("cval"))
+    for (_ <- 1 to rounds)
+      cents = pts
+        .join(assign(cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .groupBy(col("cell"), col("d"))
+        .agg(expr("sum(val) DIV count(1)").as("cval"))
+    assign(cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("min_member"))
+      .orderBy(col("cell"))
+  }
+
+  /** The s3b twin: [[S3bRounds]] unrolled assign/update CTE pairs of
+    * the identical integer expressions (DuckDB sums widen to HUGEINT —
+    * values stay far below either bound; CASTs pin the output types).
+    * The per-point argmin is a row_number window ordered by the grouped
+    * integer distance then cell — fine at oracle scale where the Spark
+    * side uses the distributed min(struct) partial aggregate.
+    */
+  val s3bSql: String = {
+    def asg(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cell, dist FROM (
+         |    SELECT p.vec_id, c.cell,
+         |      CAST(sum((p.val - c.cval) * (p.val - c.cval)) AS BIGINT) AS dist,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY sum((p.val - c.cval) * (p.val - c.cval)), c.cell) AS rn
+         |    FROM pts p JOIN $cents c USING (d)
+         |    GROUP BY p.vec_id, c.cell
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val rounds = (1 to S3bRounds).map { i =>
+      asg(s"a$i", s"c${i - 1}") + s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT a.cell, p.d, CAST(sum(p.val) // count(*) AS BIGINT) AS cval
+         |  FROM pts p JOIN a$i a USING (vec_id)
+         |  GROUP BY a.cell, p.d
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |pts AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    CAST(floor((v[d] / nrm + 1.0) * ${S3bGrid}.0) AS BIGINT) AS val
+       |  FROM (SELECT vec_id, v, nrm, unnest(range(1, len(v) + 1)) AS d FROM n)
+       |),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cell, d, val AS cval FROM pts WHERE vec_id < $S3bCells
+       |),
+       |$rounds,
+       |${asg("af", s"c$S3bRounds")}
+       |SELECT cell, count(*)::BIGINT AS n_members,
+       |  CAST(sum(dist) AS BIGINT) AS inertia, min(vec_id) AS min_member
+       |FROM af GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** S8B: the hash-twinned k-center variant — [[kCenterFrame]]'s exact
+    * greedy machinery (seed at min vec_id, farthest-first argmax, ties
+    * → smallest id) run in grid mode: every cosine distance snaps to
+    * the 1e-6 grid BEFORE the running min and the argmax, so each
+    * greedy pick compares identical doubles in both engines and the
+    * DuckDB twin (one unrolled min-update + argmax CTE pair per center)
+    * matches hash-exactly. s8 (raw-double distances) stays the declared
+    * path; s8b closes the family's rows-only gap. Same scale shape as
+    * s8: k map passes, one TakeOrdered(1) per round, vectors never
+    * shuffle.
+    */
+  def s8bKCenterFixed(s: SparkSession, dir: String): DataFrame =
+    kCenterFrame(vecs(s, dir), KCenterK, grid = true)
+
+  /** The s8b twin: m_i carries the running grid min-distance after
+    * center i, p_{i+1} is its (mind desc, vec_id) argmax — the radius
+    * column is the picked row's mind, matching the Spark loop's
+    * post-update collect. Every m/p CTE is referenced by the next round
+    * AND the final union, hence MATERIALIZED (the g2b lesson).
+    */
+  val s8bSql: String = {
+    val steps = (1 to KCenterK - 1).map { i =>
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT vec_id, v, nrm, mind FROM $prev
+         |  ORDER BY mind DESC, vec_id LIMIT 1
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT a.vec_id, a.v, a.nrm,
+         |    least(a.mind, round(1 - list_dot_product(a.v, p.v) / (a.nrm * p.nrm), 6)) AS mind
+         |  FROM $prev a, p$i p
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KCenterK - 1)
+      .map(i => s"SELECT $i AS rank, vec_id, mind AS radius FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |seed AS MATERIALIZED (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1),
+       |m0 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.v, a.nrm,
+       |    least(2.0, round(1 - list_dot_product(a.v, s.v) / (a.nrm * s.nrm), 6)) AS mind
+       |  FROM n a, seed s
+       |),
+       |$steps
+       |SELECT rank, vec_id, radius FROM (
+       |  SELECT 0 AS rank, vec_id, 0.0 AS radius FROM seed
+       |  UNION ALL $union
+       |) ORDER BY rank""".stripMargin
+  }
+
   val oracle: ListMap[String, String] = ListMap(
     "s1_cosine_topk" -> s1Sql,
+    "s3b_kmeans_fixed" -> s3bSql,
+    "s8b_kcenter_fixed" -> s8bSql,
     "s13_probe_sweep" -> s13Sql,
     "s2_ivf_topk" -> s2Sql,
     "s4_label_centroid" -> s4Sql,

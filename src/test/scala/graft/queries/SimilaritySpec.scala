@@ -304,6 +304,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s3b fixed k-means: partitions the corpus, training tightens cells, deterministic") {
+    val n = Tables.embeddings(spark, dir).count()
+    val rows = Similarity.s3bKmeansFixed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every cell id is one of the seeds; members partition the corpus
+    assert(rows.map(_._1).forall(c => c >= 0 && c < Similarity.S3bCells))
+    assert(rows.map(_._2).sum === n, "cell sizes must partition the corpus")
+    assert(rows.forall(_._3 >= 0L), "integer inertia is non-negative")
+    assert(rows.forall(r => r._4 >= 0 && r._4 < n), "min_member in range")
+    // Lloyd rounds must tighten the cells vs the untrained seed
+    // centroids (floor-div means deviate from true means by < 1 grid
+    // unit per dim — noise next to the seed-to-trained gap)
+    val seedInertia = Similarity.kmeansFixedFrame(spark, dir, 0).collect()
+      .map(_.getLong(2)).sum
+    assert(rows.map(_._3).sum < seedInertia,
+      s"trained inertia ${rows.map(_._3).sum} !< seed $seedInertia")
+    val again = Similarity.s3bKmeansFixed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("s8b grid k-center: seed row, distinct picks, non-increasing radii, deterministic") {
+    val rows = Similarity.s8bKCenterFixed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === Similarity.KCenterK)
+    assert(rows.head === ((0, 0L, 0.0)), "seed is min vec_id at radius 0")
+    assert(rows.map(_._2).distinct.length === rows.length, "picks repeat")
+    // coverage radius is the max of a pointwise non-increasing running
+    // min — it can only shrink as centers accumulate (rank ≥ 1)
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii must be non-increasing: ${radii.mkString(",")}")
+    assert(radii.forall(r => r > 0.0 && r <= 2.0))
+    val again = Similarity.s8bKCenterFixed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("s13 probe sweep: recall and cost both rise monotonically with nprobe") {
     val rows = Similarity.s13ProbeSweep(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
