@@ -47,6 +47,11 @@ object ScaleSuiteProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val root = if (args.length > 2) args(2) else "/tmp/graft-scale"
+    // optional trailing args = subset of ProbeQueries (e.g. the ×50
+    // headroom pass skips the quadratic-output pair enumerators)
+    val wanted = args.drop(3).toSet
+    val probeQs =
+      if (wanted.isEmpty) ProbeQueries else ProbeQueries.filter(wanted)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -128,12 +133,12 @@ object ScaleSuiteProbe {
     writeScaled(factor, dF)
     cleanup()
     // warm codegen/scans on the small copy before any timed pass
-    ProbeQueries.foreach(n => timed(n, d1))
+    probeQs.foreach(n => timed(n, d1))
     val base = (1 to runs).map { _ =>
-      ProbeQueries.map(n => n -> timed(n, d1)).toMap }
+      probeQs.map(n => n -> timed(n, d1)).toMap }
     val big = (1 to runs).map { _ =>
-      ProbeQueries.map(n => n -> timed(n, dF)).toMap }
-    val rows = ProbeQueries.map { n =>
+      probeQs.map(n => n -> timed(n, dF)).toMap }
+    val rows = probeQs.map { n =>
       val b = median(base.map(_(n))); val g = median(big.map(_(n)))
       (n, b, g, if (b > 0) g / b else -1.0)
     }

@@ -440,6 +440,28 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s3b Lloyd rounds broadcast the centroid dim and combine distances map-side") {
+    val plan = executedPlan(Similarity.s3bKmeansFixed(spark, dir))
+    // assignment = pts ⋈ broadcast(cents) on d, then two integer
+    // aggregates that must partial-combine before their exchanges — the
+    // vectors themselves never ride a shuffle
+    assert(plan.contains("BroadcastHashJoin"), "centroid dim not broadcast")
+    assert(plan.contains("partial_min"), "argmin struct not map-side combined")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), "centroid join degraded to sort-merge")
+  }
+
+  test("s13 sweep is one broadcast theta-join against the settings dim, no union") {
+    val plan = executedPlan(Similarity.s13ProbeSweep(spark, dir))
+    // membership in a sweep setting is prank <= nprobe against the
+    // 4-row dim — a single BroadcastNestedLoopJoin branch, NOT the old
+    // 4-way union of filtered branches (4x the codegen per consumer)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "settings dim not a broadcast theta-join")
+    assert(!plan.contains("Union"), "sweep regressed to unioned branches")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t33 BM25: query-term filter below the tf exchange, bounded top-k") {
     val plan = executedPlan(Text.t33Bm25(spark, dir))
     // the isin predicate sits in the scan stage, so the tf shuffle
