@@ -139,13 +139,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_with_cold":$totalWithCold,"queries":$qs,"cold_queries":$cold$spreadJson,"sf":"$sfDir"}"""
     println(line)
-    // the driver's log tail truncates long stdout — persist the full
-    // per-query map verbatim so every round's timings stay adjudicable
+    // the driver's log tail truncates long stdout (BENCH_r10.json's
+    // `tail` cut mid-JSON, `parsed` null) — persist the full per-query
+    // map verbatim, BOTH under target/ (local iteration) and as a
+    // repo-root tracked file the round-close commit picks up, so the
+    // round's bench artifact is self-contained without depending on
+    // how much stdout the driver keeps
     val sfName = new java.io.File(sfDir).getName
+    val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get(s"target/bench-$sfName.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(out, bytes)
+    if (wanted.isEmpty) // full-suite runs only; subsets would clobber
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
     spark.stop()
   }
 }

@@ -1389,6 +1389,20 @@ object Dedup {
     * per round). Twin: the three exact pair bases (each family's
     * oracle, ORDER BY stripped, wrapped as subqueries) unioned and
     * transitively closed by the d7 recursive CTE.
+    *
+    * Composition receipt (graft.D18CompositionProbe, ×10 replica of
+    * sf0.1, 3-run medians): end-to-end is SUB-additive — 0.52× the sum
+    * of its timed parts — because the three generators share one
+    * corpus scan + tokenize subtree inside a single job where the
+    * standalone legs each pay it:
+    * {{{
+    * {"metric":"d18_composition","dir":"/tmp/graft-scale/x10","runs":3,
+    *  "d2_minhash":112.341,"d3_simhash":7.214,"d5_winnow":8.292,
+    *  "cc_over_union":6.587,"sum_parts_with_cc":134.435,
+    *  "d18_end_to_end":69.771,"end_to_end_over_sum":0.519}
+    * }}}
+    * Anything materially ABOVE 1.0 here would mean the union was
+    * re-running a generator or breaking a reused exchange.
     */
   def d18EnsembleClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d2MinHashPairs(s, dir).select(col("id1"), col("id2"))
