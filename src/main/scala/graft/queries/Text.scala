@@ -1274,20 +1274,24 @@ object Text {
         filter(tokenize(col("text")), x => x =!= "").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         col("toks"))
-    val tot = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    val nDocs = tot.getLong(0)
-    val avgdl = tot.getLong(1).toDouble / nDocs
+    // corpus stats ride a broadcast 1-row cross-join, not a driver
+    // .head() — a separate action would re-tokenize the whole corpus
+    // (the m19/m26 shape doctrine); avgdl is the same IEEE division
+    // (double sum / long count) the literal version computed
+    val tot = base.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = base
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
       .filter(col("w").isin(T33Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = idf * ((col("tf") * lit(T33K1 + 1)) /
       (col("tf") + lit(T33K1) *
-        (lit(1 - T33B) + lit(T33B) * (col("dl") / lit(avgdl)))))
+        (lit(1 - T33B) + lit(T33B) * (col("dl") / col("avgdl")))))
     tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("w"), contrib.as("c"))
       .groupBy(col("doc_id"))
       .agg(round(

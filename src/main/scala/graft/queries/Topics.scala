@@ -1436,16 +1436,23 @@ object Topics {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val c = corpus(s, dir).cache()
-    val nDocs = c.count()
-    val flat = c.select(col("doc_id"), explode(col("tokens")).as("term"))
+    // document frequency is the exact re-aggregation of the (doc,term)
+    // counts the output needs anyway (one row per (doc, term) ⇒ count
+    // ≡ count distinct doc), so the old separate distinct() pass over
+    // raw term instances is gone; corpus size rides a broadcast 1-row
+    // cross-join, not a driver count() action (count(tf) not count(1)
+    // so column pruning can't fork the df branch into a distinct-only
+    // re-derivation from the raw stream)
     val vocabDf = sharedVectorizer(c, dir).vocabulary.toSeq.toDF("term")
-    val kept = flat.join(broadcast(vocabDf), Seq("term"))
-    val dfreq = kept.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tf = kept.groupBy(col("doc_id"), col("term"))
+    val tf = c.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .join(broadcast(vocabDf), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val idf = log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0
+    val dfreq = tf.groupBy(col("term")).agg(count(col("tf")).as("df"))
+    val nTot = c.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0
     val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nTot))
       .select(col("doc_id"), col("term"), (col("tf") * idf).as("tfidf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
@@ -1498,13 +1505,19 @@ object Topics {
     * carry (term, count) / (doc_id, double) pairs only, never text.
     */
   def m11UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // Shape per m19's ×10 A/B receipt: cached tokens + concurrent
+    // branches with map-side-combined model-grain shuffles; the kept
+    // fix is that corpus totals ride a broadcast 1-row cross-join
+    // instead of a driver .head(), which would re-tokenize the corpus
+    // as a separate job at cache-overflow scale (count(n) not count(1)
+    // so column pruning can't fork the totals branch off `counts`).
     val c = corpus(s, dir).cache()
     val flat = c.select(col("doc_id"), explode(col("tokens")).as("term"))
     val counts = flat.groupBy(col("term")).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("total"),
-      count(lit(1)).as("v")).head()
-    val total = totals.getLong(0); val v = totals.getLong(1)
-    val logp = log((col("n") + 1.0) / lit((total + v).toDouble))
+      count(col("n")).as("v"))
+    val logp = log((col("n") + 1.0) /
+      (col("total") + col("v")).cast("double"))
     // the per-doc sum folds in TERM-SORTED order (terms are unique per
     // doc after the pre-count), so it is summation-order-independent —
     // the q15/w1 boundary-drift hardening for a sum that has no integer
@@ -1512,6 +1525,7 @@ object Topics {
     val perTerm = flat.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
       .join(counts, Seq("term"))
+      .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("term"), col("cnt"), logp.as("lp"))
     perTerm.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tok"),
@@ -1579,6 +1593,18 @@ object Topics {
     * round-6 grid.
     */
   def m19BigramNll(s: SparkSession, dir: String): DataFrame = {
+    // Shape receipts (×10 replica A/B, 3-run medians): the cached-
+    // tokens + independent-branch shape below runs 19.8 s at ×10; a
+    // "share one per-doc-grain exchange, let AQE reuse it" refactor
+    // measured 44.0 s — the per-doc grain shuffles ~every bigram
+    // instance, the reused stage serializes the whole DAG behind it,
+    // and the final-join side gets broadcast at instance scale. Here
+    // the heavy shuffles are all map-side-combined to model grain and
+    // the branches run concurrently off the cached token array. The
+    // one genuine fix kept from that experiment: corpus totals ride a
+    // broadcast 1-row cross-join, not a driver .head() — a separate
+    // action would re-tokenize the whole corpus once the cache can't
+    // hold it (exactly the 100 TB case).
     val c = corpus(s, dir).cache()
     val bigrams = c
       .filter(size(col("tokens")) >= 2)
@@ -1592,12 +1618,13 @@ object Topics {
     val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
     val uni = c.select(explode(col("tokens")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
-    val totals = uni.agg(sum(col("cu")).as("total"), count(lit(1)).as("v")).head()
-    val total = totals.getLong(0); val v = totals.getLong(1)
+    val tot = uni.agg(sum(col("cu")).as("total"), count(col("cu")).as("v"))
     val model = cb.join(c1, Seq("w1")).join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"),
         log(lit(M19Lambda) * (col("cb") / col("c1")) +
-          lit(M19Mu) * ((col("cu") + lit(1.0)) / lit((total + v).toDouble)))
+          lit(M19Mu) * ((col("cu") + lit(1.0)) /
+            (col("total") + col("v")).cast("double")))
           .as("lp"))
     val perBigram = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -1682,6 +1709,16 @@ object Topics {
     * pairs, never text.
     */
   def m25KneserNeyNll(s: SparkSession, dir: String): DataFrame = {
+    // Same shape doctrine as m19 (see its ×10 A/B receipt): cached
+    // tokens + concurrent model branches with map-side-combined
+    // model-grain shuffles beat a shared per-doc-grain exchange; the
+    // kept fix is that T rides a broadcast 1-row cross-join instead of
+    // a driver .head() action, which would re-tokenize the corpus as a
+    // separate job at cache-overflow scale. count(cb) not count(1) in
+    // the n1l/n1r/t branches: cb is never null so the value is
+    // identical, but count(1) lets column pruning rewrite the branch
+    // into a distinct-(w1,w2) subtree that re-derives from the raw
+    // stream instead of re-aggregating cb.
     val c = corpus(s, dir).cache()
     val bigrams = c
       .filter(size(col("tokens")) >= 2)
@@ -1693,14 +1730,15 @@ object Topics {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val left = cb.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1l"))
-    val right = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
-    val tTypes = cb.agg(count(lit(1))).head().getLong(0)
+      .agg(sum(col("cb")).as("c1"), count(col("cb")).as("n1l"))
+    val right = cb.groupBy(col("w2")).agg(count(col("cb")).as("n1r"))
+    val tt = cb.agg(count(col("cb")).as("t"))
     val model = cb.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tt))
       .select(col("w1"), col("w2"),
         log((col("cb") - lit(M25D)) / col("c1") +
           (lit(M25D) * col("n1l") / col("c1")) *
-            (col("n1r") / lit(tTypes.toDouble))).as("lp"))
+            (col("n1r") / col("t").cast("double"))).as("lp"))
     val perBigram = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .join(model, Seq("w1", "w2"))
@@ -1781,16 +1819,20 @@ object Topics {
     val srcTerm = flat.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cs"))
     val corpusTerm = srcTerm.groupBy(col("term")).agg(sum(col("cs")).as("ct"))
-    val totals = corpusTerm.agg(sum(col("ct")).as("n"), count(lit(1)).as("v")).head()
-    val nTot = totals.getLong(0); val v = totals.getLong(1)
+    // corpus totals as a broadcast 1-row cross-join, not a driver
+    // .head(): a separate action would re-run the whole tokenize
+    // subtree (srcTerm is uncached by design), where inside one job
+    // the identical srcTerm exchange is planned once and reused
+    val totals = corpusTerm.agg(sum(col("ct")).as("n"), count(lit(1)).as("v"))
     val srcTot = srcTerm.groupBy(col("source")).agg(
       sum(col("cs")).as("ns"), count(lit(1)).as("vocab"))
     val p = col("cs") / col("ns")
-    val q = (col("ct") + lit(1.0)) / lit((nTot + v).toDouble)
+    val q = (col("ct") + lit(1.0)) / (col("n") + col("v")).cast("double")
     val micro = (x: org.apache.spark.sql.Column) =>
       round(x * lit(1e9)).cast("long")
     srcTerm.join(corpusTerm, Seq("term"))
       .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(totals))
       .select(col("source"), col("ns"), col("vocab"),
         micro(p * log(p / q)).as("kl_u"),
         micro(-p * log(q)).as("ce_u"),
