@@ -1295,7 +1295,6 @@ object Relational {
     */
   def q41Funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-    val total = Tables.events(s, dir).select(col("user_id")).distinct().count()
     def stage(evType: String, prev: DataFrame): DataFrame =
       ev.filter(col("event_type") === evType)
         .join(prev, Seq("user_id"))
@@ -1305,13 +1304,18 @@ object Relational {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
     val clicked = stage("click", viewed)
     val bought = stage("purchase", clicked)
-    val n1 = viewed.count(); val n2 = clicked.count(); val n3 = bought.count()
-    import s.implicits._
-    Seq(
-      (1, "view", n1, total),
-      (2, "click", n2, n1),
-      (3, "purchase", n3, n2))
-      .toDF("stage", "event_type", "n_users", "prev_users")
+    // all four counts are 1-row aggregates cross-joined into ONE job
+    // (previously four separate driver .count() actions, each re-deriving
+    // its whole cascade prefix); stack() pivots the single row into the
+    // three stage rows — exact integers throughout, divisions unchanged
+    val nTot = Tables.events(s, dir).select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n0"))
+    def n(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    n(viewed, "n1").crossJoin(n(clicked, "n2")).crossJoin(n(bought, "n3"))
+      .crossJoin(nTot)
+      .select(expr("stack(3, 1, 'view', n1, n0, 2, 'click', n2, n1, " +
+        "3, 'purchase', n3, n2) AS (stage, event_type, n_users, prev_users)"))
       .select(col("stage"), col("event_type"), col("n_users"),
         round(col("n_users") / col("prev_users").cast("double"), 6).as("conversion"))
       .orderBy(col("stage"))

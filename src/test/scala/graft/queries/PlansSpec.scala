@@ -528,4 +528,53 @@ class PlansSpec extends AnyFunSuite {
       "bucketed join still shuffles the build side")
     assert(joined.count() > 0)
   }
+
+  test("LM/TF-IDF/funnel queries construct without a driver-side scalar job") {
+    // Regression pin for the round-11 shape fix: corpus totals (token
+    // count, vocab size, bigram type count, avgdl, funnel stage counts)
+    // ride broadcast 1-row cross-joins INSIDE the query's one job. The
+    // old shape fetched them with driver .head()/.count() actions at
+    // DataFrame-construction time — each a separate job re-running the
+    // whole tokenize/cascade subtree once nothing is cached (the 100 TB
+    // case). Opening a parquet table itself costs one tiny
+    // schema-inference job, so the budget is per table OPEN: each
+    // construction may launch at most as many jobs as tables it opens,
+    // and nothing more — a revived .head() adds at least one job on top.
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobs(f: => Any): Int = {
+      Thread.sleep(800) // drain async listener events from prior work
+      val before = counter.get()
+      f
+      Thread.sleep(800)
+      counter.get() - before
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docOpen = jobs(Tables.documents(spark, dir))
+      val evOpen = jobs(Tables.events(spark, dir))
+      val cases: Seq[(String, Int, () => Any)] = Seq(
+        ("m11", docOpen, () => Topics.m11UnigramLogprob(spark, dir)),
+        ("m19", docOpen, () => Topics.m19BigramNll(spark, dir)),
+        ("m21", docOpen, () => Topics.m21PplBuckets(spark, dir)),
+        ("m25", docOpen, () => Topics.m25KneserNeyNll(spark, dir)),
+        ("m26", docOpen, () => Topics.m26DomainKl(spark, dir)),
+        ("t33", docOpen, () => Text.t33Bm25(spark, dir)),
+        // q41 opens events twice (stage stream + distinct-user total)
+        ("q41", 2 * evOpen, () => Relational.q41Funnel(spark, dir)))
+      val over = cases.flatMap { case (name, budget, f) =>
+        val n = jobs(f())
+        if (n > budget) Some(s"$name: $n jobs (table-open budget $budget)")
+        else None
+      }
+      assert(over.isEmpty,
+        "driver-side scalar fetches crept back in — construction ran " +
+          s"more jobs than table opens: ${over.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
