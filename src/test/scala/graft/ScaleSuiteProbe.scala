@@ -47,11 +47,14 @@ object ScaleSuiteProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val root = if (args.length > 2) args(2) else "/tmp/graft-scale"
-    // optional trailing args = subset of ProbeQueries (e.g. the ×50
-    // headroom pass skips the quadratic-output pair enumerators)
+    // optional trailing args = subset of queries (e.g. the ×50 headroom
+    // pass skips the quadratic-output pair enumerators). Any
+    // SparkEntry.queries name is accepted, so one-off shape A/Bs (the
+    // round-11 m19 experiment) can probe queries outside ProbeQueries.
     val wanted = args.drop(3).toSet
     val probeQs =
-      if (wanted.isEmpty) ProbeQueries else ProbeQueries.filter(wanted)
+      if (wanted.isEmpty) ProbeQueries
+      else SparkEntry.queries.keys.toSeq.filter(wanted)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master("local[32]")
