@@ -51,6 +51,15 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // double-GC with a drain pause: the first gc() enqueues dead
+      // broadcasts/shuffles on the ContextCleaner's (async) reference
+      // queue, the pause lets the cleaner process them, the second
+      // gc() reclaims what that released. A single gc() left later
+      // queries inheriting heap pressure: the round-11 probe measured
+      // the LAST queries of a shared JVM at 2-3x their solo time, and
+      // this drain restored them to solo time (SCALING.md).
+      System.gc()
+      Thread.sleep(300)
       System.gc()
     }
     def timed(name: String,

@@ -38,6 +38,9 @@ object D18CompositionProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // drain-hardened double GC (see Bench.cleanup / SCALING.md)
+      System.gc()
+      Thread.sleep(300)
       System.gc()
     }
     def timed(f: => Unit): Double = {

@@ -111,6 +111,14 @@ object ScaleSuiteProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // double-GC with a drain pause: the first gc() enqueues dead
+      // broadcasts/shuffles on the ContextCleaner's reference queue,
+      // the pause lets the (async) cleaner process them, the second
+      // gc() reclaims what the cleanup itself released — without this
+      // the LAST queries of a multi-query JVM inherit heap pressure
+      // (measured: m25/m26 ×10 legs ran 2.1×/3.2× their solo-JVM time)
+      System.gc()
+      Thread.sleep(300)
       System.gc()
     }
     def timed(name: String, dir: String): Double = {
