@@ -21,9 +21,21 @@ object SimFunctions {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleCol, s => xxhash64(s, i))))
 
-  /** Set Jaccard over two (already-distinct) shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Set Jaccard over two (already-distinct) shingle arrays.
+    *
+    * Union-free: for distinct arrays |a ∪ b| = |a| + |b| − |a ∩ b|
+    * exactly, so the denominator needs no second per-row string
+    * hash-set build (array_union was ~half the verify cost on the
+    * d1/d2 candidate-pair hot path). The intersect appears twice in
+    * the expression tree; ArrayIntersect is codegen'd, so whole-stage
+    * subexpression elimination evaluates it once (NOT the interpreted
+    * HOF re-inline trap — measured, see the d1/d2 bench receipts).
+    * Same exact integers as the intersect/union form → same double.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val c = size(array_intersect(a, b))
+    c.cast("double") / (size(a) + size(b) - c)
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
