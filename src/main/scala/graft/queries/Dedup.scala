@@ -39,12 +39,30 @@ object Dedup {
     * rather than raw documents, and lives only for the query's job; the
     * alternative is recomputing the tokenize+shingle scan once per
     * reference, which is strictly worse at any scale.
+    *
+    * SORTED (binary lexicographic, once per document): the d1/d2/d16
+    * verify stages count pair intersections with the zero-allocation
+    * [[graft.expressions.SortedIntersectCount]] merge, whose input
+    * contract this sort establishes. Every other consumer (explode,
+    * MinHash min-fold) is element-order-agnostic, and the DuckDB twins
+    * compare set SIZES, never positions, so no twin changes.
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_distinct(shingles(tokenize(col("text")), 3)).as("sh"))
+        array_sort(array_distinct(shingles(tokenize(col("text")), 3))).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Exact |sh1 ∩ sh2| via the native sorted-merge expression —
+    * identical integers to `size(array_intersect(a, b))` on the sorted
+    * distinct arrays [[shingleSets]] produces.
+    */
+  private def sortedCommon(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftNative.expression(a),
+        org.apache.spark.sql.GraftNative.expression(b)))
 
   /** DuckDB: same shingle sets via list comprehension. */
   private val shingleCte: String =
@@ -153,7 +171,9 @@ object Dedup {
           .select(col("id1"), col("id2"))
           .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
           .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-          .withColumn("j", jaccard(col("sh1"), col("sh2")))
+          .withColumn("c", sortedCommon(col("sh1"), col("sh2")))
+          .withColumn("j", col("c").cast("double") /
+            (size(col("sh1")) + size(col("sh2")) - col("c")))
       }
     result
       .filter(col("j") >= 0.2)
@@ -213,7 +233,9 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("j", jaccard(col("sh1"), col("sh2")))
+      .withColumn("c", sortedCommon(col("sh1"), col("sh2")))
+      .withColumn("j", col("c").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("c")))
       .filter(col("j") >= 0.5)
       .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -1285,7 +1307,7 @@ object Dedup {
           .select(col("id1"), col("id2"),
             size(col("sh1")).cast("long").as("n1"),
             size(col("sh2")).cast("long").as("n2"),
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("common"))
+            sortedCommon(col("sh1"), col("sh2")).as("common"))
       }
     val dirRows = common
       .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
