@@ -62,8 +62,20 @@ object Bench {
       Thread.sleep(300)
       System.gc()
     }
+    // per-query resource receipts (shuffle/input/spill/peak-mem/tasks/
+    // jobs) — see MetricsListener's scaladoc for why bytes, not seconds,
+    // are the scale signal. The cleanup pause doubles as the listener
+    // bus drain before each snapshot.
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val warmMetrics = scala.collection.mutable.Map[String, Map[String, Long]]()
+    val coldMetrics = scala.collection.mutable.Map[String, Map[String, Long]]()
+
     def timed(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        metricsSink: scala.collection.mutable.Map[String, Map[String, Long]] = warmMetrics)
+        : Double = {
+      metrics.snapshotAndReset() // drop events from warm-up / prior phases
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -71,6 +83,7 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       cleanup()
+      metricsSink(name) = metrics.snapshotAndReset()
       elapsed
     }
 
@@ -119,7 +132,7 @@ object Bench {
       graft.queries.Topics.modelRootOverride = Some(tmp.toString)
       graft.queries.Topics.clearModelCache()
       val elapsed =
-        try timed(name, selected(name))
+        try timed(name, selected(name), coldMetrics)
         finally {
           graft.queries.Topics.modelRootOverride = None
           graft.queries.Topics.clearModelCache()
@@ -162,6 +175,20 @@ object Bench {
     if (wanted.isEmpty) // full-suite runs only; subsets would clobber
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
+    // resource receipts: per-query shuffle/input/spill/peak-mem/tasks/
+    // jobs from the LAST timed run of each query (metric volumes are
+    // plan-deterministic, unlike wall-clock)
+    def metricsJson(m: scala.collection.Map[String, Map[String, Long]]): String =
+      m.toSeq.sortBy(_._1).map { case (q, fields) =>
+        val body = fields.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
+        s"\"" + q + "\":{" + body + "}"
+      }.mkString("{", ",", "}")
+    val metricsLine =
+      s"""{"metric":"resources","sf":"$sfName","queries":${metricsJson(warmMetrics)},"cold_queries":${metricsJson(coldMetrics)}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"target/bench-metrics-$sfName.json"),
+      metricsLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
