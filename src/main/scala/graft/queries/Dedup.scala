@@ -48,7 +48,14 @@ object Dedup {
     * compare set SIZES, never positions, so no twin changes.
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shingleSetsOf(Tables.documents(s, dir))
+
+  /** [[shingleSets]] over an arbitrary (doc_id, text, ...) frame — the
+    * d19 incremental path shingles the corpus and the incoming batch
+    * separately.
+    */
+  private[queries] def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         array_sort(array_distinct(shingles(tokenize(col("text")), 3))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -63,6 +70,27 @@ object Dedup {
       graft.expressions.SortedIntersectCount(
         org.apache.spark.sql.GraftNative.expression(a),
         org.apache.spark.sql.GraftNative.expression(b)))
+
+  /** MinHash LSH band-bucket rows (doc_id, band, bh) over a shingle-set
+    * frame — d2's banding (128 permutations, 32 bands × 4 rows) factored
+    * out so the SAME index definition serves the one-shot self-join
+    * (d2) and the incremental corpus index (d19). This table IS the
+    * persistable index: 32 (band, 64-bit hash) rows per document, no
+    * text, no signatures — what a 100 TB pipeline keeps between ingest
+    * batches.
+    */
+  private[queries] def minhashBands(sh: DataFrame): DataFrame = {
+    val B = 32; val R = 4
+    // cache is load-bearing: 128 element_at references below would
+    // otherwise each inline (and recompute) the full signature scan
+    val sig = sh.select(col("doc_id"),
+      GraftNative.column(graft.expressions.MinHash128(
+        GraftNative.expression(col("sh")))).as("mh")).cache()
+    val bandCols = array((0 until B).map(b =>
+      xxhash64((0 until R).map(r =>
+        element_at(col("mh"), b * R + r + 1)): _*)): _*)
+    sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bh")))
+  }
 
   /** DuckDB: same shingle sets via list comprehension. */
   private val shingleCte: String =
@@ -213,18 +241,8 @@ object Dedup {
     * the signature column against that CollapseProject re-inline).
     */
   def d2MinHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val B = 32; val R = 4
     val sh = shingleSets(s, dir).cache()
-    // cache is load-bearing: 128 element_at references below would
-    // otherwise each inline (and recompute) the full signature scan
-    val sig = sh.select(col("doc_id"),
-      GraftNative.column(graft.expressions.MinHash128(
-        GraftNative.expression(col("sh")))).as("mh")).cache()
-    val bandCols = array((0 until B).map(b =>
-      xxhash64((0 until R).map(r =>
-        element_at(col("mh"), b * R + r + 1)): _*)): _*)
-    val bands = sig.select(col("doc_id"),
-      posexplode(bandCols).as(Seq("band", "bh")))
+    val bands = minhashBands(sh)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1484,6 +1502,91 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** D19: incremental near-dup ingest gate — probe a NEW batch against
+    * the PERSISTED corpus MinHash band index, without rescanning the
+    * corpus. This is the operation a production pipeline actually runs
+    * per ingest cycle: d2 re-minhashes the WHOLE corpus every time,
+    * which at 100 TB means re-reading 100 TB daily; the incremental
+    * shape keeps [[minhashBands]]' (doc_id, band, bh) table on disk
+    * (32 small rows per document — ~0.5 KB of key material, no text)
+    * and each batch only (a) computes its own signatures map-only,
+    * (b) equi-joins its band rows against the index — the only
+    * corpus-sized shuffle, keyed on (band, hash) exactly like d2 —
+    * and (c) exact-verifies the surviving candidates by fetching JUST
+    * those corpus docs' shingle sets via an id-keyed join (a point
+    * lookup by primary key at scale, broadcastable when the candidate
+    * list is small). After the gate, the batch's own band rows are
+    * appended to the index — the index grows linearly with the corpus
+    * and is never rebuilt.
+    *
+    * The fixture batch is `doc_id % 10 = 7` (10% of docs — 6 of the 25
+    * exact pairs straddle the split at sf0.01, 46 of 256 at sf0.1, so
+    * the gate answer is non-trivially non-empty at both scales).
+    * Output: every (new_id, dup_of, jaccard ≥ 0.5) batch-vs-corpus
+    * near-dup — the batch rows an ingest would drop or cluster-merge.
+    *
+    * Twin: exact batch×corpus Jaccard — identical by the d2 recall
+    * argument (32×4 banding has ~unit recall at j ≥ 0.5 on fixed data;
+    * d2's own hash gate verifies the identical banding pipeline).
+    * DedupSpec additionally pins the persisted-index contract: bands
+    * written to parquet and reloaded produce byte-identical verdicts,
+    * and a planted batch clone of a corpus doc surfaces at j = 1.
+    */
+  def d19IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    d19Frame(docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+  }
+
+  /** Build the corpus index inline, then probe. Production splits this:
+    * `minhashBands(shingleSetsOf(corpus))` is written once and read
+    * back per batch ([[d19Probe]] takes the loaded frame directly).
+    */
+  def d19Frame(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusSh = shingleSetsOf(corpus).cache()
+    d19Probe(batch, minhashBands(corpusSh), corpusSh)
+  }
+
+  /** The per-batch probe against an already-built index. `corpusSh` is
+    * consulted ONLY for candidate ids (the verify join) — at scale this
+    * is the by-key payload fetch, not a corpus scan.
+    */
+  def d19Probe(batch: DataFrame, index: DataFrame,
+      corpusSh: DataFrame): DataFrame = {
+    val batchSh = shingleSetsOf(batch).cache()
+    val cand = minhashBands(batchSh).as("p")
+      .join(index.as("i"),
+        col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
+      .select(col("p.doc_id").as("new_id"), col("i.doc_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(batchSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")),
+        Seq("new_id"))
+      .join(corpusSh.select(col("doc_id").as("dup_of"), col("sh").as("sh2")),
+        Seq("dup_of"))
+      .withColumn("c", sortedCommon(col("sh1"), col("sh2")))
+      .withColumn("j", col("c").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("new_id"), col("dup_of"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Oracle: exact batch×corpus Jaccard ≥ 0.5 across the `% 10 = 7`
+    * split — the d2 recall-parity argument, asymmetric.
+    */
+  val d19Sql: String =
+    s"""$shingleCte, pairs AS (
+       |  SELECT b.doc_id AS new_id, c.doc_id AS dup_of,
+       |         len(list_intersect(b.s, c.s)) AS common,
+       |         len(b.s) AS n1, len(c.s) AS n2
+       |  FROM sh b JOIN sh c ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       |)
+       |SELECT new_id, dup_of,
+       |       round(common * 1.0 / (n1 + n2 - common), 6) AS jaccard
+       |FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.5
+       |ORDER BY new_id, dup_of""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -1503,6 +1606,7 @@ object Dedup {
     "d16_containment_pairs" -> (d16ContainmentPairs _),
     "d17_soft_weights" -> (d17SoftDedupWeights _),
     "d18_ensemble_clusters" -> (d18EnsembleClusters _),
+    "d19_incremental_minhash" -> (d19IncrementalMinhash _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1525,5 +1629,6 @@ object Dedup {
     "d16_containment_pairs" -> d16Sql,
     "d17_soft_weights" -> d17Sql,
     "d18_ensemble_clusters" -> d18Sql,
+    "d19_incremental_minhash" -> d19Sql,
   )
 }

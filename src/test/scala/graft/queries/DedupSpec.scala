@@ -634,4 +634,49 @@ class DedupSpec extends AnyFunSuite {
     // and the extra signals genuinely contribute edges on the fixture
     assert(ens.size >= d7.size)
   }
+
+  test("d19 persisted-index round-trip and planted batch clone") {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+
+    // the inline answer matches the asymmetric brute force
+    val inline = Dedup.d19Frame(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exp = bruteJaccard(0.5).flatMap { case ((a, b), j) =>
+      if (a % 10 == 7 && b % 10 != 7) Some((a, b) -> j)
+      else if (b % 10 == 7 && a % 10 != 7) Some((b, a) -> j)
+      else None
+    }
+    assert(inline.keySet == exp.keySet)
+    inline.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6) }
+
+    // persisted-index contract: bands written to parquet and reloaded
+    // produce byte-identical verdicts — the probe never needs the
+    // corpus text beyond the candidate-id verify fetch
+    val tmp = java.nio.file.Files.createTempDirectory("d19-index-")
+    try {
+      val corpusSh = Dedup.shingleSetsOf(corpus).cache()
+      Dedup.minhashBands(corpusSh).write.mode("overwrite")
+        .parquet(tmp.resolve("bands").toString)
+      val loaded = spark.read.parquet(tmp.resolve("bands").toString)
+      val probed = Dedup.d19Probe(batch, loaded, corpusSh).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(probed == inline)
+      corpusSh.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+
+    // planted positive: a batch doc that clones a corpus doc verbatim
+    // must surface with jaccard exactly 1.0
+    val srcRow = corpus.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(1).collect().head
+    val clone = Seq((9000007L, srcRow.getString(1)))
+      .toDF("doc_id", "text")
+    val found = Dedup.d19Frame(corpus, clone).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.exists { case (n, d, j) =>
+      n == 9000007L && d == srcRow.getLong(0) && j == 1.0 })
+  }
 }
