@@ -54,7 +54,7 @@ object Dedup {
     * d19 incremental path shingles the corpus and the incoming batch
     * separately.
     */
-  private[queries] def shingleSetsOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         array_sort(array_distinct(shingles(tokenize(col("text")), 3))).as("sh"))
@@ -79,7 +79,7 @@ object Dedup {
     * text, no signatures — what a 100 TB pipeline keeps between ingest
     * batches.
     */
-  private[queries] def minhashBands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     val B = 32; val R = 4
     // cache is load-bearing: 128 element_at references below would
     // otherwise each inline (and recompute) the full signature scan

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import graft.queries.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming near-dup ingest gate: per-batch verdicts must equal the
+  * one-shot d19 probe of that batch against all earlier batches, replays
+  * must be no-ops, and planted cross-batch clones must surface.
+  */
+class StreamNearDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  /** Three batches of the fixture (doc_id mod 3) with a clone planted in
+    * each later batch: b1 clones a b0 doc, b2 clones a b1 doc — so every
+    * probed batch has at least one guaranteed j=1 verdict.
+    */
+  private def batches(): Seq[DataFrame] = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def part(m: Int) = docs.filter(col("doc_id") % 3 === m)
+    def cloneOf(src: DataFrame, newId: Long) = {
+      val r = src.orderBy(col("doc_id")).limit(1).collect().head
+      Seq((newId, r.getString(1))).toDF("doc_id", "text")
+    }
+    val b0 = part(0)
+    val b1 = part(1).unionByName(cloneOf(b0, 8000001L))
+    val b2 = part(2).unionByName(cloneOf(b1, 8000002L))
+    Seq(b0, b1, b2)
+  }
+
+  private def canon(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed gate verdicts equal the one-shot probe per batch; clones surface") {
+    val root = java.nio.file.Files.createTempDirectory("neardedup-").toString
+    val (srcDir, storeDir, outDir) = (s"$root/src", s"$root/store", s"$root/out")
+    val bs = batches()
+    // one parquet file per batch, mtimes ascending so maxFilesPerTrigger=1
+    // delivers them as batchIds 0, 1, 2 in order
+    bs.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp$i"
+      b.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"part_$i%02d.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = spark.readStream
+      .schema(bs.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(StreamNearDedup.sink(spark, storeDir, outDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // batch 0 probes an empty index: zero verdicts, store seeded
+    assert(spark.read.parquet(s"$outDir/batch=0").count() == 0)
+    // each later batch equals the one-shot d19 probe against the union
+    // of all earlier batches (d19Frame == brute force per DedupSpec)
+    val exp1 = canon(Dedup.d19Frame(bs(0), bs(1)))
+    val exp2 = canon(Dedup.d19Frame(bs(0).unionByName(bs(1)), bs(2)))
+    assert(canon(spark.read.parquet(s"$outDir/batch=1")) == exp1)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
+    // the planted clones surface with jaccard exactly 1.0
+    assert(exp1.exists { case (n, _, j) => n == 8000001L && j == 1.0 })
+    assert(exp2.exists { case (n, _, j) => n == 8000002L && j == 1.0 })
+
+    // at-least-once replay: re-presenting batch 1 is a no-op — verdict
+    // and store files keep their exact (path, size, mtime) fingerprints
+    def fp(p: String) = new java.io.File(p).listFiles()
+      .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+    val before = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
+      s"$storeDir/docs/batch=1").map(fp)
+    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val after = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
+      s"$storeDir/docs/batch=1").map(fp)
+    assert(before == after, "replayed batch rewrote store or output files")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
