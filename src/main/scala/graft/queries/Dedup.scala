@@ -1572,6 +1572,82 @@ object Dedup {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  /** Bucket fan-out of the d19 shingle store — the verify fetch prunes
+    * to candidate buckets, so this bounds BOTH the pruning granularity
+    * and the only driver-side collect in the stored probe (≤ this many
+    * bucket ids, at any corpus size).
+    */
+  val D19Buckets = 64
+
+  /** Persist the d19 store: `bands/` (the probe index — (doc_id, band,
+    * bh), 32 rows per doc) plus `shingles/` PARTITIONED BY
+    * pmod(xxhash64(doc_id), [[D19Buckets]]) — the verify payloads laid
+    * out so a batch probe reads only the candidate buckets, never the
+    * corpus. Raw text is in neither table.
+    */
+  def d19WriteStore(corpus: DataFrame, path: String): Unit = {
+    val sh = shingleSetsOf(corpus).cache()
+    minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
+    sh.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(D19Buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/shingles")
+    sh.unpersist(blocking = false)
+  }
+
+  /** The at-scale probe against a [[d19WriteStore]] layout. Differs from
+    * [[d19Probe]] (which shingles the live corpus frame — a full corpus
+    * text scan per batch) in that the verify payloads come from the
+    * bucketed shingle store: the candidate pairs' DISTINCT BUCKET LIST
+    * (≤ [[D19Buckets]] values by construction — a bounded policy-table
+    * collect, not a corpus-sized one) becomes a static partition filter,
+    * so the fetch reads only candidate buckets. Per batch the corpus-
+    * proportional work is exactly one scan of `bands/` — 32 small rows
+    * per corpus doc — and nothing else.
+    *
+    * Measured (graft.D19IncrementalProbe: fixed sf0.1 batch, corpus
+    * replicated ×10 with near-dup perturbation, 3-run medians):
+    * {{{
+    * {"metric":"d19_incremental","f":10,"runs":3,
+    *  "store_build_x1":2.776,"probe_stored_x1":1.6,"rebuild_inline_x1":1.323,
+    *  "store_build_x10":8.464,"probe_stored_x10":1.55,"rebuild_inline_x10":6.711}
+    * }}}
+    * The per-batch stored probe is FLAT in corpus size (1.60 → 1.55 s
+    * at ×10) while the no-index inline rebuild grows 5.1×; the store
+    * build is the amortized once-cost and grows with the corpus as
+    * designed.
+    */
+  def d19ProbeStored(s: SparkSession, batch: DataFrame,
+      storePath: String): DataFrame = {
+    val batchSh = shingleSetsOf(batch).cache()
+    val index = s.read.parquet(s"$storePath/bands")
+    val cand = minhashBands(batchSh).as("p")
+      .join(index.as("i"),
+        col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
+      .select(col("p.doc_id").as("new_id"), col("i.doc_id").as("dup_of"))
+      .distinct().cache()
+    val buckets = cand
+      .select(pmod(xxhash64(col("dup_of")), lit(D19Buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val fetched = s.read.parquet(s"$storePath/shingles")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id").as("dup_of"), col("sh").as("sh2"))
+    val out = cand
+      .join(batchSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")),
+        Seq("new_id"))
+      .join(fetched, Seq("dup_of"))
+      .withColumn("c", sortedCommon(col("sh1"), col("sh2")))
+      .withColumn("j", col("c").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("new_id"), col("dup_of"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+    // cand stays cached: `out` still references it and unpersisting here
+    // would re-run the band join at materialization. Batch-sized, swept
+    // by the harness' between-query cleanup (or the caller's).
+    out
+  }
+
   /** Oracle: exact batch×corpus Jaccard ≥ 0.5 across the `% 10 = 7`
     * split — the d2 recall-parity argument, asymmetric.
     */

@@ -668,6 +668,19 @@ class DedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
 
+    // stored-probe parity: the bucketed-store path (bands + partitioned
+    // shingles on disk, candidate-bucket pruning) returns byte-identical
+    // verdicts to the inline probe
+    val storeTmp = java.nio.file.Files.createTempDirectory("d19-store-")
+    try {
+      Dedup.d19WriteStore(corpus, storeTmp.toString)
+      val stored = Dedup.d19ProbeStored(spark, batch, storeTmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(stored == inline)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(storeTmp.toFile)
+    }
+
     // planted positive: a batch doc that clones a corpus doc verbatim
     // must surface with jaccard exactly 1.0
     val srcRow = corpus.select(col("doc_id"), col("text"))

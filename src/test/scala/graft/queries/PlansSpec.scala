@@ -578,6 +578,32 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("d19 stored probe prunes the shingle store to candidate buckets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    // batch = a verbatim clone of a corpus doc, so the probe is
+    // guaranteed a candidate (an empty candidate set folds the whole
+    // plan to a LocalTableScan and there is no scan to assert on)
+    val src = corpus.select(col("text")).orderBy(col("doc_id")).limit(1)
+      .collect().head.getString(0)
+    val batch = Seq((9000001L, src)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("d19-plan-")
+    try {
+      Dedup.d19WriteStore(corpus, tmp.toString)
+      val plan = executedPlan(Dedup.d19ProbeStored(spark, batch, tmp.toString))
+      // the shingle-store scan must carry a partition filter on bucket —
+      // the fetch reads candidate buckets, never the whole store
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("shingles") && l.contains("PartitionFilters"))
+      assert(scanLine.isDefined, "no shingle-store scan with PartitionFilters:\n" + plan.take(2000))
+      assert(scanLine.get.contains("bucket") && scanLine.get.contains(" IN ("),
+        "bucket pruning predicate missing: " + scanLine.get.take(400))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
   test("AQE splits a planted skewed join partition (the runtime fallback q27's salting designs for)") {
     // The 100 TB skew story has two layers: q27/Salted is the DESIGNED
     // path for known-hot keys; AQE's skew-join split is the RUNTIME net
