@@ -775,20 +775,32 @@ object Dedup {
     * map-only, the band join shuffles 2-byte keys, and only candidate
     * pairs ever touch full vectors.
     */
-  def d8EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, v, nrm, sig): double vector, L2 norm, and the 16-bit
+    * hyperplane sign signature — d8's per-vector prep, factored so the
+    * one-shot self-join (d8) and the incremental index (d20) share one
+    * signature definition.
+    */
+  private[graft] def embedSigs(emb: DataFrame): DataFrame = {
     import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
     val sigExpr = (0 until 16).map(i =>
       when(dot(col("v"), typedLit(graft.queries.Similarity.lshHyperplane(i))) >= 0,
         lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("sig", sigExpr)
-      .cache()
-    val bands = e.select(col("vec_id"),
+  }
+
+  /** 4×4-bit pigeonhole band rows (vec_id, band, bv) off [[embedSigs]]. */
+  private[graft] def embedBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("vec_id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
         .as(Seq("band", "bv")))
+
+  def d8EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFunctions.dot
+    val e = embedSigs(Tables.embeddings(s, dir)).cache()
+    val bands = embedBands(e)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1663,6 +1675,94 @@ object Dedup {
        |FROM pairs WHERE common * 1.0 / (n1 + n2 - common) >= 0.5
        |ORDER BY new_id, dup_of""".stripMargin
 
+  /** D20: incremental embedding near-dup ingest gate — d19's doctrine on
+    * the EMBEDDING modality: probe a new batch of vectors against the
+    * persisted corpus LSH index instead of re-signing the whole corpus
+    * per ingest (d8's one-shot shape). The index is (vec_id, band, bv)
+    * band rows plus the (vec_id, v, nrm) vector table — which an ANN
+    * index stores anyway — so a batch probe touches the corpus table
+    * not at all: batch signatures are map-only, candidates come from
+    * the (band, bv) equi-join against the index, and the exact-cosine
+    * verify joins candidates to the index's own vector payloads by id.
+    *
+    * Fixture batch: `vec_id % 10 = 7`. Output: (new_id, dup_of,
+    * cos ≥ 0.4) batch-vs-corpus near-dups. Twin: d8's bit-exact
+    * signature replay (±1 hyperplanes as literals, HUGEINT-free integer
+    * banding), restricted to the asymmetric split — both engines replay
+    * the identical banding, so no recall argument is needed at all.
+    * DedupSpec pins the parquet round-trip and a planted clone at
+    * cos = 1.
+    */
+  def d20IncrementalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    d20Frame(e.filter(col("vec_id") % 10 =!= 7),
+      e.filter(col("vec_id") % 10 === 7))
+  }
+
+  /** Build the corpus index inline, then probe. Production persists
+    * `embedBands(embedSigs(corpus))` and the sig table once, appending
+    * per batch ([[d20Probe]] takes the loaded frames directly).
+    */
+  def d20Frame(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val ce = embedSigs(corpus).cache()
+    d20Probe(batch, embedBands(ce), ce)
+  }
+
+  /** The per-batch probe: `index` = corpus band rows, `corpusVecs` =
+    * the index's vector payload table (vec_id, v, nrm, ...).
+    */
+  def d20Probe(batch: DataFrame, index: DataFrame,
+      corpusVecs: DataFrame): DataFrame = {
+    import graft.functions.SimFunctions.dot
+    val be = embedSigs(batch).cache()
+    val cand = embedBands(be).as("p")
+      .join(index.as("i"),
+        col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
+      .select(col("p.vec_id").as("new_id"), col("i.vec_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(be.select(col("vec_id").as("new_id"),
+        col("v").as("v1"), col("nrm").as("n1")), Seq("new_id"))
+      .join(corpusVecs.select(col("vec_id").as("dup_of"),
+        col("v").as("v2"), col("nrm").as("n2")), Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("new_id"), col("dup_of"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Oracle: d8's signature replay, asymmetric across the `% 10` split. */
+  val d20Sql: String = {
+    val sigSum = (0 until 16).map { i =>
+      val h = graft.queries.Similarity.lshHyperplane(i)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product(v, $h) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |sigs AS (
+       |  SELECT vec_id, v, nrm,
+       |    $sigSum AS sig
+       |  FROM n
+       |),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (sig // CAST(power(2::DOUBLE, b*4) AS INT)) % 16 AS bv
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS new_id, i.vec_id AS dup_of
+       |  FROM bands p JOIN bands i
+       |    ON p.band = i.band AND p.bv = i.bv
+       |   AND p.vec_id % 10 = 7 AND i.vec_id % 10 <> 7
+       |)
+       |SELECT c.new_id, c.dup_of,
+       |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+       |FROM cand c JOIN sigs x ON x.vec_id = c.new_id JOIN sigs y ON y.vec_id = c.dup_of
+       |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+       |ORDER BY new_id, dup_of""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d1_jaccard_pairs" -> (d1JaccardPairs _),
     "d2_minhash_pairs" -> (d2MinHashPairs _),
@@ -1683,6 +1783,7 @@ object Dedup {
     "d17_soft_weights" -> (d17SoftDedupWeights _),
     "d18_ensemble_clusters" -> (d18EnsembleClusters _),
     "d19_incremental_minhash" -> (d19IncrementalMinhash _),
+    "d20_incremental_embed" -> (d20IncrementalEmbed _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -1706,5 +1807,6 @@ object Dedup {
     "d17_soft_weights" -> d17Sql,
     "d18_ensemble_clusters" -> d18Sql,
     "d19_incremental_minhash" -> d19Sql,
+    "d20_incremental_embed" -> d20Sql,
   )
 }

@@ -681,6 +681,35 @@ class DedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(storeTmp.toFile)
     }
 
+    // planted positive (d20, the embedding-side gate): a batch vector
+    // cloning a corpus vector must surface with cos exactly 1.0, and the
+    // persisted (bands, sigs) index must reproduce the inline verdicts
+    val emb = Tables.embeddings(spark, dir)
+    val eCorpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val eBatch = emb.filter(col("vec_id") % 10 === 7)
+    val d20Inline = Dedup.d20Frame(eCorpus, eBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val embTmp = java.nio.file.Files.createTempDirectory("d20-index-")
+    try {
+      val ce = Dedup.embedSigs(eCorpus)
+      Dedup.embedBands(ce).write.parquet(embTmp.resolve("bands").toString)
+      ce.write.parquet(embTmp.resolve("sigs").toString)
+      val probed = Dedup.d20Probe(eBatch,
+        spark.read.parquet(embTmp.resolve("bands").toString),
+        spark.read.parquet(embTmp.resolve("sigs").toString)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(probed == d20Inline)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(embTmp.toFile)
+    }
+    val srcVec = eCorpus.orderBy(col("vec_id")).limit(1).collect().head
+    val vClone = Seq((9000042L, srcVec.getSeq[Float](srcVec.fieldIndex("embedding"))))
+      .toDF("vec_id", "embedding")
+    val vFound = Dedup.d20Frame(eCorpus, vClone).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(vFound.exists { case (n, d, c) =>
+      n == 9000042L && d == srcVec.getLong(srcVec.fieldIndex("vec_id")) && c == 1.0 })
+
     // planted positive: a batch doc that clones a corpus doc verbatim
     // must surface with jaccard exactly 1.0
     val srcRow = corpus.select(col("doc_id"), col("text"))
