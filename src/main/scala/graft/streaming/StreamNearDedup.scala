@@ -67,6 +67,9 @@ object StreamNearDedup {
       val corpusDocs = spark.read.parquet(
         listBatchDirs(new File(storeDir, "docs"))
           .filter(_._1 < batchId).map(_._2): _*)
+        // a crashed-and-retried compact can leave byte-identical
+        // duplicate rows across dirs; any survivor is correct
+        .dropDuplicates("doc_id")
       val corpusSh = Dedup.shingleSetsOf(corpusDocs).cache()
       // materialize before releasing the shingle cache, release the
       // checkpoint blocks once written (Checkpoints doctrine)
@@ -81,6 +84,55 @@ object StreamNearDedup {
     docs.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$batchId")
     Dedup.minhashBands(Dedup.shingleSetsOf(docs))
       .write.mode("overwrite").parquet(bandDir.toString)
+  }
+
+  /** Compact every store partition with batch id ≤ `upTo` into a single
+    * `batch=<upTo>` directory (bands and docs alike) — the small-files
+    * maintenance a long-running gate needs: after thousands of batches
+    * the per-probe file listing and tiny-file scans dominate, and the
+    * fix is exactly a lakehouse compaction. Probe semantics are
+    * untouched: any batch id > upTo still reads the identical union of
+    * earlier rows.
+    *
+    * Crash safety without a manifest: the merged directory is written
+    * FIRST (overwrite mode, into `batch=<upTo>` — a directory the
+    * replay sentinel already considers merged), then the superseded
+    * directories are deleted. A crash between the two leaves duplicate
+    * rows across old + merged dirs — harmless, because the probe's
+    * candidate set is `distinct()` and the verify joins shingle payloads
+    * by id (duplicates collapse), and a compaction retry is a pure
+    * re-write + re-delete. The spec pins verdict identity across
+    * compaction and across a simulated half-completed compaction.
+    */
+  def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
+    for (sub <- Seq("bands", "docs")) {
+      val root = new File(storeDir, sub)
+      val olds = listBatchDirs(root).filter(_._1 < upTo)
+      if (olds.nonEmpty) {
+        // 1. materialize the union of the SUPERSEDED dirs (batch=<upTo>
+        //    itself is not an input, so no step ever rewrites a live dir)
+        val tmp = new File(root, s"_compact_tmp_$upTo") // name probes ignore
+        spark.read.parquet(olds.map(_._2): _*)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // 2. per-file atomic renames INTO batch=<upTo>: after any crash
+        //    point the union of visible dirs only ever gains duplicate
+        //    rows, never loses one
+        val keep = new File(root, s"batch=$upTo")
+        java.nio.file.Files.createDirectories(keep.toPath)
+        tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              keep.toPath.resolve(s"compact-$upTo-$i-${f.getName}"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        // 3. drop the superseded dirs; a crash midway leaves duplicates
+        //    the probe's distinct()/doc-id dedup collapses
+        olds.foreach { case (_, p) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+        }
+      }
+    }
   }
 
   private def emptyVerdicts(spark: SparkSession): DataFrame =

@@ -89,4 +89,37 @@ class StreamNearDedupSpec extends AnyFunSuite {
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("compaction preserves verdicts, including after a simulated half-crash") {
+    val root = java.nio.file.Files.createTempDirectory("neardedup-c-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val exp2 = canon(Dedup.d19Frame(bs(0).unionByName(bs(1)), bs(2)))
+
+    // compact batches 0..1 into batch=1; batch 2's probe must see the
+    // identical union
+    StreamNearDedup.compact(spark, storeDir, 1L)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
+
+    // simulated half-crash: superseded rows resurface as duplicates
+    // (compaction moved files in but a retry's delete never ran) —
+    // verdicts must be unchanged because the probe collapses dup rows
+    for (sub <- Seq("bands", "docs")) {
+      val keep = new java.io.File(s"$storeDir/$sub/batch=1")
+      val ghost = new java.io.File(s"$storeDir/$sub/batch=0")
+      org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/batch=2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/bands/batch=2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/docs/batch=2"))
+    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2,
+      "duplicate store rows changed the verdicts")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
