@@ -170,15 +170,104 @@ object TrainingPipeline {
         Seq("doc_id")))
 
     // chunk the survivors 128/96 (same grid as t16)
+    stage("chunk", chunkFrame(paraDeduped))
+  }
+
+  /** t16's 128/96 chunk grid over a (doc_id, source, text, ...) frame —
+    * shared by [[backHalf]] and [[curateIncremental]]. Map-only explode.
+    */
+  private def chunkFrame(docs: DataFrame): DataFrame = {
     val chunkTokens = slice(col("t"), col("chunk_id") * 96 + 1, lit(128))
-    stage("chunk",
-      paraDeduped.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
-        .filter(size(col("t")) > 0)
-        .select(col("doc_id"), col("source"), col("t"),
-          explode(sequence(lit(0),
-            floor((size(col("t")) - 1) / 96.0).cast("int"))).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"), col("source"),
-          array_join(chunkTokens, " ").as("chunk"),
-          size(chunkTokens).as("n_tok")))
+    docs.select(col("doc_id"), col("source"), tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / 96.0).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("source"),
+        array_join(chunkTokens, " ").as("chunk"),
+        size(chunkTokens).as("n_tok"))
+  }
+
+  /** Incremental curation — the DAILY-SHARD path: one ingest batch is
+    * gated against a PERSISTENT corpus store (the d19WriteStore layout)
+    * instead of re-running [[curate]] over the whole corpus per ingest:
+    *
+    *   quality gate (map-only) → exact dedup within the batch →
+    *   near-dup gate vs the persisted MinHash index (d19ProbeStored:
+    *   corpus text never rescanned) → benchmark decontamination
+    *   (broadcast gram probe) → ACCEPTED docs' bands + shingles appended
+    *   to the store → chunking.
+    *
+    * The gate's contract is corpus-novelty: a batch doc near-dupping any
+    * already-accepted corpus doc is dropped (the corpus copy survives).
+    * Intra-batch NEAR-dups (distinct fingerprints) both pass — each is
+    * novel vs the corpus — and fall to the next corpus-global d7/d15
+    * pass, exactly like production ingest gates; intra-batch EXACT dups
+    * are dropped here. Per batch the corpus-proportional work is one
+    * bands-index scan (32 small rows per corpus doc, measured flat in
+    * SCALING.md's d19 receipt); everything else is batch-sized.
+    *
+    * `benchDir` supplies the benchmark set (the same `% 97` eval slice
+    * d6 gates on). Returns the batch's chunk frame + per-stage counts.
+    */
+  def curateIncremental(s: SparkSession, batch: DataFrame, storeDir: String,
+      benchDir: String, outPath: Option[String] = None,
+      minQuality: Double = 0.25, shards: Int = 8)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var prevStage: Checkpoints.Checkpointed = null
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cp = Checkpoints.eager(df)
+      counts += name -> cp.df.count()
+      if (prevStage != null) prevStage.release()
+      prevStage = cp
+      cp.df
+    }
+
+    val ingested = stage("ingest", batch)
+    val gated = stage("quality_gate",
+      ingested.filter(qualityScore(col("text")) >= minQuality))
+    val keepers = gated
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = stage("exact_dedup",
+      gated.join(keepers, Seq("doc_id"), "left_semi"))
+
+    // near-dup gate against the persistent index — drop ids are batch-
+    // sized (a subset of the batch), so the anti-join broadcasts
+    val dupIds = Dedup.d19ProbeStored(s, exact, storeDir)
+      .select(col("new_id").as("doc_id")).distinct()
+    val novel = stage("near_dup_gate",
+      exact.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
+
+    // decontaminate the batch against the benchmark gram set (d6's
+    // slice and gram width; the bench dim broadcasts, the batch is the
+    // only scanned side)
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(shingles(tokenize(col("text")), 4)).as("g"))
+    val bench = grams(Tables.documents(s, benchDir)
+        .filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(novel)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = stage("decontaminate",
+      novel.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+
+    // append the ACCEPTED docs to the store so the NEXT batch's gate
+    // sees them (probe-then-append, StreamNearDedup's discipline)
+    val sh = Dedup.shingleSetsOf(clean).cache()
+    Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
+    sh.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$storeDir/shingles")
+    sh.unpersist(blocking = false)
+
+    val chunks = stage("chunk", chunkFrame(clean))
+    outPath.foreach(p =>
+      graft.sources.Sinks.writeRangeSharded(chunks, p, "doc_id", shards))
+    (chunks, counts.toSeq)
   }
 }

@@ -149,4 +149,50 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(back.columns.toSet ==
       Set("doc_id", "chunk_id", "source", "chunk", "n_tok"))
   }
+
+  test("curateIncremental gates a daily shard against the persistent store") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("inc-store-").toString
+    try {
+      // seed the store from the corpus (the once-cost)
+      val corpus = Tables.documents(spark, dir)
+      graft.queries.Dedup.d19WriteStore(corpus, store)
+      val srcRows = corpus.select(col("doc_id"), col("text"), col("source"))
+        .orderBy(col("doc_id")).limit(2).collect()
+
+      // batch 1: a verbatim clone of a corpus doc (must be gated), an
+      // exact intra-batch dup pair (one survives), and a novel doc
+      val novelText = ("graft synthetic shard " * 40).trim
+      val b1 = Seq(
+        (9100001L, srcRows(0).getString(1), "webz"),   // corpus clone → drop
+        (9100002L, novelText, "webz"),                 // novel → keep
+        (9100003L, novelText, "webz")                  // exact dup of above → drop
+      ).toDF("doc_id", "text", "source")
+      val (chunks1, counts1) = TrainingPipeline.curateIncremental(
+        spark, b1, store, dir)
+      val m1 = counts1.toMap
+      assert(m1("ingest") == 3 && m1("exact_dedup") == 2)
+      assert(m1("near_dup_gate") == 1, s"gate counts: $counts1")
+      val kept1 = chunks1.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(9100002L))
+
+      // batch 2: a clone of batch 1's ACCEPTED doc must now be gated by
+      // the store the first run appended to, and a clone of batch 1's
+      // REJECTED doc must pass (nothing of it entered the corpus)
+      val b2 = Seq(
+        (9200001L, novelText, "webz"),                 // clone of accepted → drop
+        (9200002L, ("another genuinely novel shard text " * 30).trim, "webz"))
+        .toDF("doc_id", "text", "source")
+      val (chunks2, counts2) = TrainingPipeline.curateIncremental(
+        spark, b2, store, dir)
+      val m2 = counts2.toMap
+      assert(m2("near_dup_gate") == 1, s"second-batch gate: $counts2")
+      val kept2 = chunks2.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(9200002L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    }
+  }
 }
