@@ -1587,7 +1587,11 @@ object Dedup {
   /** Bucket fan-out of the d19 shingle store — the verify fetch prunes
     * to candidate buckets, so this bounds BOTH the pruning granularity
     * and the only driver-side collect in the stored probe (≤ this many
-    * bucket ids, at any corpus size).
+    * bucket ids, at any corpus size). 64 is fixture-sized; at real
+    * scale the count grows with the corpus (Scd2Store's sizing rule:
+    * target a few hundred MB of parquet per bucket, so a batch touching
+    * d distinct candidate buckets reads O(d) bounded files) — the
+    * driver-side bucket list stays a bounded policy collect either way.
     */
   val D19Buckets = 64
 
