@@ -792,6 +792,113 @@ object Multimodal {
        |FROM fl f LEFT JOIN quiet q USING (doc_id)
        |GROUP BY f.doc_id ORDER BY media_id""".stripMargin
 
+  /** MM9: incremental perceptual-hash ingest gate — d19/d20's doctrine
+    * on the MEDIA modality, completing the ingest-gate triad (text d19,
+    * embeddings d20, media mm9). The corpus keeps a persisted
+    * (media_id, phash, band, bs) band index; a new media batch decodes
+    * and hashes map-side (payloads never shuffle, the mm1-mm8
+    * contract), candidates come from the 4×16-bit pigeonhole equi-join
+    * against the index, and the hamming verify reads the 64-char phash
+    * CARRIED ON THE INDEX ROWS — no corpus payload fetch of any kind,
+    * making this the cheapest of the three gates per batch.
+    *
+    * Fixture batch: the mm6 planted one-byte variants (ids ≥
+    * [[Mm6PlantOffset]]) plus `media_id % 10 = 7` — so plants 0-6 pair
+    * with their corpus originals (plant 7's original is itself in the
+    * batch) and the gate answer is non-empty through banding AND
+    * verify. Twin: mm6Sql's byte-path replay with the same asymmetric
+    * predicates.
+    */
+  def mm9IncrementalPhash(s: SparkSession, dir: String): DataFrame = {
+    val all = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .unionByName(mm6Plants(s, dir))
+    val isBatch =
+      col("media_id") >= Mm6PlantOffset || col("media_id") % 10 === 7
+    mm9Frame(all.filter(!isBatch), all.filter(isBatch))
+  }
+
+  /** Band rows carrying the full phash — this table IS the persistable
+    * index (4 rows × ~80 bytes per media item, no payloads).
+    */
+  private[queries] def phashBands(ph: DataFrame): DataFrame = {
+    val bandCols = array((0 until 4).map(b =>
+      substring(col("phash"), b * 16 + 1, 16)): _*)
+    ph.select(col("media_id"), col("phash"),
+      posexplode(bandCols).as(Seq("band", "bs")))
+  }
+
+  /** Build the corpus index inline, then probe; production persists
+    * `phashBands(phashOf(corpus))` and hands the loaded frame to
+    * [[mm9Probe]].
+    */
+  def mm9Frame(corpus: DataFrame, batch: DataFrame): DataFrame =
+    mm9Probe(batch, phashBands(phashOf(corpus)))
+
+  /** The per-batch probe: candidates from the band equi-join, exact
+    * positionwise hamming on the phashes both sides already carry.
+    */
+  def mm9Probe(batch: DataFrame, index: DataFrame): DataFrame = {
+    val bp = phashBands(phashOf(batch).cache())
+    val cand = bp.as("p").join(index.as("i"),
+        col("p.band") === col("i.band") && col("p.bs") === col("i.bs"))
+      .select(col("p.media_id").as("new_id"), col("i.media_id").as("dup_of"),
+        col("p.phash").as("p1"), col("i.phash").as("p2"))
+      .distinct()
+    val ham = aggregate(
+      zip_with(split(col("p1"), ""), split(col("p2"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (a, x) => a + x)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= Mm6MaxHamming)
+      .select(col("new_id"), col("dup_of"), col("hamming"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Oracle: mm6Sql's byte-path phash replay with the asymmetric
+    * batch/corpus predicates.
+    */
+  lazy val mm9Sql: String =
+    s"""WITH f AS (
+      |  SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
+      |  FROM documents WHERE octet_length(encode(text)) >= 64
+      |  UNION ALL
+      |  SELECT doc_id + $Mm6PlantOffset, '~' || substr(text, 2), length(text)::BIGINT
+      |  FROM documents WHERE doc_id < 8 AND octet_length(encode(text)) >= 64
+      |), bytes AS (
+      |  SELECT media_id, L,
+      |    ((i - 1) * 64) // L AS k,
+      |    ord(substr(text, CAST(i AS INT), 1))::BIGINT AS b
+      |  FROM f, unnest(range(1, L + 1)) AS t(i)
+      |), chunks AS (
+      |  SELECT media_id, L, k, sum(b)::BIGINT AS cs, count(*)::BIGINT AS clen
+      |  FROM bytes GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT media_id, sum(cs)::BIGINT AS gsum FROM chunks GROUP BY 1
+      |), p AS (
+      |  SELECT c.media_id,
+      |    string_agg(CASE WHEN c.cs * c.L > g.gsum * c.clen
+      |               THEN '1' ELSE '0' END, '' ORDER BY c.k) AS phash
+      |  FROM chunks c JOIN g USING (media_id) GROUP BY c.media_id
+      |), bands AS (
+      |  SELECT media_id, phash, b, substr(phash, CAST(b * 16 + 1 AS INT), 16) AS bs
+      |  FROM p, unnest(range(0, 4)) AS t(b)
+      |), cand AS (
+      |  SELECT DISTINCT p.media_id AS new_id, i.media_id AS dup_of,
+      |         p.phash AS p1, i.phash AS p2
+      |  FROM bands p JOIN bands i ON p.b = i.b AND p.bs = i.bs
+      |  WHERE (p.media_id >= $Mm6PlantOffset OR p.media_id % 10 = 7)
+      |    AND NOT (i.media_id >= $Mm6PlantOffset OR i.media_id % 10 = 7)
+      |), ham AS (
+      |  SELECT new_id, dup_of,
+      |    len(list_filter(range(1, 65),
+      |      i -> substr(p1, CAST(i AS INT), 1) <> substr(p2, CAST(i AS INT), 1)))::BIGINT
+      |    AS hamming
+      |  FROM cand
+      |)
+      |SELECT new_id, dup_of, hamming FROM ham WHERE hamming <= $Mm6MaxHamming
+      |ORDER BY new_id, dup_of""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -801,6 +908,7 @@ object Multimodal {
     "mm6_phash_pairs" -> (mm6PhashPairs _),
     "mm7_wav_features" -> (mm7WavFeatures _),
     "mm8_audio_activity" -> (mm8AudioActivity _),
+    "mm9_incremental_phash" -> (mm9IncrementalPhash _),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -812,5 +920,6 @@ object Multimodal {
     "mm6_phash_pairs" -> mm6Sql,
     "mm7_wav_features" -> mm7Sql,
     "mm8_audio_activity" -> mm8Sql,
+    "mm9_incremental_phash" -> mm9Sql,
   )
 }

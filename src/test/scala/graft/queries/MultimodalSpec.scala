@@ -320,4 +320,38 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(length(col("payload")) >= 64).count()
     assert(out.length == expected)
   }
+
+  test("mm9 incremental gate: persisted index reproduces inline; plants surface") {
+    val inline = Multimodal.mm9IncrementalPhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the planted one-byte variants of corpus docs must be gated (plant
+    // k pairs with original k for k whose original is corpus-side)
+    assert(inline.nonEmpty, "no planted pair surfaced")
+    inline.keys.foreach { case (n, d) =>
+      assert(n >= Multimodal.Mm6PlantOffset || n % 10 == 7, s"$n not a batch id")
+      assert(d < Multimodal.Mm6PlantOffset && d % 10 != 7, s"$d not a corpus id")
+    }
+    assert(inline.exists { case ((n, d), h) =>
+      n == d + Multimodal.Mm6PlantOffset && h <= Multimodal.Mm6MaxHamming })
+
+    // parquet round-trip of the band index reproduces the verdicts —
+    // the index is fully self-contained (phash rides the band rows)
+    val all = Multimodal.mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+    val corpus = all.filter(col("media_id") % 10 =!= 7)
+    val tmp = java.nio.file.Files.createTempDirectory("mm9-index-")
+    try {
+      Multimodal.phashBands(Multimodal.phashOf(corpus))
+        .write.parquet(tmp.resolve("bands").toString)
+      val batch = all.filter(col("media_id") % 10 === 7)
+      val fresh = Multimodal.mm9Frame(corpus, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val loaded = Multimodal.mm9Probe(batch,
+        spark.read.parquet(tmp.resolve("bands").toString)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(loaded == fresh)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
 }
