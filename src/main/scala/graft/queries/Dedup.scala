@@ -1736,6 +1736,56 @@ object Dedup {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  /** Persist the d20 store: `bands/` (the probe index) plus `sigs/` —
+    * the (vec_id, v, nrm) payload table an ANN index stores anyway —
+    * PARTITIONED BY pmod(xxhash64(vec_id), [[D19Buckets]]), so the
+    * verify fetch prunes to candidate buckets exactly like d19's
+    * shingle store (same sizing rule at real scale).
+    */
+  def d20WriteStore(corpus: DataFrame, path: String): Unit = {
+    val ce = embedSigs(corpus).cache()
+    embedBands(ce).write.mode("overwrite").parquet(s"$path/bands")
+    ce.withColumn("bucket",
+        pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/sigs")
+    ce.unpersist(blocking = false)
+  }
+
+  /** The at-scale d20 probe against a [[d20WriteStore]] layout: the
+    * candidate pairs' distinct bucket list (≤ [[D19Buckets]] ids, a
+    * bounded policy collect) becomes a static partition filter on the
+    * vector store, so the exact-cosine verify reads only candidate
+    * buckets — [[d20Probe]]'s full-index verify join, pruned.
+    */
+  def d20ProbeStored(s: SparkSession, batch: DataFrame,
+      storePath: String): DataFrame = {
+    import graft.functions.SimFunctions.dot
+    val be = embedSigs(batch).cache()
+    val index = s.read.parquet(s"$storePath/bands")
+    val cand = embedBands(be).as("p")
+      .join(index.as("i"),
+        col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
+      .select(col("p.vec_id").as("new_id"), col("i.vec_id").as("dup_of"))
+      .distinct().cache()
+    val buckets = cand
+      .select(pmod(xxhash64(col("dup_of")), lit(D19Buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val fetched = s.read.parquet(s"$storePath/sigs")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("vec_id").as("dup_of"), col("v").as("v2"), col("nrm").as("n2"))
+    // cand stays cached until the harness sweep (d19ProbeStored's note)
+    cand
+      .join(be.select(col("vec_id").as("new_id"),
+        col("v").as("v1"), col("nrm").as("n1")), Seq("new_id"))
+      .join(fetched, Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("new_id"), col("dup_of"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   /** Oracle: d8's signature replay, asymmetric across the `% 10` split. */
   val d20Sql: String = {
     val sigSum = (0 until 16).map { i =>

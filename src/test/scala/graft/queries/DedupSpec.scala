@@ -702,6 +702,18 @@ class DedupSpec extends AnyFunSuite {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(embTmp.toFile)
     }
+    // and the BUCKETED store path (candidate-bucket pruned verify)
+    // returns the same verdicts
+    val d20StoreTmp = java.nio.file.Files.createTempDirectory("d20-store-")
+    try {
+      Dedup.d20WriteStore(eCorpus, d20StoreTmp.toString)
+      val stored = Dedup.d20ProbeStored(spark, eBatch, d20StoreTmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(stored == d20Inline)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(d20StoreTmp.toFile)
+    }
+
     val srcVec = eCorpus.orderBy(col("vec_id")).limit(1).collect().head
     val vClone = Seq((9000042L, srcVec.getSeq[Float](srcVec.fieldIndex("embedding"))))
       .toDF("vec_id", "embedding")
