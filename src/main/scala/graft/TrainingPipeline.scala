@@ -209,6 +209,13 @@ object TrainingPipeline {
     *
     * `benchDir` supplies the benchmark set (the same `% 97` eval slice
     * d6 gates on). Returns the batch's chunk frame + per-stage counts.
+    *
+    * SINGLE-DELIVERY contract: this API has no replay sentinel — a
+    * re-presented batch would append its bands twice and then near-dup
+    * against its own first delivery. Drive at-least-once sources
+    * through [[graft.streaming.StreamNearDedup]], whose batch-directory
+    * sentinel makes replays no-ops, and call this from exactly-once
+    * orchestration only.
     */
   def curateIncremental(s: SparkSession, batch: DataFrame, storeDir: String,
       benchDir: String, outPath: Option[String] = None,

@@ -105,6 +105,11 @@ object StreamNearDedup {
     * compaction and across a simulated half-completed compaction.
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
+    // upTo must be an ALREADY-MERGED batch: compacting into a fresh
+    // batch=<upTo> dir would plant the replay sentinel for a batch that
+    // was never processed, silently swallowing its future delivery
+    require(new File(storeDir, s"bands/batch=$upTo").exists(),
+      s"compact target batch=$upTo does not exist in $storeDir/bands")
     for (sub <- Seq("bands", "docs")) {
       val root = new File(storeDir, sub)
       val olds = listBatchDirs(root).filter(_._1 < upTo)
