@@ -1634,9 +1634,21 @@ object Dedup {
     * designed.
     */
   def d19ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String): DataFrame = {
+      storePath: String): DataFrame =
+    d19ProbeDirs(s, batch, Seq(s"$storePath/bands"),
+      Seq(s"$storePath/shingles"))
+
+  /** [[d19ProbeStored]] against explicit directory LISTS — the
+    * streaming store keeps one bands and one shingle directory per
+    * merged batch ([[graft.streaming.StreamNearDedup]]), and a
+    * crashed-and-retried compaction can leave byte-identical duplicate
+    * shingle rows across them, so the pruned fetch dedups by doc_id
+    * (bounded: candidate buckets only).
+    */
+  def d19ProbeDirs(s: SparkSession, batch: DataFrame,
+      bandDirs: Seq[String], shingleDirs: Seq[String]): DataFrame = {
     val batchSh = shingleSetsOf(batch).cache()
-    val index = s.read.parquet(s"$storePath/bands")
+    val index = s.read.parquet(bandDirs: _*)
     val cand = minhashBands(batchSh).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
@@ -1645,9 +1657,14 @@ object Dedup {
     val buckets = cand
       .select(pmod(xxhash64(col("dup_of")), lit(D19Buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val fetched = s.read.parquet(s"$storePath/shingles")
+    // one read per root: the bucket= layer is PARTITIONING within each
+    // batch dir, and a multi-root read would try to treat batch= as a
+    // partition level too (CONFLICTING_DIRECTORY_STRUCTURES)
+    val fetched = shingleDirs.map(d => s.read.parquet(d))
+      .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id").as("dup_of"), col("sh").as("sh2"))
+      .dropDuplicates("dup_of")
     val out = cand
       .join(batchSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")),
         Seq("new_id"))

@@ -78,13 +78,15 @@ class StreamNearDedupSpec extends AnyFunSuite {
 
     // at-least-once replay: re-presenting batch 1 is a no-op — verdict
     // and store files keep their exact (path, size, mtime) fingerprints
-    def fp(p: String) = new java.io.File(p).listFiles()
+    import scala.jdk.CollectionConverters._
+    def fp(p: String) = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(p), null, true).asScala
       .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
     val before = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/docs/batch=1").map(fp)
+      s"$storeDir/shingles/batch=1").map(fp)
     StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
     val after = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/docs/batch=1").map(fp)
+      s"$storeDir/shingles/batch=1").map(fp)
     assert(before == after, "replayed batch rewrote store or output files")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -108,14 +110,14 @@ class StreamNearDedupSpec extends AnyFunSuite {
     // simulated half-crash: superseded rows resurface as duplicates
     // (compaction moved files in but a retry's delete never ran) —
     // verdicts must be unchanged because the probe collapses dup rows
-    for (sub <- Seq("bands", "docs")) {
+    for (sub <- Seq("bands", "shingles")) {
       val keep = new java.io.File(s"$storeDir/$sub/batch=1")
       val ghost = new java.io.File(s"$storeDir/$sub/batch=0")
       org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/batch=2"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/bands/batch=2"))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/docs/batch=2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/shingles/batch=2"))
     StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2,
       "duplicate store rows changed the verdicts")
