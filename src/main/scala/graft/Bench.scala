@@ -75,6 +75,10 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         metricsSink: scala.collection.mutable.Map[String, Map[String, Long]] = warmMetrics)
         : Double = {
+      // drain the async bus so stale / in-flight events land on the
+      // correct side of each snapshot boundary (a fixed sleep only made
+      // the misattribution race rarer — round-12 advice #5)
+      MetricsListener.drain(spark.sparkContext)
       metrics.snapshotAndReset() // drop events from warm-up / prior phases
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -83,6 +87,7 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       cleanup()
+      MetricsListener.drain(spark.sparkContext)
       metricsSink(name) = metrics.snapshotAndReset()
       elapsed
     }
@@ -186,8 +191,13 @@ object Bench {
       }.mkString("{", ",", "}")
     val metricsLine =
       s"""{"metric":"resources","sf":"$sfName","queries":${metricsJson(warmMetrics)},"cold_queries":${metricsJson(coldMetrics)}}"""
+    // subset runs get their own file — same guard as BENCH_LATEST.json,
+    // so a local iteration can't clobber the full-suite resource receipt
+    val metricsName =
+      if (wanted.isEmpty) s"bench-metrics-$sfName.json"
+      else s"bench-metrics-$sfName-subset.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"target/bench-metrics-$sfName.json"),
+      java.nio.file.Paths.get(s"target/$metricsName"),
       metricsLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

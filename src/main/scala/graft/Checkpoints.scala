@@ -24,12 +24,46 @@ object Checkpoints {
     def release(): Unit = pinned.foreach(_.unpersist(blocking = false))
   }
 
-  def eager(df: DataFrame): Checkpointed = {
-    val sc = df.sparkSession.sparkContext
+  def eager(df: DataFrame): Checkpointed = eagerBuild(df.sparkSession)(df)
+
+  /** Like [[eager]], but the before-snapshot is taken BEFORE `build` is
+    * evaluated. This matters when constructing the frame itself runs
+    * driver-side actions that pin caches — the stored dedup probes
+    * ([[graft.queries.Dedup.d19ProbeDirs]] et al.) collect their
+    * candidate-bucket list while BUILDING the result plan, which
+    * materializes their internal batch/candidate caches; `eager(probe)`
+    * would snapshot after those blocks are already pinned and the
+    * handle would never release them (a per-micro-batch leak in a
+    * long-running streaming gate). With the thunk form the snapshot
+    * brackets construction + checkpoint, so release() frees the probe's
+    * internals too.
+    */
+  def eagerBuild(spark: org.apache.spark.sql.SparkSession)(
+      build: => DataFrame): Checkpointed = {
+    val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val mat = df.localCheckpoint(eager = true)
+    val mat = build.localCheckpoint(eager = true)
     val pinned = sc.getPersistentRDDs
       .collect { case (id, r) if !before.contains(id) => r }.toSeq
     Checkpointed(mat, pinned)
+  }
+
+  /** Run `work` and unpersist every RDD it left pinned. For WRITE legs
+    * whose building blocks cache internally (e.g. the MinHash banding's
+    * signature cache) and whose result is fully on disk when `work`
+    * returns — nothing in memory is needed afterwards, so everything
+    * the leg pinned is released. Not safe under concurrent Spark
+    * activity on the same session (another thread's fresh caches would
+    * be swept too); the streaming gates run one micro-batch at a time,
+    * which is exactly the single-threaded shape this assumes.
+    */
+  def sweep[T](spark: org.apache.spark.sql.SparkSession)(work: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val result = work
+    sc.getPersistentRDDs
+      .collect { case (id, r) if !before.contains(id) => r }
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 }

@@ -30,9 +30,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   *  - `tasks`, `jobs`: volume of scheduling; `jobs` > a few for one
   *    query flags a driver-side loop (each iteration = one action).
   *
-  * Listener events post asynchronously; callers snapshot AFTER the
-  * action returns and a settle pause (Bench's cleanup already sleeps
-  * 300 ms for the ContextCleaner drain, which doubles as the bus drain).
+  * Listener events post asynchronously; callers must drain the bus
+  * ([[MetricsListener.drain]] → `LiveListenerBus.waitUntilEmpty`)
+  * before each snapshot — a fixed settle pause only makes the
+  * misattribution race rarer, a drain removes it.
   */
 class MetricsListener extends SparkListener {
   private val shuffleRead = new AtomicLong
@@ -61,7 +62,10 @@ class MetricsListener extends SparkListener {
     jobs.incrementAndGet()
   }
 
-  /** Read all counters and zero them for the next query. */
+  /** Read all counters and zero them for the next query. Call
+    * [[MetricsListener.drain]] first so in-flight events land in the
+    * snapshot they belong to.
+    */
   def snapshotAndReset(): Map[String, Long] = Map(
     "shuffle_read" -> shuffleRead.getAndSet(0),
     "shuffle_write" -> shuffleWrite.getAndSet(0),
@@ -71,4 +75,12 @@ class MetricsListener extends SparkListener {
     "peak_exec_mem" -> peakExecMem.getAndSet(0),
     "tasks" -> tasks.getAndSet(0),
     "jobs" -> jobs.getAndSet(0))
+}
+
+object MetricsListener {
+  /** Flush the async listener bus so every already-posted event has
+    * been delivered before a snapshot boundary.
+    */
+  def drain(sc: org.apache.spark.SparkContext): Unit =
+    org.apache.spark.GraftSparkInternals.drainListenerBus(sc)
 }

@@ -242,11 +242,16 @@ object TrainingPipeline {
       gated.join(keepers, Seq("doc_id"), "left_semi"))
 
     // near-dup gate against the persistent index — drop ids are batch-
-    // sized (a subset of the batch), so the anti-join broadcasts
-    val dupIds = Dedup.d19ProbeStored(s, exact, storeDir)
-      .select(col("new_id").as("doc_id")).distinct()
+    // sized (a subset of the batch), so the anti-join broadcasts. The
+    // eagerBuild THUNK brackets the probe's construction, capturing the
+    // internal caches its bucket-list collect pins (Checkpoints doc);
+    // released as soon as the stage materializes.
+    val gate = Checkpoints.eagerBuild(s)(
+      Dedup.d19ProbeStored(s, exact, storeDir)
+        .select(col("new_id").as("doc_id")).distinct())
     val novel = stage("near_dup_gate",
-      exact.join(broadcast(dupIds), Seq("doc_id"), "left_anti"))
+      exact.join(broadcast(gate.df), Seq("doc_id"), "left_anti"))
+    gate.release()
 
     // decontaminate the batch against the benchmark gram set (d6's
     // slice and gram width; the bench dim broadcasts, the batch is the
@@ -263,13 +268,20 @@ object TrainingPipeline {
       novel.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
     // append the ACCEPTED docs to the store so the NEXT batch's gate
-    // sees them (probe-then-append, StreamNearDedup's discipline)
+    // sees them — shingles (verify payloads) FIRST, bands (the probe
+    // index) LAST, StreamNearDedup's discipline: a crash between the
+    // two leaves payload rows without index rows (harmless orphans the
+    // next probe never joins to), whereas the reverse order would leave
+    // index rows whose verify payloads are missing — those candidates
+    // silently vanish at the verify join and the affected docs would
+    // permanently pass the gate with no retry path (single-delivery
+    // contract, so the batch is never re-presented).
     val sh = Dedup.shingleSetsOf(clean).cache()
-    Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
     sh.withColumn("bucket",
         pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$storeDir/shingles")
+    Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
     sh.unpersist(blocking = false)
 
     val chunks = stage("chunk", chunkFrame(clean))

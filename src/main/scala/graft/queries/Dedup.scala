@@ -1601,15 +1601,17 @@ object Dedup {
     * out so a batch probe reads only the candidate buckets, never the
     * corpus. Raw text is in neither table.
     */
-  def d19WriteStore(corpus: DataFrame, path: String): Unit = {
-    val sh = shingleSetsOf(corpus).cache()
-    minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
-    sh.withColumn("bucket",
-        pmod(xxhash64(col("doc_id")), lit(D19Buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/shingles")
-    sh.unpersist(blocking = false)
-  }
+  def d19WriteStore(corpus: DataFrame, path: String): Unit =
+    // sweep: the banding caches its signature frame internally; once
+    // both tables are on disk nothing in memory is needed
+    graft.Checkpoints.sweep(corpus.sparkSession) {
+      val sh = shingleSetsOf(corpus).cache()
+      sh.withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(D19Buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/shingles")
+      minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
+    }
 
   /** The at-scale probe against a [[d19WriteStore]] layout. Differs from
     * [[d19Probe]] (which shingles the live corpus frame — a full corpus
@@ -1676,8 +1678,11 @@ object Dedup {
       .select(col("new_id"), col("dup_of"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("new_id"), col("dup_of"))
     // cand stays cached: `out` still references it and unpersisting here
-    // would re-run the band join at materialization. Batch-sized, swept
-    // by the harness' between-query cleanup (or the caller's).
+    // would re-run the band join at materialization. Batch-sized.
+    // Release hook: bracket the CALL in Checkpoints.eagerBuild (thunk
+    // form — the caches pin during this method's bucket collect, before
+    // the frame exists) and release() after materializing; DedupSpec
+    // pins zero leaked persistent RDDs under that pattern.
     out
   }
 
@@ -1759,15 +1764,15 @@ object Dedup {
     * verify fetch prunes to candidate buckets exactly like d19's
     * shingle store (same sizing rule at real scale).
     */
-  def d20WriteStore(corpus: DataFrame, path: String): Unit = {
-    val ce = embedSigs(corpus).cache()
-    embedBands(ce).write.mode("overwrite").parquet(s"$path/bands")
-    ce.withColumn("bucket",
-        pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/sigs")
-    ce.unpersist(blocking = false)
-  }
+  def d20WriteStore(corpus: DataFrame, path: String): Unit =
+    graft.Checkpoints.sweep(corpus.sparkSession) {
+      val ce = embedSigs(corpus).cache()
+      ce.withColumn("bucket",
+          pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/sigs")
+      embedBands(ce).write.mode("overwrite").parquet(s"$path/bands")
+    }
 
   /** The at-scale d20 probe against a [[d20WriteStore]] layout: the
     * candidate pairs' distinct bucket list (≤ [[D19Buckets]] ids, a
@@ -1776,10 +1781,22 @@ object Dedup {
     * buckets — [[d20Probe]]'s full-index verify join, pruned.
     */
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String): DataFrame = {
+      storePath: String): DataFrame =
+    d20ProbeDirs(s, batch, Seq(s"$storePath/bands"), Seq(s"$storePath/sigs"))
+
+  /** [[d20ProbeStored]] against explicit directory LISTS — the
+    * streaming store ([[graft.streaming.StreamEmbedDedup]]) keeps one
+    * bands and one sigs directory per merged batch, and a crashed-and-
+    * retried compaction can leave byte-identical duplicate sig rows
+    * across them, so the pruned fetch dedups by vec_id (bounded:
+    * candidate buckets only). Same release contract as
+    * [[d19ProbeDirs]]: bracket the call in `Checkpoints.eagerBuild`.
+    */
+  def d20ProbeDirs(s: SparkSession, batch: DataFrame,
+      bandDirs: Seq[String], sigDirs: Seq[String]): DataFrame = {
     import graft.functions.SimFunctions.dot
     val be = embedSigs(batch).cache()
-    val index = s.read.parquet(s"$storePath/bands")
+    val index = s.read.parquet(bandDirs: _*)
     val cand = embedBands(be).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
@@ -1788,10 +1805,15 @@ object Dedup {
     val buckets = cand
       .select(pmod(xxhash64(col("dup_of")), lit(D19Buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val fetched = s.read.parquet(s"$storePath/sigs")
+    // one read per root: bucket= is partitioning WITHIN each batch dir
+    // (d19ProbeDirs' CONFLICTING_DIRECTORY_STRUCTURES note)
+    val fetched = sigDirs.map(d => s.read.parquet(d))
+      .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*))
       .select(col("vec_id").as("dup_of"), col("v").as("v2"), col("nrm").as("n2"))
-    // cand stays cached until the harness sweep (d19ProbeStored's note)
+      .dropDuplicates("dup_of")
+    // cand stays cached until the caller's eagerBuild release
+    // (d19ProbeDirs' note)
     cand
       .join(be.select(col("vec_id").as("new_id"),
         col("v").as("v1"), col("nrm").as("n1")), Seq("new_id"))

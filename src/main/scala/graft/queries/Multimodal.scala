@@ -855,6 +855,39 @@ object Multimodal {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  /** Persist the mm9 store: the band index IS the whole store — band
+    * rows carry the full phash (4 rows × ~80 bytes per media item, no
+    * payloads), so the hamming verify needs no payload table and no
+    * bucket pruning. One table also means the store append is a single
+    * atomic-enough write: there is no index/payload ordering hazard at
+    * all (the d19/d20 shingles-before-bands discipline has nothing to
+    * order here).
+    */
+  def mm9WriteStore(corpus: DataFrame, path: String): Unit =
+    graft.Checkpoints.sweep(corpus.sparkSession) {
+      phashBands(phashOf(corpus)).write.mode("overwrite")
+        .parquet(s"$path/bands")
+    }
+
+  /** The at-scale probe against a [[mm9WriteStore]] layout. Release
+    * contract as for the d19/d20 stored probes: the probe caches the
+    * batch's phash frame while building the plan, so bracket the call
+    * in `Checkpoints.eagerBuild` and release after materializing.
+    */
+  def mm9ProbeStored(s: SparkSession, batch: DataFrame,
+      storePath: String): DataFrame =
+    mm9ProbeDirs(s, batch, Seq(s"$storePath/bands"))
+
+  /** [[mm9ProbeStored]] against explicit directory LISTS — the
+    * streaming store ([[graft.streaming.StreamMediaDedup]]) keeps one
+    * bands directory per merged batch. Duplicate index rows from a
+    * crashed-and-retried compaction are byte-identical, so the
+    * candidate distinct inside [[mm9Probe]] collapses them.
+    */
+  def mm9ProbeDirs(s: SparkSession, batch: DataFrame,
+      bandDirs: Seq[String]): DataFrame =
+    mm9Probe(batch, s.read.parquet(bandDirs: _*))
+
   /** Oracle: mm6Sql's byte-path phash replay with the asymmetric
     * batch/corpus predicates.
     */

@@ -733,4 +733,38 @@ class DedupSpec extends AnyFunSuite {
     assert(found.exists { case (n, d, j) =>
       n == 9000007L && d == srcRow.getLong(0) && j == 1.0 })
   }
+
+  test("eagerBuild-bracketed stored probes leak no persistent RDDs after release") {
+    // the stored probes pin internal caches during CONSTRUCTION (their
+    // driver-side bucket-list collect), so the release hook is
+    // Checkpoints.eagerBuild's thunk form — this pins the contract a
+    // long-running streaming gate depends on: after materialize + write
+    // + release, executor storage is back to where it started
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val emb = Tables.embeddings(spark, dir)
+    val d19Store = java.nio.file.Files.createTempDirectory("d19-rel-")
+    val d20Store = java.nio.file.Files.createTempDirectory("d20-rel-")
+    try {
+      Dedup.d19WriteStore(corpus, d19Store.toString)
+      Dedup.d20WriteStore(emb.filter(col("vec_id") % 10 =!= 7), d20Store.toString)
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val cp19 = graft.Checkpoints.eagerBuild(spark)(
+        Dedup.d19ProbeStored(spark, batch, d19Store.toString))
+      assert(cp19.df.count() > 0) // verdicts exist (near-dup fixture)
+      cp19.release()
+      val cp20 = graft.Checkpoints.eagerBuild(spark)(
+        Dedup.d20ProbeStored(spark, emb.filter(col("vec_id") % 10 === 7),
+          d20Store.toString))
+      assert(cp20.df.count() > 0)
+      cp20.release()
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"stored probes leaked persistent RDDs: $leaked")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(d19Store.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(d20Store.toFile)
+    }
+  }
 }

@@ -104,6 +104,14 @@ class StreamNearDedupSpec extends AnyFunSuite {
     // identical union
     StreamNearDedup.compact(spark, storeDir, 1L)
     assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    // the at-least-once no-op guarantee must survive compaction: batch
+    // 0's bands dir (its replay sentinel) was merged away, so a
+    // re-delivery must be vouched for by the compaction marker — were
+    // it reprocessed, it would see an apparently-empty prior store,
+    // overwrite its verdicts, and re-seed bands/batch=0
+    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists(),
+      "replay of a compacted batch id was reprocessed")
     StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
 
