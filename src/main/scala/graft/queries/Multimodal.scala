@@ -855,6 +855,12 @@ object Multimodal {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  /** The persistable mm9 index rows of a (media_id, payload, format)
+    * frame — map-only decode + hash + band explode; what a store append
+    * writes per batch ([[graft.streaming.StreamMediaDedup]]).
+    */
+  def mm9IndexRows(media: DataFrame): DataFrame = phashBands(phashOf(media))
+
   /** Persist the mm9 store: the band index IS the whole store — band
     * rows carry the full phash (4 rows × ~80 bytes per media item, no
     * payloads), so the hamming verify needs no payload table and no

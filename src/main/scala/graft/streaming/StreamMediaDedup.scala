@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.Multimodal
+
+/** Streaming face of mm9: the per-micro-batch MEDIA near-dup ingest
+  * gate, completing the streaming triad (text [[StreamNearDedup]],
+  * embeddings [[StreamEmbedDedup]], media here). Each micro-batch of
+  * (media_id, payload, format) rows is decoded and perceptually hashed
+  * MAP-SIDE (payloads never shuffle — the mm1-mm8 contract), probed
+  * against the pHash band index built from every EARLIER batch
+  * (pigeonhole band equi-join + positionwise hamming on the phashes the
+  * index rows already carry, `Multimodal.mm9ProbeDirs`), its verdicts
+  * published, and its own band rows appended.
+  *
+  * Store layout (the [[GateStore]] protocol) — ONE table, because the
+  * band rows carry the full phash, so the verify needs no payload
+  * fetch; this is the cheapest of the three gates per batch and its
+  * append has no index/payload ordering hazard at all:
+  * {{{
+  *   store/bands/batch=<id>/  (media_id, phash, band, bs)  index + verify
+  *   outDir/batch=<id>/       (new_id, dup_of, hamming)    verdicts
+  * }}}
+  * foreachBatch is at-least-once: the bands dir is the replay sentinel
+  * (or the compaction marker vouches for a merged id) — a re-delivered
+  * batch skips both writes. Batch 0 probes an empty store and only
+  * seeds it.
+  *
+  * Scale: per batch the corpus-proportional work is one scan of the
+  * bands dirs — 4 rows × ~80 bytes per corpus media item, no payload
+  * bytes anywhere in the probe; executor storage stays flat per batch
+  * (eagerBuild probe bracket + sweep on the append leg, spec-pinned).
+  */
+object StreamMediaDedup {
+
+  private val Tables = Seq("bands" -> Seq.empty[String])
+
+  /** The foreachBatch body, curried with the store/output roots. */
+  def sink(spark: SparkSession, storeDir: String, outDir: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    processBatch(spark, batch, batchId, storeDir, outDir)
+  }
+
+  /** One gate step; package-visible so the spec can drive batches
+    * directly and assert replay idempotence.
+    */
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, storeDir: String, outDir: String): Unit = {
+    if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
+
+    val media = batch.select(col("media_id"), col("payload"), col("format"))
+    val priorBands = GateStore.listBatchDirs(new File(storeDir, "bands"))
+      .filter(_._1 < batchId).map(_._2)
+    if (priorBands.isEmpty)
+      emptyVerdicts(spark).write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+    else {
+      val cp = graft.Checkpoints.eagerBuild(spark)(
+        Multimodal.mm9ProbeDirs(spark, media, priorBands))
+      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      finally cp.release()
+    }
+    // single-table append: the bands dir is both the store row set and
+    // the replay sentinel, so writing it is the commit point
+    graft.Checkpoints.sweep(spark) {
+      Multimodal.mm9IndexRows(media).write.mode("overwrite")
+        .parquet(s"$storeDir/bands/batch=$batchId")
+    }
+  }
+
+  /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
+    * — see [[GateStore.compact]] for the crash envelope and the replay-
+    * sentinel marker.
+    */
+  def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
+    GateStore.compact(spark, storeDir, upTo, Tables)
+
+  private def emptyVerdicts(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL("new_id BIGINT, dup_of BIGINT, hamming BIGINT"))
+}

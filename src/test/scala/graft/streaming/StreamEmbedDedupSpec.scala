@@ -7,26 +7,28 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The streaming near-dup ingest gate: per-batch verdicts must equal the
-  * one-shot d19 probe of that batch against all earlier batches, replays
-  * must be no-ops, and planted cross-batch clones must surface.
+/** The streaming embedding near-dup ingest gate: per-batch verdicts must
+  * equal the one-shot d20 probe of that batch against all earlier
+  * batches, replays (including of compacted ids) must be no-ops, planted
+  * cross-batch vector clones must surface at cos = 1, and executor
+  * storage must stay flat across batches.
   */
-class StreamNearDedupSpec extends AnyFunSuite {
+class StreamEmbedDedupSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
   import spark.implicits._
 
-  /** Three batches of the fixture (doc_id mod 3) with a clone planted in
-    * each later batch: b1 clones a b0 doc, b2 clones a b1 doc — so every
-    * probed batch has at least one guaranteed j=1 verdict.
+  /** Three batches of the fixture (vec_id mod 3) with a clone planted in
+    * each later batch: b1 clones a b0 vector, b2 clones a b1 vector.
     */
   private def batches(): Seq[DataFrame] = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    def part(m: Int) = docs.filter(col("doc_id") % 3 === m)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def part(m: Int) = vecs.filter(col("vec_id") % 3 === m)
     def cloneOf(src: DataFrame, newId: Long) = {
-      val r = src.orderBy(col("doc_id")).limit(1).collect().head
-      Seq((newId, r.getString(1))).toDF("doc_id", "text")
+      val r = src.orderBy(col("vec_id")).limit(1).collect().head
+      Seq((newId, r.getSeq[Float](1))).toDF("vec_id", "embedding")
     }
     val b0 = part(0)
     val b1 = part(1).unionByName(cloneOf(b0, 8000001L))
@@ -37,12 +39,10 @@ class StreamNearDedupSpec extends AnyFunSuite {
   private def canon(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  test("streamed gate verdicts equal the one-shot probe per batch; clones surface") {
-    val root = java.nio.file.Files.createTempDirectory("neardedup-").toString
+  test("streamed gate verdicts equal the one-shot d20 probe per batch; clones surface") {
+    val root = java.nio.file.Files.createTempDirectory("embeddedup-").toString
     val (srcDir, storeDir, outDir) = (s"$root/src", s"$root/store", s"$root/out")
     val bs = batches()
-    // one parquet file per batch, mtimes ascending so maxFilesPerTrigger=1
-    // delivers them as batchIds 0, 1, 2 in order
     bs.zipWithIndex.foreach { case (b, i) =>
       val tmp = s"$root/tmp$i"
       b.coalesce(1).write.parquet(tmp)
@@ -59,80 +59,69 @@ class StreamNearDedupSpec extends AnyFunSuite {
       .option("latestFirst", "false")
       .parquet(srcDir)
       .writeStream
-      .foreachBatch(StreamNearDedup.sink(spark, storeDir, outDir))
+      .foreachBatch(StreamEmbedDedup.sink(spark, storeDir, outDir))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(180000)
 
     // batch 0 probes an empty index: zero verdicts, store seeded
     assert(spark.read.parquet(s"$outDir/batch=0").count() == 0)
-    // each later batch equals the one-shot d19 probe against the union
-    // of all earlier batches (d19Frame == brute force per DedupSpec)
-    val exp1 = canon(Dedup.d19Frame(bs(0), bs(1)))
-    val exp2 = canon(Dedup.d19Frame(bs(0).unionByName(bs(1)), bs(2)))
+    val exp1 = canon(Dedup.d20Frame(bs(0), bs(1)))
+    val exp2 = canon(Dedup.d20Frame(bs(0).unionByName(bs(1)), bs(2)))
     assert(canon(spark.read.parquet(s"$outDir/batch=1")) == exp1)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
-    // the planted clones surface with jaccard exactly 1.0
-    assert(exp1.exists { case (n, _, j) => n == 8000001L && j == 1.0 })
-    assert(exp2.exists { case (n, _, j) => n == 8000002L && j == 1.0 })
+    // the planted clones surface with cosine exactly 1.0
+    assert(exp1.exists { case (n, _, c) => n == 8000001L && c == 1.0 })
+    assert(exp2.exists { case (n, _, c) => n == 8000002L && c == 1.0 })
 
-    // at-least-once replay: re-presenting batch 1 is a no-op — verdict
-    // and store files keep their exact (path, size, mtime) fingerprints
+    // at-least-once replay: re-presenting batch 1 is a no-op
     import scala.jdk.CollectionConverters._
     def fp(p: String) = org.apache.commons.io.FileUtils
       .listFiles(new java.io.File(p), null, true).asScala
       .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
     val before = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/shingles/batch=1").map(fp)
-    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+      s"$storeDir/sigs/batch=1").map(fp)
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
     val after = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/shingles/batch=1").map(fp)
+      s"$storeDir/sigs/batch=1").map(fp)
     assert(before == after, "replayed batch rewrote store or output files")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
-  test("compaction preserves verdicts, including after a simulated half-crash") {
-    val root = java.nio.file.Files.createTempDirectory("neardedup-c-").toString
+  test("compaction preserves verdicts, sentinels and a half-crash; storage stays flat") {
+    val root = java.nio.file.Files.createTempDirectory("embeddedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")
     val bs = batches()
-    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
     // executor storage flat per batch: the probe bracket + append sweep
-    // must release everything this batch pinned (a long-running gate
-    // would otherwise grow storage monotonically)
+    // must release everything this batch pinned
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
     assert(leaked.isEmpty, s"gate batch leaked persistent RDDs: $leaked")
-    val exp2 = canon(Dedup.d19Frame(bs(0).unionByName(bs(1)), bs(2)))
+    val exp2 = canon(Dedup.d20Frame(bs(0).unionByName(bs(1)), bs(2)))
 
-    // compact batches 0..1 into batch=1; batch 2's probe must see the
-    // identical union
-    StreamNearDedup.compact(spark, storeDir, 1L)
+    StreamEmbedDedup.compact(spark, storeDir, 1L)
     assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
-    // the at-least-once no-op guarantee must survive compaction: batch
-    // 0's bands dir (its replay sentinel) was merged away, so a
-    // re-delivery must be vouched for by the compaction marker — were
-    // it reprocessed, it would see an apparently-empty prior store,
-    // overwrite its verdicts, and re-seed bands/batch=0
-    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    // replay of a COMPACTED id must stay a no-op (marker vouches for it)
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
     assert(!new java.io.File(s"$storeDir/bands/batch=0").exists(),
       "replay of a compacted batch id was reprocessed")
-    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
 
-    // simulated half-crash: superseded rows resurface as duplicates
-    // (compaction moved files in but a retry's delete never ran) —
+    // simulated half-crash: superseded rows resurface as duplicates —
     // verdicts must be unchanged because the probe collapses dup rows
-    for (sub <- Seq("bands", "shingles")) {
+    for (sub <- Seq("bands", "sigs")) {
       val keep = new java.io.File(s"$storeDir/$sub/batch=1")
       val ghost = new java.io.File(s"$storeDir/$sub/batch=0")
       org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/batch=2"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/bands/batch=2"))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/shingles/batch=2"))
-    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/sigs/batch=2"))
+    StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2,
       "duplicate store rows changed the verdicts")
 

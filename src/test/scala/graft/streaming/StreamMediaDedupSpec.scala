@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.queries.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming media near-dup ingest gate: per-batch verdicts must
+  * equal the one-shot mm9 probe of that batch against all earlier
+  * batches, replays (including of compacted ids) must be no-ops, a
+  * planted payload clone must surface at hamming 0, and executor
+  * storage must stay flat across batches.
+  */
+class StreamMediaDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  /** Three batches of the media fixture (media_id mod 3) with a payload
+    * clone planted in each later batch: b1 clones a b0 item, b2 a b1
+    * item.
+    */
+  private def batches(): Seq[DataFrame] = {
+    val media = Multimodal.mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"),
+        col("meta.format").as("format"))
+    def part(m: Int) = media.filter(col("media_id") % 3 === m)
+    def cloneOf(src: DataFrame, newId: Long) = {
+      val r = src.filter(length(col("payload")) >= 64)
+        .orderBy(col("media_id")).limit(1).collect().head
+      Seq((newId, r.getAs[Array[Byte]](1), r.getString(2)))
+        .toDF("media_id", "payload", "format")
+    }
+    val b0 = part(0)
+    val b1 = part(1).unionByName(cloneOf(b0, 8000001L))
+    val b2 = part(2).unionByName(cloneOf(b1, 8000002L))
+    Seq(b0, b1, b2)
+  }
+
+  private def canon(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("streamed gate verdicts equal the one-shot mm9 probe per batch; clones surface") {
+    val root = java.nio.file.Files.createTempDirectory("mediadedup-").toString
+    val (srcDir, storeDir, outDir) = (s"$root/src", s"$root/store", s"$root/out")
+    val bs = batches()
+    bs.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp$i"
+      b.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"part_$i%02d.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = spark.readStream
+      .schema(bs.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(StreamMediaDedup.sink(spark, storeDir, outDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    assert(spark.read.parquet(s"$outDir/batch=0").count() == 0)
+    val exp1 = canon(Multimodal.mm9Frame(bs(0), bs(1)))
+    val exp2 = canon(Multimodal.mm9Frame(bs(0).unionByName(bs(1)), bs(2)))
+    assert(canon(spark.read.parquet(s"$outDir/batch=1")) == exp1)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
+    // the planted payload clones surface with hamming exactly 0
+    assert(exp1.exists { case (n, _, h) => n == 8000001L && h == 0L })
+    assert(exp2.exists { case (n, _, h) => n == 8000002L && h == 0L })
+
+    // at-least-once replay: re-presenting batch 1 is a no-op
+    import scala.jdk.CollectionConverters._
+    def fp(p: String) = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(p), null, true).asScala
+      .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+    val before = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1").map(fp)
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val after = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1").map(fp)
+    assert(before == after, "replayed batch rewrote store or output files")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("compaction preserves verdicts, sentinels and a half-crash; storage stays flat") {
+    val root = java.nio.file.Files.createTempDirectory("mediadedup-c-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamMediaDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"gate batch leaked persistent RDDs: $leaked")
+    val exp2 = canon(Multimodal.mm9Frame(bs(0).unionByName(bs(1)), bs(2)))
+
+    StreamMediaDedup.compact(spark, storeDir, 1L)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    // replay of a COMPACTED id must stay a no-op (marker vouches for it)
+    StreamMediaDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists(),
+      "replay of a compacted batch id was reprocessed")
+    StreamMediaDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
+
+    // simulated half-crash: superseded rows resurface as duplicates —
+    // verdicts must be unchanged (candidate distinct collapses them)
+    val keep = new java.io.File(s"$storeDir/bands/batch=1")
+    val ghost = new java.io.File(s"$storeDir/bands/batch=0")
+    org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/batch=2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/bands/batch=2"))
+    StreamMediaDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2,
+      "duplicate store rows changed the verdicts")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
