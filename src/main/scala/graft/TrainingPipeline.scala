@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.queries.{Dedup, Relational, Text}
+import graft.queries.{Dedup, Multimodal, Relational, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,6 +210,22 @@ object TrainingPipeline {
     * `benchDir` supplies the benchmark set (the same `% 97` eval slice
     * d6 gates on). Returns the batch's chunk frame + per-stage counts.
     *
+    * MULTIMODAL GATES (optional, the d20/mm9 stores): when the batch
+    * carries an embedding table (`batchEmbeddings`, vec_id == doc_id —
+    * TESTDATA.md's alignment, the same one backHalf's semantic dedup
+    * uses) and an `embedStoreDir` (the d20WriteStore layout), docs
+    * whose VECTORS near-dup an already-accepted corpus vector are
+    * dropped at an `embed_dup_gate` stage — an embedding-space clone
+    * shares no shingle with its source, so the text gate cannot see it
+    * (the SemDeDup rationale, incremental form). Likewise `batchMedia`
+    * ((media_id, payload, format), media_id == doc_id) +
+    * `mediaStoreDir` (mm9WriteStore layout) adds a `media_dup_gate` on
+    * perceptual-hash near-dups. A doc WITHOUT an embedding/media row is
+    * never dropped by these gates (the probes see survivors' rows
+    * only). Accepted docs' sig/band rows are appended to each store
+    * after decontamination, payloads-before-index, so the next batch's
+    * gates see them.
+    *
     * SINGLE-DELIVERY contract: this API has no replay sentinel — a
     * re-presented batch would append its bands twice and then near-dup
     * against its own first delivery. Drive at-least-once sources
@@ -219,7 +235,11 @@ object TrainingPipeline {
     */
   def curateIncremental(s: SparkSession, batch: DataFrame, storeDir: String,
       benchDir: String, outPath: Option[String] = None,
-      minQuality: Double = 0.25, shards: Int = 8)
+      minQuality: Double = 0.25, shards: Int = 8,
+      batchEmbeddings: Option[DataFrame] = None,
+      embedStoreDir: Option[String] = None,
+      batchMedia: Option[DataFrame] = None,
+      mediaStoreDir: Option[String] = None)
       : (DataFrame, Seq[(String, Long)]) = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prevStage: Checkpoints.Checkpointed = null
@@ -253,6 +273,39 @@ object TrainingPipeline {
       exact.join(broadcast(gate.df), Seq("doc_id"), "left_anti"))
     gate.release()
 
+    // embedding near-dup gate (the d20 store): probe the SURVIVORS'
+    // vectors only — already-dropped docs cost no probe work, and a doc
+    // without an embedding row is simply not probed
+    val embedGated = (batchEmbeddings, embedStoreDir) match {
+      case (Some(embs), Some(eStore)) =>
+        val survivorVecs = embs.select(col("vec_id"), col("embedding"))
+          .join(novel.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        val eGate = Checkpoints.eagerBuild(s)(
+          Dedup.d20ProbeStored(s, survivorVecs, eStore)
+            .select(col("new_id").as("doc_id")).distinct())
+        val out = stage("embed_dup_gate",
+          novel.join(broadcast(eGate.df), Seq("doc_id"), "left_anti"))
+        eGate.release(); out
+      case _ => novel
+    }
+
+    // media near-dup gate (the mm9 store): same survivor-only shape;
+    // payloads are decoded and hashed map-side and never shuffle
+    val mediaGated = (batchMedia, mediaStoreDir) match {
+      case (Some(media), Some(mStore)) =>
+        val survivorMedia = media
+          .select(col("media_id"), col("payload"), col("format"))
+          .join(embedGated.select(col("doc_id").as("media_id")),
+            Seq("media_id"))
+        val mGate = Checkpoints.eagerBuild(s)(
+          Multimodal.mm9ProbeStored(s, survivorMedia, mStore)
+            .select(col("new_id").as("doc_id")).distinct())
+        val out = stage("media_dup_gate",
+          embedGated.join(broadcast(mGate.df), Seq("doc_id"), "left_anti"))
+        mGate.release(); out
+      case _ => embedGated
+    }
+
     // decontaminate the batch against the benchmark gram set (d6's
     // slice and gram width; the bench dim broadcasts, the batch is the
     // only scanned side)
@@ -261,11 +314,11 @@ object TrainingPipeline {
     val bench = grams(Tables.documents(s, benchDir)
         .filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
-    val contaminated = grams(novel)
+    val contaminated = grams(mediaGated)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
     val clean = stage("decontaminate",
-      novel.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+      mediaGated.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
     // append the ACCEPTED docs to the store so the NEXT batch's gate
     // sees them — shingles (verify payloads) FIRST, bands (the probe
@@ -276,13 +329,37 @@ object TrainingPipeline {
     // silently vanish at the verify join and the affected docs would
     // permanently pass the gate with no retry path (single-delivery
     // contract, so the batch is never re-presented).
-    val sh = Dedup.shingleSetsOf(clean).cache()
-    sh.withColumn("bucket",
-        pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$storeDir/shingles")
-    Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
-    sh.unpersist(blocking = false)
+    Checkpoints.sweep(s) {
+      val sh = Dedup.shingleSetsOf(clean).cache()
+      sh.withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$storeDir/shingles")
+      Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
+    }
+
+    // accepted docs' vector/media index rows join their stores too —
+    // same payloads-first discipline per store
+    (batchEmbeddings, embedStoreDir) match {
+      case (Some(embs), Some(eStore)) => Checkpoints.sweep(s) {
+        val ce = Dedup.embedSigs(embs
+          .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"))).cache()
+        ce.withColumn("bucket",
+            pmod(xxhash64(col("vec_id")), lit(Dedup.D19Buckets.toLong)))
+          .write.mode("append").partitionBy("bucket").parquet(s"$eStore/sigs")
+        Dedup.embedBands(ce).write.mode("append").parquet(s"$eStore/bands")
+      }
+      case _ => ()
+    }
+    (batchMedia, mediaStoreDir) match {
+      case (Some(media), Some(mStore)) => Checkpoints.sweep(s) {
+        Multimodal.mm9IndexRows(media
+            .select(col("media_id"), col("payload"), col("format"))
+            .join(clean.select(col("doc_id").as("media_id")), Seq("media_id")))
+          .write.mode("append").parquet(s"$mStore/bands")
+      }
+      case _ => ()
+    }
 
     val chunks = stage("chunk", chunkFrame(clean))
     outPath.foreach(p =>

@@ -195,4 +195,104 @@ class TrainingPipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     }
   }
+
+  test("curateIncremental triad: vector clones and pHash near-dups gated incrementally") {
+    import spark.implicits._
+    import graft.queries.{Dedup, Multimodal}
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("inc-triad-").toString
+    val (tStore, eStore, mStore) =
+      (s"$root/text", s"$root/embed", s"$root/media")
+    try {
+      val corpus = Tables.documents(spark, dir)
+      Dedup.d19WriteStore(corpus, tStore)
+
+      // single-vector embed store {v0}; pick v1 from the fixture with
+      // |cos(v0, v1)| < 0.35 so it PROVABLY passes the 0.4 gate — the
+      // test fixture is self-diagnosing, not luck-based
+      val eRows = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(50).collect()
+      def vec(r: Row) = r.getSeq[Float](1).map(_.toDouble)
+      def cosine(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum /
+          (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val v0 = eRows.head
+      val v1 = eRows.tail.find(r => math.abs(cosine(vec(v0), vec(r))) < 0.35)
+        .getOrElse(fail("fixture has no far vector for the control doc"))
+      Dedup.d20WriteStore(
+        Seq((1000000L, v0.getSeq[Float](1))).toDF("vec_id", "embedding"),
+        eStore)
+
+      // single-item media store {m0}; pick mD whose pHash is provably
+      // outside the hamming gate (empty one-shot probe)
+      val mediaAll = Multimodal.mediaTable(spark, dir)
+        .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+        .filter(length(col("payload")) >= 64)
+        .orderBy(col("media_id")).limit(20).collect()
+      def mediaDf(id: Long, r: Row) =
+        Seq((id, r.getAs[Array[Byte]](1), r.getString(2)))
+          .toDF("media_id", "payload", "format")
+      val m0 = mediaAll.head
+      val mD = mediaAll.tail.find(r =>
+          Multimodal.mm9Frame(mediaDf(1000000L, m0), mediaDf(5L, r)).count() == 0)
+        .getOrElse(fail("fixture has no far media item for the control doc"))
+      Multimodal.mm9WriteStore(mediaDf(1000000L, m0), mStore)
+
+      def txt(unit: String) = (unit + " ").repeat(30).trim
+      // four docs, all with NOVEL text (the text gate passes everything):
+      //  alpha carries a vector cloning the stored v0  → embed gate drop
+      //  beta  carries a payload cloning the stored m0 → media gate drop
+      //  gamma carries no modality rows                → kept (never probed)
+      //  delta carries FAR vector v1 + FAR media mD    → kept, appended
+      val b1 = Seq(
+        (9300001L, txt("alpha synthetic corpus entry one"), "webz"),
+        (9300002L, txt("beta totally different wording here"), "webz"),
+        (9300003L, txt("gamma unrelated third sentence body"), "webz"),
+        (9300004L, txt("delta fourth novel passage text"), "webz")
+      ).toDF("doc_id", "text", "source")
+      val b1Embs = Seq(
+        (9300001L, v0.getSeq[Float](1)),
+        (9300004L, v1.getSeq[Float](1))
+      ).toDF("vec_id", "embedding")
+      val b1Media = mediaDf(9300002L, m0).unionByName(mediaDf(9300004L, mD))
+
+      val (chunks1, counts1) = TrainingPipeline.curateIncremental(
+        spark, b1, tStore, dir,
+        batchEmbeddings = Some(b1Embs), embedStoreDir = Some(eStore),
+        batchMedia = Some(b1Media), mediaStoreDir = Some(mStore))
+      val c1 = counts1.toMap
+      assert(counts1.map(_._1) == Seq("ingest", "quality_gate",
+        "exact_dedup", "near_dup_gate", "embed_dup_gate",
+        "media_dup_gate", "decontaminate", "chunk"),
+        counts1.map(_._1).toString)
+      assert(c1("near_dup_gate") == 4, s"text gate: $counts1")
+      assert(c1("embed_dup_gate") == 3, s"embed gate: $counts1")
+      assert(c1("media_dup_gate") == 2, s"media gate: $counts1")
+      val kept1 = chunks1.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(9300003L, 9300004L))
+
+      // batch 2: clones of batch 1's ACCEPTED modality rows must now be
+      // gated by the stores the first run appended to
+      val b2 = Seq(
+        (9400001L, txt("epsilon fifth piece of writing"), "webz"),
+        (9400002L, txt("zeta sixth completely new body"), "webz")
+      ).toDF("doc_id", "text", "source")
+      val b2Embs = Seq((9400001L, v1.getSeq[Float](1)))
+        .toDF("vec_id", "embedding") // clones delta's accepted vector
+      val b2Media = mediaDf(9400002L, mD) // clones delta's accepted media
+      val (chunks2, counts2) = TrainingPipeline.curateIncremental(
+        spark, b2, tStore, dir,
+        batchEmbeddings = Some(b2Embs), embedStoreDir = Some(eStore),
+        batchMedia = Some(b2Media), mediaStoreDir = Some(mStore))
+      val c2 = counts2.toMap
+      assert(c2("near_dup_gate") == 2, s"second batch text gate: $counts2")
+      assert(c2("embed_dup_gate") == 1, s"second batch embed gate: $counts2")
+      assert(c2("media_dup_gate") == 0, s"second batch media gate: $counts2")
+      assert(chunks2.count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
