@@ -56,10 +56,9 @@ object Sinks {
     * time can each read the sink before the other's append lands and both
     * write the same key. One writer at a time (the reference DAG's
     * 30-minute sequential schedule — and any Airflow/cron-style batch
-    * cadence) gets exactly-once keys, re-feeding included; concurrent
-    * writers are out of contract and need a store-side constraint or a
-    * coordination layer (e.g. one Delta/Iceberg MERGE per feed) instead.
-    * SinksSpec pins the sequential exactly-once behavior.
+    * cadence) gets exactly-once keys, re-feeding included; racing
+    * writers need the store-level guarantee — [[appendUniqueConcurrent]],
+    * whose commit log serializes committers. SinksSpec pins both.
     *
     * `partitionCol`: optional ingest-date-style layout column. The sink
     * is written partitionBy(partitionCol) and the anti-join's
@@ -95,6 +94,137 @@ object Sinks {
     }
     out.unpersist()
     n
+  }
+
+  /** S7, concurrent-writer edition: a key-unique append sink that stays
+    * exactly-once-per-key under RACING writers — the store-level
+    * guarantee the reference gets from its unique Mongo index
+    * (pipelines.py:64), rebuilt from immutable data files plus an
+    * append-only commit LOG with an atomic-exclusive commit primitive:
+    * the Delta/Iceberg optimistic-concurrency protocol reduced to its
+    * core, and the multi-writer edition of [[graft.streaming.Scd2Store]]'s
+    * single-writer manifest swap.
+    *
+    * Layout:
+    * {{{
+    *   path/data/<uuid>/   immutable parquet, one dir per committed attempt
+    *   path/_log/<N>       commit N: one line naming the data dir it publishes
+    * }}}
+    * Write protocol (optimistic, retry on lost race):
+    *  1. SNAPSHOT: read the log — committed entries 0..N-1 (contiguous
+    *     by construction).
+    *  2. fresh = batch anti-joined against the committed dirs' keys
+    *     (key column only — column-pruned scan).
+    *  3. write fresh to a new data/<uuid>/ — invisible until committed.
+    *  4. CAS-COMMIT at N: hard-link a temp entry file to `_log/N`.
+    *     POSIX link() is atomic and FAILS if the name exists, so exactly
+    *     one racer wins each N; the loser deletes its orphan dir and
+    *     retries from step 1, now seeing the winner's keys.
+    *
+    * Readers ([[readUnique]]) union only log-referenced dirs, so a crash
+    * between 3 and 4 leaves unreferenced garbage ([[gcUnique]] sweeps
+    * it), never phantom rows. Serializability: all racers for slot N
+    * hold snapshots of 0..N-1, one wins, every loser re-reads — commits
+    * apply in log order, each against the full prior key set, which is
+    * exactly a serial history. Like Scd2Store, the atomic-exclusive
+    * primitive assumes a real filesystem (local, HDFS); a raw object
+    * store would move the log entry to a conditional PUT or a catalog.
+    *
+    * Scale: the per-commit cost is the anti-join (key columns of
+    * committed data + the batch — the same shape as [[appendUnique]])
+    * plus one tiny log write; data files are never rewritten. Returns
+    * the number of rows actually written.
+    */
+  def appendUniqueConcurrent(spark: SparkSession, df: DataFrame,
+      path: String, key: String): Long = {
+    val deduped = df.dropDuplicates(key)
+    var result = -1L
+    while (result < 0) {
+      val snap = logEntries(path)
+      val (dataDir, n) = writeFresh(spark, deduped, path, key, snap)
+      if (n == 0) result = 0 // nothing fresh — no commit slot consumed
+      else if (tryCommit(path, snap.size, dataDir)) result = n
+      else {
+        // lost the race: the winner's batch may contain our keys —
+        // drop the orphan attempt and retry against the longer log
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dataDir"), true)
+      }
+    }
+    result
+  }
+
+  /** The committed contents of an [[appendUniqueConcurrent]] sink. */
+  def readUnique(spark: SparkSession, path: String): DataFrame = {
+    val entries = logEntries(path)
+    require(entries.nonEmpty, s"no committed data under $path")
+    spark.read.parquet(entries.map { case (_, d) => s"$path/$d" }: _*)
+  }
+
+  /** Sweep data dirs no log entry references (crashed or race-losing
+    * attempts). `graceMs` protects in-flight writers that have written
+    * but not yet committed: only dirs untouched for that long go.
+    */
+  def gcUnique(path: String, graceMs: Long = 3600000L): Unit = {
+    val referenced = logEntries(path).map(_._2.stripPrefix("data/")).toSet
+    val dataRoot = new java.io.File(path, "data")
+    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
+      if (d.isDirectory && !referenced.contains(d.getName) &&
+          System.currentTimeMillis() - d.lastModified() > graceMs)
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+    }
+  }
+
+  /** Committed (n, relative data dir) pairs, in commit order. */
+  private[graft] def logEntries(path: String): Seq[(Int, String)] = {
+    val logDir = new java.io.File(path, "_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .map(f => (f.getName.toInt,
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim))
+      .sortBy(_._1)
+  }
+
+  /** Step 2+3: anti-join the batch against the snapshot's keys and
+    * write the survivors to a fresh uncommitted data dir. Returns
+    * (relative dir, rows written); rows == 0 writes nothing.
+    */
+  private[graft] def writeFresh(spark: SparkSession, deduped: DataFrame,
+      path: String, key: String, snap: Seq[(Int, String)]): (String, Long) = {
+    val fresh =
+      if (snap.isEmpty) deduped
+      else deduped.join(
+        spark.read.parquet(snap.map { case (_, d) => s"$path/$d" }: _*)
+          .select(col(key)),
+        Seq(key), "left_anti")
+    val out = fresh.cache()
+    val n = out.count()
+    val dataDir = s"data/${java.util.UUID.randomUUID()}"
+    if (n > 0) out.write.parquet(s"$path/$dataDir")
+    out.unpersist()
+    (dataDir, n)
+  }
+
+  /** Step 4: atomically claim commit slot `n` for `dataDir`. Exactly
+    * one concurrent caller per slot returns true (POSIX link() is
+    * atomic-exclusive); losers must discard their data dir and retry.
+    */
+  private[graft] def tryCommit(path: String, n: Int, dataDir: String): Boolean = {
+    val logDir = new java.io.File(path, "_log")
+    java.nio.file.Files.createDirectories(logDir.toPath)
+    val tmp = new java.io.File(logDir,
+      s".tmp-${java.util.UUID.randomUUID()}").toPath
+    java.nio.file.Files.write(tmp,
+      dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      java.nio.file.Files.createLink(
+        new java.io.File(logDir, n.toString).toPath, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Range-sharded write: the standard layout for a 100 TB corpus that

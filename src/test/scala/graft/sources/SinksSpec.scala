@@ -61,6 +61,56 @@ class SinksSpec extends AnyFunSuite {
     assert(n == 20)
   }
 
+  test("appendUniqueConcurrent: a lost race is retried and drops the winner's keys") {
+    // deterministic interleaving of the optimistic protocol via its
+    // package-private steps: both writers snapshot the SAME (empty)
+    // log, both stage data with overlapping keys, exactly one CAS wins
+    // the commit slot, and the loser's retry anti-joins the winner's
+    // now-visible keys away
+    val path = tmp("uconc")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val batchA = docs.filter(col("doc_id") < 100)
+    val batchB = docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+    val snap = Sinks.logEntries(path)
+    assert(snap.isEmpty)
+    val (dirA, nA) = Sinks.writeFresh(spark, batchA, path, "doc_id", snap)
+    val (dirB, nB) = Sinks.writeFresh(spark, batchB, path, "doc_id", snap)
+    assert(nA == 100 && nB == 100) // both computed fresh vs the same snapshot
+    assert(Sinks.tryCommit(path, 0, dirA), "first committer must win slot 0")
+    assert(!Sinks.tryCommit(path, 0, dirB), "second committer must lose slot 0")
+    // the loser retries through the public API: only its 50 novel keys land
+    val written = Sinks.appendUniqueConcurrent(spark, batchB, path, "doc_id")
+    assert(written == 50, s"retry wrote $written")
+    val stored = Sinks.readUnique(spark, path)
+    assert(stored.count() == 150)
+    assert(stored.select("doc_id").distinct().count() == 150)
+    // the orphaned losing attempt is unreferenced; gc sweeps it
+    Sinks.gcUnique(path, graceMs = 0L)
+    assert(Sinks.readUnique(spark, path).count() == 150)
+    val live = new java.io.File(path, "data").listFiles().map(_.getName).toSet
+    assert(!live.contains(dirB.stripPrefix("data/")), "orphan dir survived gc")
+  }
+
+  test("appendUniqueConcurrent: genuinely racing writers never duplicate a key") {
+    // the real thing: two threads race the full loop on one session
+    // (any interleaving must serialize through the commit log)
+    val path = tmp("uconc2")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val batchA = docs.filter(col("doc_id") < 120)
+    val batchB = docs.filter(col("doc_id") >= 60 && col("doc_id") < 180)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (na, nb) = Await.result(
+      Future(Sinks.appendUniqueConcurrent(spark, batchA, path, "doc_id"))
+        .zip(Future(Sinks.appendUniqueConcurrent(spark, batchB, path, "doc_id"))),
+      5.minutes)
+    assert(na + nb == 180, s"wrote $na + $nb") // union of keys, each once
+    val stored = Sinks.readUnique(spark, path)
+    assert(stored.count() == 180)
+    assert(stored.select("doc_id").distinct().count() == 180)
+  }
+
   test("writeCsv round-trips with explicit field order and header (S8)") {
     val path = tmp("csv")
     val docs = Tables.documents(spark, dir)
