@@ -333,6 +333,7 @@ object TrainingPipeline {
       val sh = Dedup.shingleSetsOf(clean).cache()
       sh.withColumn("bucket",
           pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+        .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
         .write.mode("append").partitionBy("bucket")
         .parquet(s"$storeDir/shingles")
       Dedup.minhashBands(sh).write.mode("append").parquet(s"$storeDir/bands")
@@ -342,12 +343,9 @@ object TrainingPipeline {
     // same payloads-first discipline per store
     (batchEmbeddings, embedStoreDir) match {
       case (Some(embs), Some(eStore)) => Checkpoints.sweep(s) {
-        val ce = Dedup.embedSigs(embs
-          .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"))).cache()
-        ce.withColumn("bucket",
-            pmod(xxhash64(col("vec_id")), lit(Dedup.D19Buckets.toLong)))
+        Dedup.sigStoreRows(embs
+            .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id")))
           .write.mode("append").partitionBy("bucket").parquet(s"$eStore/sigs")
-        Dedup.embedBands(ce).write.mode("append").parquet(s"$eStore/bands")
       }
       case _ => ()
     }

@@ -1608,6 +1608,7 @@ object Dedup {
       val sh = shingleSetsOf(corpus).cache()
       sh.withColumn("bucket",
           pmod(xxhash64(col("doc_id")), lit(D19Buckets.toLong)))
+        .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/shingles")
       minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
@@ -1666,7 +1667,14 @@ object Dedup {
       .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id").as("dup_of"), col("sh").as("sh2"))
-      .dropDuplicates("dup_of")
+    // compaction-duplicate tolerance lives at the PAIR level, not the
+    // payload level: duplicate store rows are byte-identical (the crash
+    // envelope only ever duplicates, never diverges), so they yield
+    // identical verified pairs and one dropDuplicates on the OUTPUT-
+    // bound pair set collapses them — a payload-level dedup here would
+    // shuffle the fetched candidate-bucket payloads a second time
+    // (measured: the d20 edition of that shuffle put the stored probe
+    // BEHIND the inline rebuild at ×50)
     val out = cand
       .join(batchSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")),
         Seq("new_id"))
@@ -1676,6 +1684,7 @@ object Dedup {
         (size(col("sh1")) + size(col("sh2")) - col("c")))
       .filter(col("j") >= 0.5)
       .select(col("new_id"), col("dup_of"), round(col("j"), 6).as("jaccard"))
+      .dropDuplicates(Seq("new_id", "dup_of"))
       .orderBy(col("new_id"), col("dup_of"))
     // cand stays cached: `out` still references it and unpersisting here
     // would re-run the band join at materialization. Batch-sized.
@@ -1758,21 +1767,45 @@ object Dedup {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
-  /** Persist the d20 store: `bands/` (the probe index) plus `sigs/` —
-    * the (vec_id, v, nrm) payload table an ANN index stores anyway —
-    * PARTITIONED BY pmod(xxhash64(vec_id), [[D19Buckets]]), so the
-    * verify fetch prunes to candidate buckets exactly like d19's
-    * shingle store (same sizing rule at real scale).
+  /** Persist the d20 store: ONE `sigs/` table — (vec_id, embedding
+    * float[], nrm, sig), PARTITIONED BY pmod(xxhash64(vec_id),
+    * [[D19Buckets]]). This is the payload table an ANN index stores
+    * anyway, with the 4-byte signature riding along; there is
+    * deliberately NO materialized band table. The probe derives band
+    * rows at read time from a COLUMN-PRUNED (vec_id, sig) scan —
+    * columnar storage makes the "index read" a 12-byte-per-vector
+    * column fetch, while a stored 4-rows-per-vector band table was
+    * measured SLOWER to rescan per batch than recomputing bands from
+    * signatures (GateScaleProbe ×50: the banded layout put the stored
+    * probe behind the inline rebuild). Bonus: one table means the store
+    * append has no index/payload ordering hazard at all.
     */
   def d20WriteStore(corpus: DataFrame, path: String): Unit =
     graft.Checkpoints.sweep(corpus.sparkSession) {
-      val ce = embedSigs(corpus).cache()
-      ce.withColumn("bucket",
-          pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)))
+      sigStoreRows(corpus)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/sigs")
-      embedBands(ce).write.mode("overwrite").parquet(s"$path/bands")
     }
+
+  /** The d20 sig-store rows of a (vec_id, embedding) frame:
+    * (vec_id, embedding float[], nrm, sig, bucket) — what
+    * [[d20WriteStore]] and the streaming/incremental appends all write.
+    * The float vector is recovered bit-exactly from the sig pipeline's
+    * double working vector (float→double→float is the identity), so
+    * stored-probe verdicts stay byte-identical to the inline path while
+    * the store scans half the bytes.
+    */
+  def sigStoreRows(vecs: DataFrame): DataFrame =
+    embedSigs(vecs).select(col("vec_id"),
+        transform(col("v"), _.cast("float")).as("embedding"),
+        col("nrm"), col("sig"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)))
+      // small-files guard (writeJsonlShards' argument): without this,
+      // partitionBy fans every upstream task into every bucket dir
+      // (tasks × buckets tiny files) and the per-batch probe pays the
+      // footer tax on BOTH of its store scans, forever
+      .repartition(col("bucket"))
 
   /** The at-scale d20 probe against a [[d20WriteStore]] layout: the
     * candidate pairs' distinct bucket list (≤ [[D19Buckets]] ids, a
@@ -1782,38 +1815,60 @@ object Dedup {
     */
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String): DataFrame =
-    d20ProbeDirs(s, batch, Seq(s"$storePath/bands"), Seq(s"$storePath/sigs"))
+    d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"))
 
   /** [[d20ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamEmbedDedup]]) keeps one
-    * bands and one sigs directory per merged batch, and a crashed-and-
-    * retried compaction can leave byte-identical duplicate sig rows
-    * across them, so the pruned fetch dedups by vec_id (bounded:
-    * candidate buckets only). Same release contract as
-    * [[d19ProbeDirs]]: bracket the call in `Checkpoints.eagerBuild`.
+    * sigs directory per merged batch. Two reads of the same store, each
+    * minimal: a column-pruned (vec_id, sig) scan that derives the band
+    * index in-flight, and a bucket-pruned (embedding, nrm) fetch for
+    * the exact-cosine verify. Crashed-compaction duplicate rows
+    * collapse at the output-bound pair dedup ([[d19ProbeDirs]]' note).
+    * Same release contract as [[d19ProbeDirs]]: bracket the call in
+    * `Checkpoints.eagerBuild`.
     */
   def d20ProbeDirs(s: SparkSession, batch: DataFrame,
-      bandDirs: Seq[String], sigDirs: Seq[String]): DataFrame = {
+      sigDirs: Seq[String]): DataFrame = {
     import graft.functions.SimFunctions.dot
     val be = embedSigs(batch).cache()
-    val index = s.read.parquet(bandDirs: _*)
+    // band "index" = stored signatures, banded at read time: parquet
+    // column pruning keeps this scan at 12 bytes/vector, vs 4 stored
+    // band ROWS/vector that cost more to rescan than to derive
+    def index = embedBands(sigDirs.map(d => s.read.parquet(d))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("sig")))
+    // bucket list via LEFT SEMI against the batch's DISTINCT band
+    // values: the semi join emits each corpus band row at most once, so
+    // this pass is linear in the corpus (one narrow column scan +
+    // broadcast probe + ≤D19Buckets-group map-side agg) no matter how
+    // many batch vectors share a band value — a pairwise variant
+    // re-streamed the full quadratic-ish candidate volume just to learn
+    // ≤64 bucket ids, and a cached-cand variant spilled at ×50.
+    val batchBandVals = embedBands(be).select(col("band"), col("bv")).distinct()
+    val buckets = index
+      .join(batchBandVals, Seq("band", "bv"), "left_semi")
+      .select(pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // candidates STREAM into the verify (d20Frame's shape — no cache):
+    // the pair-distinct is the only candidate-sized shuffle
     val cand = embedBands(be).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
       .select(col("p.vec_id").as("new_id"), col("i.vec_id").as("dup_of"))
-      .distinct().cache()
-    val buckets = cand
-      .select(pmod(xxhash64(col("dup_of")), lit(D19Buckets.toLong)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct()
     // one read per root: bucket= is partitioning WITHIN each batch dir
-    // (d19ProbeDirs' CONFLICTING_DIRECTORY_STRUCTURES note)
+    // (d19ProbeDirs' CONFLICTING_DIRECTORY_STRUCTURES note). The store
+    // carries float vectors; widen to double at fetch time — same math
+    // as embedSigs, half the scan bytes.
     val fetched = sigDirs.map(d => s.read.parquet(d))
       .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*))
-      .select(col("vec_id").as("dup_of"), col("v").as("v2"), col("nrm").as("n2"))
-      .dropDuplicates("dup_of")
-    // cand stays cached until the caller's eagerBuild release
-    // (d19ProbeDirs' note)
+      .select(col("vec_id").as("dup_of"),
+        graft.functions.SimFunctions.toDoubleVec(col("embedding")).as("v2"),
+        col("nrm").as("n2"))
+    // only `be` (batch-sized) stays cached for the caller's eagerBuild
+    // release; duplicate-row tolerance is the OUTPUT-bound pair dedup
+    // below (d19ProbeDirs' note on why not a payload dedup)
     cand
       .join(be.select(col("vec_id").as("new_id"),
         col("v").as("v1"), col("nrm").as("n1")), Seq("new_id"))
@@ -1822,6 +1877,7 @@ object Dedup {
         (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("new_id"), col("dup_of"), round(col("cos"), 6).as("cos"))
+      .dropDuplicates(Seq("new_id", "dup_of"))
       .orderBy(col("new_id"), col("dup_of"))
   }
 

@@ -866,8 +866,8 @@ object Multimodal {
     * payloads), so the hamming verify needs no payload table and no
     * bucket pruning. One table also means the store append is a single
     * atomic-enough write: there is no index/payload ordering hazard at
-    * all (the d19/d20 shingles-before-bands discipline has nothing to
-    * order here).
+    * all (d19's shingles-before-bands discipline has nothing to order
+    * here — d20's single sig table reached the same shape).
     */
   def mm9WriteStore(corpus: DataFrame, path: String): Unit =
     graft.Checkpoints.sweep(corpus.sparkSession) {

@@ -14,36 +14,35 @@ import graft.queries.Dedup
   * crash / compaction story. Each micro-batch of (vec_id, embedding)
   * rows is probed against the sign-LSH store built from every EARLIER
   * batch (band equi-join + exact-cosine verify on candidate buckets,
-  * `Dedup.d20ProbeDirs`), its verdicts are published, and its own band
-  * + signature rows are appended — the corpus vector table is never
+  * `Dedup.d20ProbeDirs`), its verdicts are published, and its own
+  * signature rows are appended — the corpus vector table is never
   * touched per batch.
   *
-  * Store layout (the [[GateStore]] protocol):
+  * Store layout (the [[GateStore]] protocol) — ONE table, because the
+  * probe derives its band index from the stored signatures at read
+  * time (a column-pruned (vec_id, sig) scan beats rescanning a stored
+  * 4-rows-per-vector band table, measured in GateScaleProbe):
   * {{{
-  *   store/bands/batch=<id>/            (vec_id, band, bv)   the probe index
-  *   store/sigs/batch=<id>/bucket=<k>   (vec_id, v, nrm, sig) verify payloads,
+  *   store/sigs/batch=<id>/bucket=<k>   (vec_id, embedding, nrm, sig),
   *                                      bucketed by xxhash64(vec_id)%64 so the
   *                                      exact-cosine verify reads candidate
   *                                      buckets only (the d20ProbeStored shape)
   *   outDir/batch=<id>/                 (new_id, dup_of, cos) verdicts
   * }}}
   * foreachBatch is at-least-once: a re-delivered batch id finds its
-  * `bands/batch=<id>` sentinel (or the compaction marker vouching for
-  * it) and skips all three writes. Batch 0 probes an empty store and
-  * only seeds it. The append leg writes sigs FIRST, bands LAST — a
-  * crash between the two leaves payload rows without index rows
-  * (harmless orphans), never index rows whose verify payloads are
-  * missing (which would make candidates vanish at the verify join).
+  * `sigs/batch=<id>` sentinel (or the compaction marker vouching for
+  * it) and skips both writes. Batch 0 probes an empty store and only
+  * seeds it. One table also means there is no index/payload ordering
+  * hazard in the append at all.
   *
-  * Scale: per batch the corpus-proportional work is one scan of the
-  * bands dirs (4 small rows per corpus vector) plus a candidate-bucket
-  * sig fetch; executor storage stays flat per batch (eagerBuild probe
-  * bracket + sweep on the append leg, spec-pinned).
+  * Scale: per batch the corpus-proportional work is one 12-byte-per-
+  * vector column scan of the store (banding) plus a candidate-bucket
+  * payload fetch (verify); executor storage stays flat per batch
+  * (eagerBuild probe bracket + sweep on the append leg, spec-pinned).
   */
 object StreamEmbedDedup {
 
-  private val Tables = Seq("bands" -> Seq.empty[String],
-    "sigs" -> Seq("bucket"))
+  private val Tables = Seq("sigs" -> Seq("bucket"))
 
   /** The foreachBatch body, curried with the store/output roots. */
   def sink(spark: SparkSession, storeDir: String, outDir: String)
@@ -56,33 +55,28 @@ object StreamEmbedDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String): Unit = {
-    if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
+    if (GateStore.alreadyMerged(storeDir, "sigs", batchId)) return
 
     val vecs = batch.select(col("vec_id"), col("embedding"))
-    val priorBands = GateStore.listBatchDirs(new File(storeDir, "bands"))
+    val priorSigs = GateStore.listBatchDirs(new File(storeDir, "sigs"))
       .filter(_._1 < batchId).map(_._2)
-    if (priorBands.isEmpty)
+    if (priorSigs.isEmpty)
       emptyVerdicts(spark).write.mode("overwrite")
         .parquet(s"$outDir/batch=$batchId")
     else {
-      val priorSigs = GateStore.listBatchDirs(new File(storeDir, "sigs"))
-        .filter(_._1 < batchId).map(_._2)
       // materialize, write, release — thunk form captures the probe's
       // construction-time caches (StreamNearDedup's note)
       val cp = graft.Checkpoints.eagerBuild(spark)(
-        Dedup.d20ProbeDirs(spark, vecs, priorBands, priorSigs))
+        Dedup.d20ProbeDirs(spark, vecs, priorSigs))
       try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       finally cp.release()
     }
-    // publish-then-merge: sigs first, bands LAST (the replay sentinel)
+    // single-table append: the sigs dir is both the store row set and
+    // the replay sentinel, so writing it is the commit point
     graft.Checkpoints.sweep(spark) {
-      val ce = Dedup.embedSigs(vecs).cache()
-      ce.withColumn("bucket",
-          pmod(xxhash64(col("vec_id")), lit(Dedup.D19Buckets.toLong)))
+      Dedup.sigStoreRows(vecs)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$storeDir/sigs/batch=$batchId")
-      Dedup.embedBands(ce).write.mode("overwrite")
-        .parquet(s"$storeDir/bands/batch=$batchId")
     }
   }
 

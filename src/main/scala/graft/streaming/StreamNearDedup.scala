@@ -96,6 +96,7 @@ object StreamNearDedup {
       val sh = Dedup.shingleSetsOf(docs).cache()
       sh.withColumn("bucket",
           pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+        .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$storeDir/shingles/batch=$batchId")
       Dedup.minhashBands(sh).write.mode("overwrite")

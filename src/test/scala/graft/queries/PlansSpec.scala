@@ -604,6 +604,38 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("d20 stored probe prunes the sig store to candidate buckets") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+    // guaranteed candidate: a verbatim clone of a corpus vector
+    val srcVec = corpus.orderBy(col("vec_id")).limit(1).collect().head
+    val batch = Seq((9000001L,
+        srcVec.getSeq[Float](srcVec.fieldIndex("embedding"))))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("d20-plan-")
+    try {
+      Dedup.d20WriteStore(corpus, tmp.toString)
+      val plan = executedPlan(Dedup.d20ProbeStored(spark, batch, tmp.toString))
+      val sigScans = plan.linesIterator
+        .filter(l => l.contains("sigs") && l.contains("PartitionFilters"))
+        .toSeq
+      // the verify fetch prunes to candidate buckets (IN for short
+      // lists, INSET once the optimizer converts a long one)...
+      assert(sigScans.exists(l => l.contains("bucket") &&
+          (l.contains(" IN (") || l.contains(" INSET "))),
+        "bucket pruning predicate missing:\n" + sigScans.mkString("\n").take(1200))
+      // ...and the banding read is COLUMN-pruned to (vec_id, sig) — the
+      // derived band index never decodes the vector payloads
+      assert(sigScans.exists(
+          _.contains("ReadSchema: struct<vec_id:bigint,sig:int>")),
+        "banding scan not pruned to (vec_id, sig):\n" +
+          sigScans.mkString("\n").take(1200))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+
   test("AQE splits a planted skewed join partition (the runtime fallback q27's salting designs for)") {
     // The 100 TB skew story has two layers: q27/Salted is the DESIGNED
     // path for known-hot keys; AQE's skew-join split is the RUNTIME net

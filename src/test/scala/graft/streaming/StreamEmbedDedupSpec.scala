@@ -79,11 +79,9 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     def fp(p: String) = org.apache.commons.io.FileUtils
       .listFiles(new java.io.File(p), null, true).asScala
       .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
-    val before = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/sigs/batch=1").map(fp)
+    val before = Seq(s"$outDir/batch=1", s"$storeDir/sigs/batch=1").map(fp)
     StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
-    val after = Seq(s"$outDir/batch=1", s"$storeDir/bands/batch=1",
-      s"$storeDir/sigs/batch=1").map(fp)
+    val after = Seq(s"$outDir/batch=1", s"$storeDir/sigs/batch=1").map(fp)
     assert(before == after, "replayed batch rewrote store or output files")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -103,23 +101,20 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     val exp2 = canon(Dedup.d20Frame(bs(0).unionByName(bs(1)), bs(2)))
 
     StreamEmbedDedup.compact(spark, storeDir, 1L)
-    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    assert(!new java.io.File(s"$storeDir/sigs/batch=0").exists())
     // replay of a COMPACTED id must stay a no-op (marker vouches for it)
     StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
-    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists(),
+    assert(!new java.io.File(s"$storeDir/sigs/batch=0").exists(),
       "replay of a compacted batch id was reprocessed")
     StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2)
 
     // simulated half-crash: superseded rows resurface as duplicates —
     // verdicts must be unchanged because the probe collapses dup rows
-    for (sub <- Seq("bands", "sigs")) {
-      val keep = new java.io.File(s"$storeDir/$sub/batch=1")
-      val ghost = new java.io.File(s"$storeDir/$sub/batch=0")
-      org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
-    }
+    val keep = new java.io.File(s"$storeDir/sigs/batch=1")
+    val ghost = new java.io.File(s"$storeDir/sigs/batch=0")
+    org.apache.commons.io.FileUtils.copyDirectory(keep, ghost)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/batch=2"))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/bands/batch=2"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$storeDir/sigs/batch=2"))
     StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     assert(canon(spark.read.parquet(s"$outDir/batch=2")) == exp2,
