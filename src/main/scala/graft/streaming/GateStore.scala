@@ -42,11 +42,19 @@ private[streaming] object GateStore {
   }
 
   /** True iff `batchId` was already merged: its sentinel dir (the first
-    * store table's batch dir) exists, or the compaction marker covers it.
+    * store table's batch dir) was COMMITTED, or the compaction marker
+    * covers it. Committed means the job-commit `_SUCCESS` marker is
+    * present, not merely that the directory exists — Spark creates the
+    * output directory at job START (`_temporary` staging), so a crash
+    * mid-write leaves a dir whose presence would otherwise make the
+    * replay skip the batch and silently lose its index rows; checking
+    * the commit marker turns that torn write into a clean reprocess
+    * (every gate write is overwrite-mode, so the retry repairs it).
     */
   def alreadyMerged(storeDir: String, sentinelTable: String,
       batchId: Long): Boolean =
-    new File(storeDir, s"$sentinelTable/batch=$batchId").exists() ||
+    new File(storeDir,
+      s"$sentinelTable/batch=$batchId/_SUCCESS").exists() ||
       batchId < compactedUpTo(storeDir)
 
   /** Monotonic atomic update of the compaction marker (tmp + rename —
@@ -87,8 +95,8 @@ private[streaming] object GateStore {
   def compact(spark: SparkSession, storeDir: String, upTo: Long,
       tables: Seq[(String, Seq[String])]): Unit = {
     val sentinel = tables.head._1
-    require(new File(storeDir, s"$sentinel/batch=$upTo").exists(),
-      s"compact target batch=$upTo does not exist in $storeDir/$sentinel")
+    require(alreadyMerged(storeDir, sentinel, upTo),
+      s"compact target batch=$upTo was never committed in $storeDir/$sentinel")
     val superseded = Seq.newBuilder[File]
     for ((sub, partCols) <- tables) {
       val root = new File(storeDir, sub)

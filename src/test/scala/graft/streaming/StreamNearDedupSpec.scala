@@ -92,6 +92,32 @@ class StreamNearDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a torn sentinel write is reprocessed, not skipped") {
+    // Spark creates the output dir at job START, so a crash mid-write of
+    // the bands table leaves the dir present without its _SUCCESS commit
+    // marker — a dir-existence sentinel would skip the replay and the
+    // batch's index rows would be lost from the store forever. The
+    // sentinel is the COMMIT marker: the replay must reprocess and
+    // repair (all gate writes are overwrite-mode).
+    val root = java.nio.file.Files.createTempDirectory("neardedup-t-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    // simulate the torn write: commit marker and data gone, dir present
+    val bands1 = new java.io.File(s"$storeDir/bands/batch=1")
+    bands1.listFiles().foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    assert(bands1.exists() && bands1.listFiles().isEmpty)
+    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    assert(new java.io.File(bands1, "_SUCCESS").exists(),
+      "torn sentinel write was not repaired")
+    // and the repaired store yields the correct batch-2 verdicts
+    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Dedup.d19Frame(bs(0).unionByName(bs(1)), bs(2))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("compaction preserves verdicts, including after a simulated half-crash") {
     val root = java.nio.file.Files.createTempDirectory("neardedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")
