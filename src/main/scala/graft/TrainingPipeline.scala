@@ -224,7 +224,11 @@ object TrainingPipeline {
     * never dropped by these gates (the probes see survivors' rows
     * only). Accepted docs' sig/band rows are appended to each store
     * after decontamination, payloads-before-index, so the next batch's
-    * gates see them.
+    * gates see them. Every store handed to this API must be SEEDED
+    * (d19WriteStore / d20WriteStore / mm9WriteStore — over an empty
+    * frame if the corpus starts empty): the probes read the store
+    * tables unconditionally, and a zero-row seeded table gates nothing
+    * while a missing directory fails the read.
     *
     * SINGLE-DELIVERY contract: this API has no replay sentinel — a
     * re-presented batch would append its bands twice and then near-dup

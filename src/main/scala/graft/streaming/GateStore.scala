@@ -106,7 +106,13 @@ private[streaming] object GateStore {
         //    itself is not an input, so no step ever rewrites a live dir)
         val tmp = new File(root, s"_compact_tmp_$upTo") // name probes ignore
         val merged = spark.read.parquet(olds.map(_._2): _*)
-        val writer = merged.write.mode("overwrite")
+        // converge files per partition value (the writers' small-files
+        // guard) — compaction exists to SHRINK file counts, and an
+        // unconverged partitionBy would re-fan tasks × partitions
+        val shaped =
+          if (partCols.isEmpty) merged
+          else merged.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        val writer = shaped.write.mode("overwrite")
         (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
           .parquet(tmp.toString)
         // 2. per-file atomic renames INTO batch=<upTo> (partition
