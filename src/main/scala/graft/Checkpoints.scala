@@ -42,10 +42,17 @@ object Checkpoints {
       build: => DataFrame): Checkpointed = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val mat = build.localCheckpoint(eager = true)
-    val pinned = sc.getPersistentRDDs
+    def delta() = sc.getPersistentRDDs
       .collect { case (id, r) if !before.contains(id) => r }.toSeq
-    Checkpointed(mat, pinned)
+    // exception safety: if the builder or the checkpoint throws, the
+    // caches pinned so far have no handle — release them before
+    // rethrowing, or a failed-and-retried micro-batch leaks per attempt
+    val mat =
+      try build.localCheckpoint(eager = true)
+      catch { case t: Throwable =>
+        delta().foreach(_.unpersist(blocking = false)); throw t
+      }
+    Checkpointed(mat, delta())
   }
 
   /** Run `work` and unpersist every RDD it left pinned. For WRITE legs
@@ -60,10 +67,11 @@ object Checkpoints {
   def sweep[T](spark: org.apache.spark.sql.SparkSession)(work: => T): T = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val result = work
-    sc.getPersistentRDDs
+    // finally: a throwing write leg must still release what it pinned
+    // (a retried micro-batch would otherwise leak one cache per attempt)
+    try work
+    finally sc.getPersistentRDDs
       .collect { case (id, r) if !before.contains(id) => r }
       .foreach(_.unpersist(blocking = false))
-    result
   }
 }

@@ -225,10 +225,12 @@ object TrainingPipeline {
     * only). Accepted docs' sig/band rows are appended to each store
     * after decontamination, payloads-before-index, so the next batch's
     * gates see them. Every store handed to this API must be SEEDED
-    * (d19WriteStore / d20WriteStore / mm9WriteStore — over an empty
-    * frame if the corpus starts empty): the probes read the store
-    * tables unconditionally, and a zero-row seeded table gates nothing
-    * while a missing directory fails the read.
+    * from a NON-EMPTY corpus (d19WriteStore / d20WriteStore /
+    * mm9WriteStore): the probes read the store tables unconditionally,
+    * and a bucket-partitioned write of ZERO rows produces no data files
+    * for the read to infer a schema from. Bootstrapping a truly empty
+    * corpus means running the first batch through [[curate]] (or a
+    * direct store build from it) and gating from the second batch on.
     *
     * SINGLE-DELIVERY contract: this API has no replay sentinel — a
     * re-presented batch would append its bands twice and then near-dup
@@ -245,6 +247,13 @@ object TrainingPipeline {
       batchMedia: Option[DataFrame] = None,
       mediaStoreDir: Option[String] = None)
       : (DataFrame, Seq[(String, Long)]) = {
+    // a one-sided modality pair would SILENTLY skip both the gate and
+    // the store append — the misconfiguration must be loud, not a
+    // permanently ungated corpus discovered months later
+    require(batchEmbeddings.isDefined == embedStoreDir.isDefined,
+      "batchEmbeddings and embedStoreDir must be supplied together")
+    require(batchMedia.isDefined == mediaStoreDir.isDefined,
+      "batchMedia and mediaStoreDir must be supplied together")
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prevStage: Checkpoints.Checkpointed = null
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -273,9 +282,10 @@ object TrainingPipeline {
     val gate = Checkpoints.eagerBuild(s)(
       Dedup.d19ProbeStored(s, exact, storeDir)
         .select(col("new_id").as("doc_id")).distinct())
-    val novel = stage("near_dup_gate",
-      exact.join(broadcast(gate.df), Seq("doc_id"), "left_anti"))
-    gate.release()
+    val novel =
+      try stage("near_dup_gate",
+        exact.join(broadcast(gate.df), Seq("doc_id"), "left_anti"))
+      finally gate.release() // stage() is eager, so releasing here is safe
 
     // embedding near-dup gate (the d20 store): probe the SURVIVORS'
     // vectors only — already-dropped docs cost no probe work, and a doc
@@ -287,9 +297,9 @@ object TrainingPipeline {
         val eGate = Checkpoints.eagerBuild(s)(
           Dedup.d20ProbeStored(s, survivorVecs, eStore)
             .select(col("new_id").as("doc_id")).distinct())
-        val out = stage("embed_dup_gate",
+        try stage("embed_dup_gate",
           novel.join(broadcast(eGate.df), Seq("doc_id"), "left_anti"))
-        eGate.release(); out
+        finally eGate.release()
       case _ => novel
     }
 
@@ -304,9 +314,9 @@ object TrainingPipeline {
         val mGate = Checkpoints.eagerBuild(s)(
           Multimodal.mm9ProbeStored(s, survivorMedia, mStore)
             .select(col("new_id").as("doc_id")).distinct())
-        val out = stage("media_dup_gate",
+        try stage("media_dup_gate",
           embedGated.join(broadcast(mGate.df), Seq("doc_id"), "left_anti"))
-        mGate.release(); out
+        finally mGate.release()
       case _ => embedGated
     }
 

@@ -38,17 +38,24 @@ object Multimodal {
     * image/audio bytes; schema and plumbing are the operator).
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          when(col("doc_id") % 3 === 0, lit("png"))
-            .when(col("doc_id") % 3 === 1, lit("jpeg"))
-            .otherwise(lit("wav")).as("format"),
-          (col("n_chars") % 640).cast("int").as("width"),
-          (col("n_chars") % 480).cast("int").as("height"),
-          (length(col("text")) / 100).cast("int").as("n_frames")
-        ).as(("meta")))
+    mediaTableOf(Tables.documents(s, dir))
+
+  /** [[mediaTable]]'s synthesis over an arbitrary documents frame — the
+    * single definition of the payload/format mapping, so probes that
+    * build media from replicated documents (GateScaleProbe) measure the
+    * exact workload the production gate sees.
+    */
+  def mediaTableOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, lit("png"))
+          .when(col("doc_id") % 3 === 1, lit("jpeg"))
+          .otherwise(lit("wav")).as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (length(col("text")) / 100).cast("int").as("n_frames")
+      ).as(("meta")))
 
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType),

@@ -126,9 +126,16 @@ object Sinks {
     * it), never phantom rows. Serializability: all racers for slot N
     * hold snapshots of 0..N-1, one wins, every loser re-reads — commits
     * apply in log order, each against the full prior key set, which is
-    * exactly a serial history. Like Scd2Store, the atomic-exclusive
-    * primitive assumes a real filesystem (local, HDFS); a raw object
-    * store would move the log entry to a conditional PUT or a catalog.
+    * exactly a serial history.
+    *
+    * The commit log itself lives on a LOCAL filesystem shared by all
+    * writers (the java.nio hard-link CAS is the atomic-exclusive
+    * primitive) — the method REFUSES scheme-qualified store paths
+    * rather than silently running the log against each driver's own
+    * disk, which would let every racer win "slot 0". A distributed
+    * deployment moves exactly this one primitive: HDFS
+    * `create(overwrite=false)`, an object store's conditional PUT, or a
+    * catalog — the Delta/Iceberg pointer, same slot semantics.
     *
     * Scale: the per-commit cost is the anti-join (key columns of
     * committed data + the batch — the same shape as [[appendUnique]])
@@ -137,6 +144,9 @@ object Sinks {
     */
   def appendUniqueConcurrent(spark: SparkSession, df: DataFrame,
       path: String, key: String): Long = {
+    require(!path.contains("://") && !path.startsWith("file:"),
+      s"appendUniqueConcurrent's commit log is local-filesystem only " +
+        s"(hard-link CAS); got scheme-qualified path $path — see scaladoc")
     val deduped = df.dropDuplicates(key)
     var result = -1L
     while (result < 0) {

@@ -68,6 +68,50 @@ private[streaming] object GateStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The shared per-micro-batch skeleton all three gates run —
+    * sentinel check, prior-dir listing, probe-or-empty verdict write
+    * with the eagerBuild release bracket, then the sweep-wrapped store
+    * append. Centralized so a fix to the replay/leak/crash mechanics
+    * lands once instead of three times.
+    *
+    * @param probe   builds the verdict frame from (table → prior batch
+    *                dirs); only called when the sentinel table has
+    *                prior batches
+    * @param append  writes THIS batch's store rows; must write the
+    *                sentinel table LAST (its commit marker is the
+    *                replay sentinel)
+    */
+  def runBatch(spark: SparkSession, batchId: Long, storeDir: String,
+      outDir: String, tables: Seq[(String, Seq[String])],
+      verdictsDdl: String,
+      probe: Map[String, Seq[String]] => org.apache.spark.sql.DataFrame,
+      append: () => Unit): Unit = {
+    val sentinel = tables.head._1
+    if (alreadyMerged(storeDir, sentinel, batchId)) return
+    val prior = tables.map { case (t, _) =>
+      t -> listBatchDirs(new File(storeDir, t))
+        .filter(_._1 < batchId).map(_._2)
+    }.toMap
+    if (prior(sentinel).isEmpty)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(verdictsDdl))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    else {
+      // materialize, write, release (Checkpoints doctrine). The THUNK
+      // form is load-bearing: the stored probes pin internal caches
+      // during their driver-side bucket collects — while the frame is
+      // being BUILT — so only a before-snapshot taken before
+      // construction captures them for release()
+      val cp = graft.Checkpoints.eagerBuild(spark)(probe(prior))
+      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      finally cp.release()
+    }
+    // the sweep releases everything the append leg pinned (e.g. the
+    // banding's internal signature cache) once the tables are on disk
+    graft.Checkpoints.sweep(spark)(append())
+  }
+
   /** Compact every store partition with batch id < `upTo` into the
     * `batch=<upTo>` directory of each listed table — the small-files
     * maintenance a long-running gate needs: after thousands of batches
@@ -101,6 +145,14 @@ private[streaming] object GateStore {
     for ((sub, partCols) <- tables) {
       val root = new File(storeDir, sub)
       val olds = listBatchDirs(root).filter(_._1 < upTo)
+      // every superseded dir must itself be COMMITTED: merging a torn
+      // dir and then writing the marker would vouch its id as merged
+      // forever, converting a repairable torn write into permanent
+      // silent loss — refuse loudly instead (the torn batch needs its
+      // at-least-once re-delivery first)
+      olds.find { case (_, p) => !new File(p, "_SUCCESS").exists() }
+        .foreach { case (id, _) => throw new IllegalStateException(
+          s"$root/batch=$id is uncommitted (no _SUCCESS) — replay it before compacting") }
       if (olds.nonEmpty) {
         // 1. materialize the union of the SUPERSEDED dirs (batch=<upTo>
         //    itself is not an input, so no step ever rewrites a live dir)

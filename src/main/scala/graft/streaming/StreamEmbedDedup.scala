@@ -55,29 +55,15 @@ object StreamEmbedDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String): Unit = {
-    if (GateStore.alreadyMerged(storeDir, "sigs", batchId)) return
-
     val vecs = batch.select(col("vec_id"), col("embedding"))
-    val priorSigs = GateStore.listBatchDirs(new File(storeDir, "sigs"))
-      .filter(_._1 < batchId).map(_._2)
-    if (priorSigs.isEmpty)
-      emptyVerdicts(spark).write.mode("overwrite")
-        .parquet(s"$outDir/batch=$batchId")
-    else {
-      // materialize, write, release — thunk form captures the probe's
-      // construction-time caches (StreamNearDedup's note)
-      val cp = graft.Checkpoints.eagerBuild(spark)(
-        Dedup.d20ProbeDirs(spark, vecs, priorSigs))
-      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      finally cp.release()
-    }
-    // single-table append: the sigs dir is both the store row set and
-    // the replay sentinel, so writing it is the commit point
-    graft.Checkpoints.sweep(spark) {
-      Dedup.sigStoreRows(vecs)
+    GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
+      verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",
+      probe = prior => Dedup.d20ProbeDirs(spark, vecs, prior("sigs")),
+      // single-table append: the sigs commit marker is both the store
+      // row set's and the replay sentinel's commit point
+      append = () => Dedup.sigStoreRows(vecs)
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$storeDir/sigs/batch=$batchId")
-    }
+        .parquet(s"$storeDir/sigs/batch=$batchId"))
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -87,7 +73,4 @@ object StreamEmbedDedup {
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
 
-  private def emptyVerdicts(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL("new_id BIGINT, dup_of BIGINT, cos DOUBLE"))
 }

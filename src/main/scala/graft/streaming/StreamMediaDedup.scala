@@ -51,26 +51,14 @@ object StreamMediaDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String): Unit = {
-    if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
-
     val media = batch.select(col("media_id"), col("payload"), col("format"))
-    val priorBands = GateStore.listBatchDirs(new File(storeDir, "bands"))
-      .filter(_._1 < batchId).map(_._2)
-    if (priorBands.isEmpty)
-      emptyVerdicts(spark).write.mode("overwrite")
-        .parquet(s"$outDir/batch=$batchId")
-    else {
-      val cp = graft.Checkpoints.eagerBuild(spark)(
-        Multimodal.mm9ProbeDirs(spark, media, priorBands))
-      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      finally cp.release()
-    }
-    // single-table append: the bands dir is both the store row set and
-    // the replay sentinel, so writing it is the commit point
-    graft.Checkpoints.sweep(spark) {
-      Multimodal.mm9IndexRows(media).write.mode("overwrite")
-        .parquet(s"$storeDir/bands/batch=$batchId")
-    }
+    GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
+      verdictsDdl = "new_id BIGINT, dup_of BIGINT, hamming BIGINT",
+      probe = prior => Multimodal.mm9ProbeDirs(spark, media, prior("bands")),
+      // single-table append: the bands commit marker is both the store
+      // row set's and the replay sentinel's commit point
+      append = () => Multimodal.mm9IndexRows(media).write.mode("overwrite")
+        .parquet(s"$storeDir/bands/batch=$batchId"))
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -80,7 +68,4 @@ object StreamMediaDedup {
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
 
-  private def emptyVerdicts(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL("new_id BIGINT, dup_of BIGINT, hamming BIGINT"))
 }

@@ -63,45 +63,24 @@ object StreamNearDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String): Unit = {
-    // at-least-once replay: already merged (sentinel dir or marker)
-    if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
-
     val docs = batch.select(col("doc_id"), col("text"))
-    val priorBands = GateStore.listBatchDirs(new File(storeDir, "bands"))
-      .filter(_._1 < batchId).map(_._2)
-    if (priorBands.isEmpty)
-      emptyVerdicts(spark).write.mode("overwrite")
-        .parquet(s"$outDir/batch=$batchId")
-    else {
-      val priorShingles = GateStore
-        .listBatchDirs(new File(storeDir, "shingles"))
-        .filter(_._1 < batchId).map(_._2)
-      // materialize, write, release (Checkpoints doctrine). The THUNK
-      // form is load-bearing: d19ProbeDirs pins its internal batch-
-      // shingle/cand caches during its driver-side bucket collect —
-      // i.e. while the frame is being BUILT — so only a before-snapshot
-      // taken before construction captures them for release()
-      val cp = graft.Checkpoints.eagerBuild(spark)(
-        Dedup.d19ProbeDirs(spark, docs, priorBands, priorShingles))
-      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      finally cp.release()
-    }
-    // publish-then-merge: write shingles first, bands LAST — the bands
-    // directory is the replay sentinel, so a crash between the two
-    // leaves a store the retry fully repairs (overwrite mode). The
-    // sweep releases everything the leg pinned (the shingle cache here
-    // plus minhashBands' internal signature cache) once both tables
-    // are on disk.
-    graft.Checkpoints.sweep(spark) {
-      val sh = Dedup.shingleSetsOf(docs).cache()
-      sh.withColumn("bucket",
-          pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
-        .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$storeDir/shingles/batch=$batchId")
-      Dedup.minhashBands(sh).write.mode("overwrite")
-        .parquet(s"$storeDir/bands/batch=$batchId")
-    }
+    GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
+      verdictsDdl = "new_id BIGINT, dup_of BIGINT, jaccard DOUBLE",
+      probe = prior =>
+        Dedup.d19ProbeDirs(spark, docs, prior("bands"), prior("shingles")),
+      append = () => {
+        // publish-then-merge: shingles first, bands LAST — the bands
+        // commit marker is the replay sentinel, so a crash between the
+        // two leaves a store the retry fully repairs (overwrite mode)
+        val sh = Dedup.shingleSetsOf(docs).cache()
+        sh.withColumn("bucket",
+            pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+          .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$storeDir/shingles/batch=$batchId")
+        Dedup.minhashBands(sh).write.mode("overwrite")
+          .parquet(s"$storeDir/bands/batch=$batchId")
+      })
   }
 
   /** Compact every store partition with batch id < `upTo` into the
@@ -112,7 +91,4 @@ object StreamNearDedup {
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
 
-  private def emptyVerdicts(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL("new_id BIGINT, dup_of BIGINT, jaccard DOUBLE"))
 }

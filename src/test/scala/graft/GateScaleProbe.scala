@@ -89,13 +89,11 @@ object GateScaleProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // mediaTable's synthesis, over an arbitrary documents frame
+    // the production synthesis, flattened to the gate's input shape
     def mediaOf(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        when(col("doc_id") % 3 === 0, lit("png"))
-          .when(col("doc_id") % 3 === 1, lit("jpeg"))
-          .otherwise(lit("wav")).as("format"))
+      graft.queries.Multimodal.mediaTableOf(docs)
+        .select(col("media_id"), col("payload"),
+          col("meta.format").as("format"))
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((label, dir) <- Seq("x1" -> src, s"x$f" -> xfDir)) {

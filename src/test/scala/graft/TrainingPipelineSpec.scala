@@ -196,6 +196,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided modality options are refused; a throwing sweep still releases") {
+    import spark.implicits._
+    // a silent fall-through would leave the corpus permanently ungated
+    val b = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.curateIncremental(spark, b, "/tmp/nope", dir,
+        batchEmbeddings = Some(b.select(col("doc_id").as("vec_id"))))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.curateIncremental(spark, b, "/tmp/nope", dir,
+        mediaStoreDir = Some("/tmp/nope2"))
+    }
+    // Checkpoints.sweep: a throwing write leg must still release what
+    // it pinned (a retried micro-batch would otherwise leak per attempt)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[RuntimeException] {
+      Checkpoints.sweep(spark) {
+        val cached = Tables.documents(spark, dir).limit(5).cache()
+        cached.count()
+        throw new RuntimeException("simulated write failure")
+      }
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"sweep leaked on failure: $leaked")
+  }
+
   test("curateIncremental triad: vector clones and pHash near-dups gated incrementally") {
     import spark.implicits._
     import graft.queries.{Dedup, Multimodal}

@@ -91,6 +91,16 @@ class SinksSpec extends AnyFunSuite {
     assert(!live.contains(dirB.stripPrefix("data/")), "orphan dir survived gc")
   }
 
+  test("appendUniqueConcurrent refuses scheme-qualified paths (local-FS commit log)") {
+    // on a non-local path the java.nio commit log would run against
+    // each driver's own disk and every racer would win slot 0 — refuse
+    // loudly instead of silently losing the uniqueness guarantee
+    val docs = Tables.documents(spark, dir).select("doc_id", "source").limit(1)
+    intercept[IllegalArgumentException] {
+      Sinks.appendUniqueConcurrent(spark, docs, "hdfs://nn/sink", "doc_id")
+    }
+  }
+
   test("appendUniqueConcurrent: genuinely racing writers never duplicate a key") {
     // the real thing: two threads race the full loop on one session
     // (any interleaving must serialize through the commit log)
