@@ -87,6 +87,26 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a torn sentinel write is reprocessed, not skipped") {
+    // the gates share GateStore.runBatch, but the commit-marker sentinel
+    // contract deserves its own pin per modality (single-table store
+    // here: dir present, _SUCCESS and data gone = torn write)
+    val root = java.nio.file.Files.createTempDirectory("embeddedup-t-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val sigs1 = new java.io.File(s"$storeDir/sigs/batch=1")
+    sigs1.listFiles().foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    assert(new java.io.File(sigs1, "_SUCCESS").exists(),
+      "torn sentinel write was not repaired")
+    StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Dedup.d20Frame(bs(0).unionByName(bs(1)), bs(2))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("compaction preserves verdicts, sentinels and a half-crash; storage stays flat") {
     val root = java.nio.file.Files.createTempDirectory("embeddedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")

@@ -90,6 +90,23 @@ class StreamMediaDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a torn sentinel write is reprocessed, not skipped") {
+    val root = java.nio.file.Files.createTempDirectory("mediadedup-t-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamMediaDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    val bands1 = new java.io.File(s"$storeDir/bands/batch=1")
+    bands1.listFiles().foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    assert(new java.io.File(bands1, "_SUCCESS").exists(),
+      "torn sentinel write was not repaired")
+    StreamMediaDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Multimodal.mm9Frame(bs(0).unionByName(bs(1)), bs(2))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("compaction preserves verdicts, sentinels and a half-crash; storage stays flat") {
     val root = java.nio.file.Files.createTempDirectory("mediadedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")
