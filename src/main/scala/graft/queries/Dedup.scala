@@ -797,6 +797,72 @@ object Dedup {
         shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
         .as(Seq("band", "bv")))
 
+  /** Hyperplane-signature geometry for the d20 embedding gate: `bits`
+    * sign bits split into `bands` bands of `bits/bands` bits each. The
+    * dial is recall-vs-candidates: a band COLLIDES two vectors with
+    * probability s^bandBits (s = 1 − angle/π ≈ 0.5 for uncorrelated
+    * vectors), so the UNCORRELATED pair-pass rate is ~bands/2^bandBits
+    * of all n₁·n₂ pairs, while a clone (s → 1) collides with certainty
+    * under every geometry and the exact-cosine verify keeps precision
+    * exact regardless. [[SigNarrow]]'s 4-bit bands pass ~23% of random
+    * pairs — saturated at any real corpus size (the ×50 decorrelated
+    * receipt: stored probe 2.4× SLOWER than the full rebuild, drowned
+    * in false candidates). Intermediate widths only move the constant:
+    * 8×8-bit bands still pass ~3% (measured ×50: better than narrow,
+    * still behind the rebuild). FLAT growth needs the band value space
+    * to outscale the corpus: [[SigWide]]'s 4×16-bit bands pass
+    * ~6·10⁻⁵ of random pairs, which keeps the candidate set
+    * output-bound at hundreds of millions of vectors. The price is
+    * recall BELOW the clone regime (per-band s^16: ~93% of cos ≥ 0.99
+    * pairs collide somewhere, ~55% at 0.95, ~30% at 0.9, ~nothing at
+    * the oracle's 0.4 floor) — the production gate hunts CLONES; the
+    * oracle-pinned narrow geometry remains the high-recall twin for
+    * fixture-scale exhaustive probing.
+    */
+  final case class SigSpec(bits: Int, bands: Int) {
+    require(bits > 0 && bits <= 64 && bits % bands == 0,
+      s"SigSpec($bits, $bands): bits must be in (0, 64] and divisible by bands")
+    val bandBits: Int = bits / bands
+    require(bandBits <= 32, s"SigSpec($bits, $bands): band value must fit an int")
+  }
+
+  /** The oracle-pinned 16-bit/4-band geometry — [[embedSigs]]'s exact
+    * signature values (the d8/d20 DuckDB twins replay it bit-for-bit),
+    * kept as the default so every hash-checked path is byte-stable.
+    */
+  val SigNarrow: SigSpec = SigSpec(16, 4)
+
+  /** The production 64-bit/4×16-band geometry for at-scale stores (see
+    * [[SigSpec]] for why flatness needs 16-bit bands and SCALING.md for
+    * the ×50 fixed-batch receipts, saturated vs flat).
+    */
+  val SigWide: SigSpec = SigSpec(64, 4)
+
+  /** [[embedSigs]] at an arbitrary [[SigSpec]] geometry — sig is LONG
+    * (the narrow geometry yields the same VALUES as [[embedSigs]],
+    * widened). Hyperplane i is the same FNV-derived Rademacher vector
+    * at every geometry, so narrow signatures are a prefix-truncation of
+    * wide ones.
+    */
+  private[graft] def embedSigsSpec(emb: DataFrame, spec: SigSpec): DataFrame = {
+    import graft.functions.SimFunctions.{toDoubleVec, dot, l2Norm}
+    val sigExpr = (0 until spec.bits).map(i =>
+      when(dot(col("v"), typedLit(graft.queries.Similarity.lshHyperplane(i))) >= 0,
+        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("sig", sigExpr)
+  }
+
+  /** Pigeonhole band rows (vec_id, band, bv) off [[embedSigsSpec]]. */
+  private[graft] def embedBandsSpec(sigs: DataFrame, spec: SigSpec): DataFrame = {
+    val mask = (1L << spec.bandBits) - 1
+    sigs.select(col("vec_id"),
+      posexplode(array((0 until spec.bands).map(b =>
+        shiftright(col("sig"), b * spec.bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+  }
+
   def d8EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFunctions.dot
     val e = embedSigs(Tables.embeddings(s, dir)).cache()
@@ -1780,9 +1846,10 @@ object Dedup {
     * probe behind the inline rebuild). Bonus: one table means the store
     * append has no index/payload ordering hazard at all.
     */
-  def d20WriteStore(corpus: DataFrame, path: String): Unit =
+  def d20WriteStore(corpus: DataFrame, path: String,
+      spec: SigSpec = SigNarrow): Unit =
     graft.Checkpoints.sweep(corpus.sparkSession) {
-      sigStoreRows(corpus)
+      sigStoreRows(corpus, spec)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/sigs")
     }
@@ -1793,10 +1860,13 @@ object Dedup {
     * The float vector is recovered bit-exactly from the sig pipeline's
     * double working vector (float→double→float is the identity), so
     * stored-probe verdicts stay byte-identical to the inline path while
-    * the store scans half the bytes.
+    * the store scans half the bytes. `sig` is LONG at every [[SigSpec]]
+    * geometry (narrow values are [[embedSigs]]'s ints, widened); a
+    * store must be written and probed at ONE geometry — the stored sig
+    * bits mean nothing under another spec's banding.
     */
-  def sigStoreRows(vecs: DataFrame): DataFrame =
-    embedSigs(vecs).select(col("vec_id"),
+  def sigStoreRows(vecs: DataFrame, spec: SigSpec = SigNarrow): DataFrame =
+    embedSigsSpec(vecs, spec).select(col("vec_id"),
         transform(col("v"), _.cast("float")).as("embedding"),
         col("nrm"), col("sig"))
       .withColumn("bucket",
@@ -1814,29 +1884,35 @@ object Dedup {
     * buckets — [[d20Probe]]'s full-index verify join, pruned.
     */
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String): DataFrame =
-    d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"))
+      storePath: String, spec: SigSpec = SigNarrow): DataFrame =
+    d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"), spec)
 
   /** [[d20ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamEmbedDedup]]) keeps one
-    * sigs directory per merged batch. Two reads of the same store, each
-    * minimal: a column-pruned (vec_id, sig) scan that derives the band
-    * index in-flight, and a bucket-pruned (embedding, nrm) fetch for
-    * the exact-cosine verify. Crashed-compaction duplicate rows
+    * sigs directory per merged batch. THREE store scans per batch, each
+    * minimal: the column-pruned (vec_id, sig) scan that derives the
+    * band index in-flight runs twice — once under the bucket-list
+    * semi-join (a driver collect, so it cannot share a pass with the
+    * candidate join) and once as the candidate join's build side — plus
+    * one bucket-pruned (embedding, nrm) fetch for the exact-cosine
+    * verify. Caching the derived index to merge the two sig scans was
+    * measured AGAINST at ×50 (candidate-sized caches spilled; the
+    * 12-byte-per-vector rescan is cheaper than materializing 4 band
+    * rows/vector). Crashed-compaction duplicate rows
     * collapse at the output-bound pair dedup ([[d19ProbeDirs]]' note).
     * Same release contract as [[d19ProbeDirs]]: bracket the call in
     * `Checkpoints.eagerBuild`.
     */
   def d20ProbeDirs(s: SparkSession, batch: DataFrame,
-      sigDirs: Seq[String]): DataFrame = {
+      sigDirs: Seq[String], spec: SigSpec = SigNarrow): DataFrame = {
     import graft.functions.SimFunctions.dot
-    val be = embedSigs(batch).cache()
+    val be = embedSigsSpec(batch, spec).cache()
     // band "index" = stored signatures, banded at read time: parquet
-    // column pruning keeps this scan at 12 bytes/vector, vs 4 stored
+    // column pruning keeps this scan at 12 bytes/vector, vs stored
     // band ROWS/vector that cost more to rescan than to derive
-    def index = embedBands(sigDirs.map(d => s.read.parquet(d))
+    def index = embedBandsSpec(sigDirs.map(d => s.read.parquet(d))
       .reduce(_.unionByName(_))
-      .select(col("vec_id"), col("sig")))
+      .select(col("vec_id"), col("sig")), spec)
     // bucket list via LEFT SEMI against the batch's DISTINCT band
     // values: the semi join emits each corpus band row at most once, so
     // this pass is linear in the corpus (one narrow column scan +
@@ -1844,14 +1920,15 @@ object Dedup {
     // many batch vectors share a band value — a pairwise variant
     // re-streamed the full quadratic-ish candidate volume just to learn
     // ≤64 bucket ids, and a cached-cand variant spilled at ×50.
-    val batchBandVals = embedBands(be).select(col("band"), col("bv")).distinct()
+    val batchBandVals = embedBandsSpec(be, spec)
+      .select(col("band"), col("bv")).distinct()
     val buckets = index
       .join(batchBandVals, Seq("band", "bv"), "left_semi")
       .select(pmod(xxhash64(col("vec_id")), lit(D19Buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
     // candidates STREAM into the verify (d20Frame's shape — no cache):
     // the pair-distinct is the only candidate-sized shuffle
-    val cand = embedBands(be).as("p")
+    val cand = embedBandsSpec(be, spec).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
       .select(col("p.vec_id").as("new_id"), col("i.vec_id").as("dup_of"))

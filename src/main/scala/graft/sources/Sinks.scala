@@ -109,6 +109,7 @@ object Sinks {
     * {{{
     *   path/data/<uuid>/   immutable parquet, one dir per committed attempt
     *   path/_log/<N>       commit N: one line naming the data dir it publishes
+    *                       (or the literal `tombstone` — gcUnique's fence)
     * }}}
     * Write protocol (optimistic, retry on lost race):
     *  1. SNAPSHOT: read the log — committed entries 0..N-1 (contiguous
@@ -165,25 +166,51 @@ object Sinks {
     result
   }
 
-  /** The committed contents of an [[appendUniqueConcurrent]] sink. */
+  /** The committed contents of an [[appendUniqueConcurrent]] sink.
+    * [[gcUnique]]'s tombstone entries hold a slot but reference no
+    * data, so only `data/` entries are read.
+    */
   def readUnique(spark: SparkSession, path: String): DataFrame = {
-    val entries = logEntries(path)
+    val entries = logEntries(path).filter(_._2.startsWith("data/"))
     require(entries.nonEmpty, s"no committed data under $path")
     spark.read.parquet(entries.map { case (_, d) => s"$path/$d" }: _*)
   }
 
   /** Sweep data dirs no log entry references (crashed or race-losing
     * attempts). `graceMs` protects in-flight writers that have written
-    * but not yet committed: only dirs untouched for that long go.
+    * but not yet committed: only dirs untouched for that long are
+    * candidates.
+    *
+    * The grace alone is NOT a guarantee — a writer stalled longer than
+    * it between writeFresh and tryCommit could still win its commit
+    * slot after the sweep, publishing a log entry whose data dir is
+    * gone (readUnique then fails for every reader, permanently). So
+    * before deleting anything the gc CLAIMS the next commit slot with
+    * a `tombstone` entry: the stalled writer's CAS at that slot now
+    * deterministically loses (slots are contiguous, its snapshot
+    * predates the tombstone), and its retry stages a FRESH data dir —
+    * recent mtime, protected by the grace. The referenced set is
+    * recomputed AFTER the claim so a real commit that won a slot just
+    * before the tombstone keeps its dir. Tombstones consume a slot but
+    * no data ([[readUnique]]/[[writeFresh]] skip them).
     */
   def gcUnique(path: String, graceMs: Long = 3600000L): Unit = {
-    val referenced = logEntries(path).map(_._2.stripPrefix("data/")).toSet
-    val dataRoot = new java.io.File(path, "data")
-    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
-      if (d.isDirectory && !referenced.contains(d.getName) &&
+    def candidates(): Seq[java.io.File] = {
+      val referenced = logEntries(path)
+        .collect { case (_, d) if d.startsWith("data/") =>
+          d.stripPrefix("data/") }.toSet
+      Option(new java.io.File(path, "data").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && !referenced.contains(d.getName) &&
           System.currentTimeMillis() - d.lastModified() > graceMs)
-        org.apache.commons.io.FileUtils.deleteQuietly(d)
     }
+    if (candidates().isEmpty) return
+    // claim the fence slot (retry if a racing commit takes it first)
+    var slot = logEntries(path).size
+    while (!tryCommit(path, slot, "tombstone")) slot = logEntries(path).size
+    // recompute post-fence: anything still unreferenced can never
+    // become referenced (all later commits stage fresh dirs)
+    candidates().foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
   /** Committed (n, relative data dir) pairs, in commit order. */
@@ -203,10 +230,12 @@ object Sinks {
     */
   private[graft] def writeFresh(spark: SparkSession, deduped: DataFrame,
       path: String, key: String, snap: Seq[(Int, String)]): (String, Long) = {
+    // tombstone entries (gcUnique's fence) hold a slot but no data
+    val dataDirs = snap.collect { case (_, d) if d.startsWith("data/") => d }
     val fresh =
-      if (snap.isEmpty) deduped
+      if (dataDirs.isEmpty) deduped
       else deduped.join(
-        spark.read.parquet(snap.map { case (_, d) => s"$path/$d" }: _*)
+        spark.read.parquet(dataDirs.map(d => s"$path/$d"): _*)
           .select(col(key)),
         Seq(key), "left_anti")
     val out = fresh.cache()

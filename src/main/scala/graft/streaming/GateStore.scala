@@ -13,15 +13,102 @@ import org.apache.spark.sql.SparkSession
   *   store/<table>/batch=<id>[/<part>=<k>]   append-once per micro-batch
   *
   * with the FIRST table's `batch=<id>` directory doubling as the
-  * at-least-once replay sentinel (so processBatch must write it LAST),
-  * and a `_compacted_up_to` marker vouching for sentinel dirs that a
-  * compaction merged away. This object owns the directory protocol;
-  * the per-modality gates own what the tables contain and how a batch
-  * is probed.
+  * at-least-once replay sentinel, and a `_compacted_up_to` marker
+  * vouching for sentinel dirs that a compaction merged away. This
+  * object owns the directory protocol; the per-modality gates own what
+  * the tables contain and how a batch is probed.
+  *
+  * APPEND-ORDER CONTRACT (the one doctrine all three gates follow —
+  * stated here once, the gates' append lambdas only point back):
+  * a batch's store writes land in "payloads first, sentinel table
+  * LAST" order. The sentinel table's job-commit `_SUCCESS` is the
+  * replay sentinel, so everything the batch publishes — verdicts,
+  * verify payloads, sibling-store rows — must be on disk before it
+  * appears: a crash BEFORE the sentinel leaves partial overwrite-mode
+  * output the at-least-once re-delivery fully repairs, while the
+  * reverse order would mark a half-written batch processed and its
+  * missing rows would never be retried. For the text gate that means
+  * shingles (verify payloads) before bands (probe index + sentinel):
+  * index rows whose payloads are missing would silently vanish at the
+  * verify join. Single-table stores (embed sigs, media bands) have no
+  * internal ordering hazard — their one commit marker is both the row
+  * set's and the sentinel's commit point — but when one logical batch
+  * spans SEVERAL stores (TrainingPipeline.curateIncrementalBatch), the
+  * designated sentinel store's table still goes last across all of
+  * them.
   */
-private[streaming] object GateStore {
+private[graft] object GateStore {
 
   private val CompactedMarker = "_compacted_up_to"
+  private val OwnerMarker = "_owner"
+
+  /** Claim exclusive WRITE ownership of a gate store, loudly.
+    * [[runBatch]] assumes one writer per store (true under a single
+    * streaming query); two queries pointed at the same store would
+    * interleave batch dirs undetected — each would treat the other's
+    * sentinel dirs as its own processed history and silently skip
+    * batches. The claim is an `_owner` marker at the store root holding
+    * a caller-chosen STABLE name (the query's checkpoint location or
+    * logical job name — NOT a per-run UUID, or restarts would lock
+    * themselves out): first claim plants it via the same hard-link CAS
+    * as Sinks.tryCommit (atomic-exclusive, two racing first claims get
+    * exactly one winner); a re-claim by the same name is a no-op (the
+    * restart path); a claim by a DIFFERENT name throws. Ownership is
+    * released by [[releaseOwner]] on decommission, never by crashes —
+    * a crashed owner's restart re-claims its own name.
+    */
+  def claimOwner(storeDir: String, owner: String): Unit = {
+    require(owner.nonEmpty && !owner.contains('\n'),
+      s"owner name must be a non-empty single line, got '$owner'")
+    val root = new File(storeDir)
+    Files.createDirectories(root.toPath)
+    val marker = new File(root, OwnerMarker)
+    def existing(): String =
+      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
+    if (marker.exists() && existing() == owner) return
+    val tmp = new File(root, s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
+    Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(marker.toPath, tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val e = existing()
+        if (e != owner) throw new IllegalStateException(
+          s"gate store $storeDir is owned by '$e' — refusing claim by " +
+            s"'$owner'. Two writers interleaving batch dirs would " +
+            "silently skip each other's batches; decommission the owner " +
+            "(releaseOwner) before repointing.")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Release an [[claimOwner]] claim (decommission path). Throws if the
+    * store is owned by someone else; a missing marker is a no-op.
+    */
+  def releaseOwner(storeDir: String, owner: String): Unit = {
+    val marker = new File(storeDir, OwnerMarker)
+    if (!marker.exists()) return
+    val e = new String(Files.readAllBytes(marker.toPath),
+      StandardCharsets.UTF_8).trim
+    if (e != owner) throw new IllegalStateException(
+      s"gate store $storeDir is owned by '$e', not '$owner'")
+    Files.deleteIfExists(marker.toPath)
+  }
+
+  /** True iff the tree under `dir` holds at least one parquet data
+    * file. A committed batch whose write got ZERO rows (an empty
+    * micro-batch, or a text batch where every doc is shorter than the
+    * shingle width) leaves `batch=<id>` with `_SUCCESS` but no data
+    * files — partitionBy writes of zero rows emit none — and reading
+    * such dirs fails schema inference ('Unable to infer schema'),
+    * permanently wedging every later probe. Data-less committed dirs
+    * are therefore SKIPPED as probe inputs (they contribute no rows by
+    * definition) while still honored as replay sentinels.
+    */
+  private[graft] def hasDataFiles(dir: File): Boolean = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    children.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+      children.exists(f => f.isDirectory && hasDataFiles(f))
+  }
 
   /** (batchId, absolutePath) of every `batch=<id>` child, ascending. */
   def listBatchDirs(root: File): Seq[(Long, String)] =
@@ -88,9 +175,12 @@ private[streaming] object GateStore {
       append: () => Unit): Unit = {
     val sentinel = tables.head._1
     if (alreadyMerged(storeDir, sentinel, batchId)) return
+    // data-less committed dirs (zero-row batches) are skipped, not read
+    // — see hasDataFiles: reading one throws and wedges the stream
     val prior = tables.map { case (t, _) =>
       t -> listBatchDirs(new File(storeDir, t))
-        .filter(_._1 < batchId).map(_._2)
+        .filter { case (id, p) => id < batchId && hasDataFiles(new File(p)) }
+        .map(_._2)
     }.toMap
     if (prior(sentinel).isEmpty)
       spark.createDataFrame(
@@ -139,8 +229,16 @@ private[streaming] object GateStore {
   def compact(spark: SparkSession, storeDir: String, upTo: Long,
       tables: Seq[(String, Seq[String])]): Unit = {
     val sentinel = tables.head._1
-    require(alreadyMerged(storeDir, sentinel, upTo),
-      s"compact target batch=$upTo was never committed in $storeDir/$sentinel")
+    // the target must be a LIVE committed sentinel dir, not merely
+    // marker-covered: if a prior compaction already merged `upTo` away
+    // (its dir deleted, the marker vouching), merging strays into a
+    // fresh batch=<upTo> would create a dir with no _SUCCESS that every
+    // future compact trips over as torn — and no replay can repair it,
+    // because the marker makes replays skip that id. Refuse up front.
+    require(new File(storeDir, s"$sentinel/batch=$upTo/_SUCCESS").exists(),
+      s"compact target $storeDir/$sentinel/batch=$upTo is not a live " +
+        "committed batch dir (a marker-covered id whose dir was already " +
+        "merged away cannot be a compaction target — pick a live batch id)")
     val superseded = Seq.newBuilder[File]
     for ((sub, partCols) <- tables) {
       val root = new File(storeDir, sub)
@@ -153,11 +251,21 @@ private[streaming] object GateStore {
       olds.find { case (_, p) => !new File(p, "_SUCCESS").exists() }
         .foreach { case (id, _) => throw new IllegalStateException(
           s"$root/batch=$id is uncommitted (no _SUCCESS) — replay it before compacting") }
-      if (olds.nonEmpty) {
+      // committed-but-data-less dirs (zero-row batches) contribute no
+      // rows: they are superseded (deleted, marker-covered) but must
+      // not be READ — a merge input set of only such dirs would fail
+      // schema inference
+      val (withData, _) = olds.partition { case (_, p) =>
+        hasDataFiles(new File(p)) }
+      if (withData.nonEmpty) {
         // 1. materialize the union of the SUPERSEDED dirs (batch=<upTo>
         //    itself is not an input, so no step ever rewrites a live dir)
         val tmp = new File(root, s"_compact_tmp_$upTo") // name probes ignore
-        val merged = spark.read.parquet(olds.map(_._2): _*)
+        // one read per dir, then union: a multi-root read of partitioned
+        // dirs tries to infer batch= as a partition level too and throws
+        // CONFLICTING_DIRECTORY_STRUCTURES (d19ProbeDirs' note)
+        val merged = withData.map { case (_, p) => spark.read.parquet(p) }
+          .reduce(_.unionByName(_))
         // converge files per partition value (the writers' small-files
         // guard) — compaction exists to SHRINK file counts, and an
         // unconverged partitionBy would re-fan tasks × partitions
@@ -172,8 +280,10 @@ private[streaming] object GateStore {
         //    visible dirs only ever gains duplicate rows, never loses one
         moveParquetTree(tmp, new File(root, s"batch=$upTo"), s"compact-$upTo")
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        superseded ++= olds.map { case (_, p) => new File(p) }
       }
+      // data-less dirs join the superseded set too: the marker vouches
+      // for their ids, and leaving them behind would accumulate forever
+      superseded ++= olds.map { case (_, p) => new File(p) }
     }
     // 3. record "ids < upTo are merged" BEFORE deleting the superseded
     //    sentinel dirs — otherwise a re-delivered compacted batch id

@@ -48,6 +48,54 @@ object StreamCuration {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("digest")
 
+  /** ONE STREAM, THREE GATES: the foreachBatch that drives the full
+    * incremental-curation batch body
+    * ([[graft.TrainingPipeline.curateIncrementalBatch]]) — text MinHash
+    * gate + embedding sign-LSH gate + media pHash gate, all fed from a
+    * SINGLE readStream whose rows carry the aligned modalities:
+    *
+    * {{{
+    *   doc_id BIGINT, text STRING, source STRING,
+    *   embedding ARRAY<FLOAT>,   -- null = no vector for this doc
+    *   payload BINARY, format STRING  -- null = no media for this doc
+    * }}}
+    *
+    * Per micro-batch the sink splits the modality columns into the
+    * batch-side frames curateIncrementalBatch expects (a null modality
+    * cell means "this doc has no such row" — it is never probed by and
+    * never dropped by that gate), runs the gated pipeline, and
+    * publishes ONE verdict frame (TrainingPipeline.VerdictsDdl) plus
+    * chunks and stage counts under `outDir`. Replay (at-least-once
+    * foreachBatch) is a byte-identical no-op via the TEXT store's
+    * batch sentinel; all three stores are claimed for `owner` up front
+    * so a second query cannot interleave ([[GateStore.claimOwner]]).
+    *
+    * This is the streaming face of the reference's 30-minute DAG
+    * running ingest+process as one unit (bbc_news_dag.py:144-152),
+    * widened to the three-modality gate triad.
+    */
+  def triGateSink(spark: SparkSession, textStoreDir: String,
+      embedStoreDir: String, mediaStoreDir: String, benchDir: String,
+      outDir: String, owner: String, minQuality: Double = 0.25,
+      sigSpec: graft.queries.Dedup.SigSpec = graft.queries.Dedup.SigNarrow)
+      : (DataFrame, Long) => Unit = {
+    Seq(textStoreDir, embedStoreDir, mediaStoreDir)
+      .foreach(GateStore.claimOwner(_, owner))
+    (batch, batchId) => {
+      val docs = batch.select(col("doc_id"), col("text"), col("source"))
+      val embs = batch.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val media = batch.filter(col("payload").isNotNull)
+        .select(col("doc_id").as("media_id"), col("payload"), col("format"))
+      graft.TrainingPipeline.curateIncrementalBatch(
+        spark, docs, batchId, textStoreDir, benchDir, outDir,
+        minQuality = minQuality,
+        batchEmbeddings = Some(embs), embedStoreDir = Some(embedStoreDir),
+        batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
+        sigSpec = sigSpec)
+    }
+  }
+
   /** Bounded-state variant: a digest's state is evicted once its event
     * time falls behind the watermark (re-crawl after the horizon
     * re-emits — the 48-h feed model).

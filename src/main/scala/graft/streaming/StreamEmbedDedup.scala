@@ -44,24 +44,32 @@ object StreamEmbedDedup {
 
   private val Tables = Seq("sigs" -> Seq("bucket"))
 
-  /** The foreachBatch body, curried with the store/output roots. */
-  def sink(spark: SparkSession, storeDir: String, outDir: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    processBatch(spark, batch, batchId, storeDir, outDir)
+  /** The foreachBatch body, curried with the store/output roots. `spec`
+    * picks the signature geometry (`Dedup.SigWide` for production-scale
+    * corpora — see SigSpec's candidate-rate argument); a store is
+    * written and probed at ONE geometry for its whole life.
+    */
+  def sink(spark: SparkSession, storeDir: String, outDir: String,
+      spec: Dedup.SigSpec = Dedup.SigNarrow,
+      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+    owner.foreach(GateStore.claimOwner(storeDir, _))
+    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir, spec)
   }
 
   /** One gate step; package-visible so the spec can drive batches
     * directly and assert replay idempotence.
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, outDir: String): Unit = {
+      batchId: Long, storeDir: String, outDir: String,
+      spec: Dedup.SigSpec = Dedup.SigNarrow): Unit = {
     val vecs = batch.select(col("vec_id"), col("embedding"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",
-      probe = prior => Dedup.d20ProbeDirs(spark, vecs, prior("sigs")),
+      probe = prior => Dedup.d20ProbeDirs(spark, vecs, prior("sigs"), spec),
       // single-table append: the sigs commit marker is both the store
-      // row set's and the replay sentinel's commit point
-      append = () => Dedup.sigStoreRows(vecs)
+      // row set's and the replay sentinel's commit point (GateStore's
+      // append-order contract)
+      append = () => Dedup.sigStoreRows(vecs, spec)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$storeDir/sigs/batch=$batchId"))
   }

@@ -40,10 +40,14 @@ object StreamMediaDedup {
 
   private val Tables = Seq("bands" -> Seq.empty[String])
 
-  /** The foreachBatch body, curried with the store/output roots. */
-  def sink(spark: SparkSession, storeDir: String, outDir: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    processBatch(spark, batch, batchId, storeDir, outDir)
+  /** The foreachBatch body, curried with the store/output roots.
+    * `owner` claims exclusive store ownership at sink construction —
+    * [[GateStore.claimOwner]]'s contract.
+    */
+  def sink(spark: SparkSession, storeDir: String, outDir: String,
+      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+    owner.foreach(GateStore.claimOwner(storeDir, _))
+    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir)
   }
 
   /** One gate step; package-visible so the spec can drive batches

@@ -52,10 +52,16 @@ object StreamNearDedup {
 
   /** The foreachBatch body, curried with the store/output roots:
     * `stream.writeStream.foreachBatch(sink(spark, store, out)).start()`.
+    * `owner` (a STABLE logical name — the query's checkpoint location,
+    * not a per-run UUID) claims exclusive store ownership at sink
+    * construction via [[GateStore.claimOwner]]: a second query pointed
+    * at the same store fails LOUDLY instead of interleaving batch dirs
+    * undetected.
     */
-  def sink(spark: SparkSession, storeDir: String, outDir: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    processBatch(spark, batch, batchId, storeDir, outDir)
+  def sink(spark: SparkSession, storeDir: String, outDir: String,
+      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+    owner.foreach(GateStore.claimOwner(storeDir, _))
+    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir)
   }
 
   /** One gate step; package-visible so the spec can drive batches

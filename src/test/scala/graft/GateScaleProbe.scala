@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * the true candidate set grows ~×F with the corpus — worst case for
   * the verify leg, same as the d19 receipt.
   *
-  * Usage: tools/run.sh graft.GateScaleProbe <embed|media> [xFdir] [F] [runs]
+  * Usage: tools/run.sh graft.GateScaleProbe <embed|embedu|media> [xFdir] [F] [runs]
+  *
+  * `embed` replicates the corpus as NEAR-DUPS (output-quadratic: the
+  * true answer grows ×F², worst case for the verify leg); `embedu`
+  * replicates DECORRELATED (true answer fixed at ×1, worst case for
+  * the candidate filter — the regime where signature geometry decides
+  * whether the probe saturates).
   */
 object GateScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -55,6 +61,28 @@ object GateScaleProbe {
             x + lit(0.002f) *
               (pmod(col("rep") + i.cast("long"), lit(5L)).cast("float")
                 - lit(2.0f)))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$xfDir/embeddings.parquet")
+    }
+    // ×f replicas DECORRELATED (deterministic per-(rep, dim) sign
+    // flips: cos(any two replicas) ≈ 0) — the corpus-GROWTH fixture.
+    // The near-dup fixture above is output-quadratic (the true answer
+    // itself grows ×f², so no geometry can be flat); this one holds
+    // the true pair set fixed at the ×1 answer while the corpus grows
+    // ×f, which is exactly the regime the signature geometry governs:
+    // uncorrelated pairs pass a band with prob s^bandBits at s ≈ 0.5,
+    // so narrow 4-bit bands pass ~23% of all batch×corpus pairs
+    // (saturation) while wide 8-bit bands pass ~3%.
+    if (modality == "embedu" &&
+        !new java.io.File(s"$xfDir/embeddings.parquet").exists()) {
+      val e = Tables.embeddings(spark, src)
+      val off = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
+      e.select(col("*"), explode(sequence(lit(0L), lit(f - 1L))).as("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * off)
+        .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(col("rep"), i.cast("long")), lit(2L)) === 0, x)
+              .otherwise(-x))))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$xfDir/embeddings.parquet")
     }
@@ -98,7 +126,7 @@ object GateScaleProbe {
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((label, dir) <- Seq("x1" -> src, s"x$f" -> xfDir)) {
       val store = s"/tmp/$modality-probe-store-$label"
-      if (modality == "embed") {
+      if (modality.startsWith("embed")) {
         val batch = Tables.embeddings(spark, src)
           .filter(col("vec_id") % 10 === 7)
         def corpusOf(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
@@ -107,6 +135,15 @@ object GateScaleProbe {
           timed(Dedup.d20WriteStore(corpusOf(dir), store))))
         out(s"probe_stored_$label") = median((1 to runs).map(_ =>
           timed(noop(Dedup.d20ProbeStored(spark, batch, store)))))
+        // the production-width geometry (SigWide, 64-bit/8×8 bands):
+        // same fixed batch against a wide-signature store — the
+        // candidate-rate cut that keeps the stored probe ahead of the
+        // rebuild past the narrow geometry's 64-cell saturation point
+        val wStore = s"$store-wide"
+        out(s"store_build_wide_$label") = median((1 to runs).map(_ =>
+          timed(Dedup.d20WriteStore(corpusOf(dir), wStore, Dedup.SigWide))))
+        out(s"probe_stored_wide_$label") = median((1 to runs).map(_ =>
+          timed(noop(Dedup.d20ProbeStored(spark, batch, wStore, Dedup.SigWide)))))
         out(s"rebuild_inline_$label") = median((1 to runs).map(_ =>
           timed(noop(Dedup.d20Frame(corpusOf(dir), batch)))))
       } else {

@@ -734,6 +734,69 @@ class DedupSpec extends AnyFunSuite {
       n == 9000007L && d == srcRow.getLong(0) && j == 1.0 })
   }
 
+  test("d20 SigWide geometry: clones survive any geometry, verdicts agree where shared") {
+    // the production-width path: 64-bit/8-band signatures for at-scale
+    // stores (the 16-bit/4-band narrow form stays the oracle-pinned
+    // twin). Geometry changes the CANDIDATE set only — the exact-cosine
+    // verify makes precision exact under any SigSpec, verbatim clones
+    // (s → 1) collide with certainty under every geometry, and pairs
+    // both geometries happen to report must carry identical cosines.
+    val emb = Tables.embeddings(spark, dir)
+    val eCorpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val eBatch = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding"))
+    val srcs = eCorpus.orderBy(col("vec_id")).limit(3).collect()
+    val clones = srcs.zipWithIndex.map { case (r, i) =>
+      (9000100L + i, r.getSeq[Float](r.fieldIndex("embedding"))) }.toSeq
+      .toDF("vec_id", "embedding")
+    val batchPlus = eBatch.unionByName(clones)
+
+    // narrow signatures are a prefix-truncation of wide ones (same
+    // hyperplane i at every geometry) — the structural fact the
+    // clone-survival argument rests on
+    val sample = eCorpus.orderBy(col("vec_id")).limit(20)
+    val sigPairs = Dedup.embedSigsSpec(sample, Dedup.SigWide)
+      .select(col("vec_id"), col("sig"))
+      .join(Dedup.embedSigs(sample)
+        .select(col("vec_id"), col("sig").as("nsig")), Seq("vec_id"))
+      .collect()
+    assert(sigPairs.nonEmpty)
+    sigPairs.foreach { r =>
+      assert((r.getLong(1) & 0xFFFFL) == r.getInt(2).toLong,
+        "narrow sig is not a prefix of the wide sig") }
+
+    val wStore = java.nio.file.Files.createTempDirectory("d20-wide-")
+    val nStore = java.nio.file.Files.createTempDirectory("d20-narrow-")
+    try {
+      Dedup.d20WriteStore(eCorpus, wStore.toString, Dedup.SigWide)
+      Dedup.d20WriteStore(eCorpus, nStore.toString) // narrow default
+      def verdicts(store: String, spec: Dedup.SigSpec) =
+        Dedup.d20ProbeStored(spark, batchPlus, store, spec)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val wide = verdicts(wStore.toString, Dedup.SigWide)
+      val narrow = verdicts(nStore.toString, Dedup.SigNarrow)
+      // planted clones surface at cos exactly 1.0 under BOTH geometries
+      srcs.zipWithIndex.foreach { case (r, i) =>
+        val key = (9000100L + i, r.getLong(r.fieldIndex("vec_id")))
+        assert(wide.get(key).contains(1.0), s"wide geometry missed clone $key")
+        assert(narrow.get(key).contains(1.0), s"narrow geometry missed clone $key")
+      }
+      // any pair BOTH geometries report carries the identical cosine
+      // (the verify is geometry-independent; only candidacy differs)
+      val shared = wide.keySet intersect narrow.keySet
+      assert(shared.nonEmpty)
+      shared.foreach(k => assert(wide(k) == narrow(k)))
+      // the geometry's purpose: 8-bit bands pass fewer uncorrelated
+      // candidates, so the wide REPORTED set cannot exceed the narrow
+      // one on this fixture (recall trades down, precision is exact)
+      assert(wide.size <= narrow.size,
+        s"wide geometry reported ${wide.size} pairs vs narrow ${narrow.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(wStore.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(nStore.toFile)
+    }
+  }
+
   test("eagerBuild-bracketed stored probes leak no persistent RDDs after release") {
     // the stored probes pin internal caches during CONSTRUCTION (their
     // driver-side bucket-list collect), so the release hook is

@@ -91,6 +91,37 @@ class SinksSpec extends AnyFunSuite {
     assert(!live.contains(dirB.stripPrefix("data/")), "orphan dir survived gc")
   }
 
+  test("gcUnique fences stalled writers: a swept dir can never be committed dangling") {
+    // the race: a writer stalls longer than the grace between writeFresh
+    // and tryCommit; gc sweeps its staged dir; the writer wakes up and
+    // wins its commit slot anyway → a log entry referencing a deleted
+    // dir, and readUnique fails permanently for every reader. The fix:
+    // gc claims the next commit slot with a tombstone BEFORE deleting,
+    // so the stalled writer's CAS deterministically loses and its retry
+    // stages a fresh dir.
+    val path = tmp("ugc")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val batchA = docs.filter(col("doc_id") < 50)
+    val batchB = docs.filter(col("doc_id") >= 50 && col("doc_id") < 120)
+    assert(Sinks.appendUniqueConcurrent(spark, batchA, path, "doc_id") == 50)
+    // the stalled writer: staged against the current snapshot, no commit
+    val snap = Sinks.logEntries(path)
+    val (dirB, nB) = Sinks.writeFresh(spark, batchB, path, "doc_id", snap)
+    assert(nB == 70)
+    // gc with zero grace: sweeps the staged dir AND fences its slot
+    Sinks.gcUnique(path, graceMs = 0L)
+    assert(!new java.io.File(s"$path/$dirB").exists(), "staged dir not swept")
+    // the writer wakes up: its CAS must LOSE (slot fenced), never publish
+    assert(!Sinks.tryCommit(path, snap.size, dirB),
+      "stalled writer won a fenced slot — dangling log entry published")
+    // readers are never broken, before or after the writer's clean retry
+    assert(Sinks.readUnique(spark, path).count() == 50)
+    assert(Sinks.appendUniqueConcurrent(spark, batchB, path, "doc_id") == 70)
+    val stored = Sinks.readUnique(spark, path)
+    assert(stored.count() == 120)
+    assert(stored.select("doc_id").distinct().count() == 120)
+  }
+
   test("appendUniqueConcurrent refuses scheme-qualified paths (local-FS commit log)") {
     // on a non-local path the java.nio commit log would run against
     // each driver's own disk and every racer would win slot 0 — refuse

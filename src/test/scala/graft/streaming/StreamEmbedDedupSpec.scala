@@ -107,6 +107,34 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a committed empty micro-batch neither wedges later probes nor compaction") {
+    // an empty micro-batch (a trigger with no new data routed through
+    // foreachBatch) commits sigs/batch=<id> with _SUCCESS and no data
+    // files; later probes must skip it rather than fail schema
+    // inference on it (the text-gate twin pins the short-doc variant)
+    val root = java.nio.file.Files.createTempDirectory("embeddedup-z-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    val empty = bs(0).limit(0)
+    StreamEmbedDedup.processBatch(spark, empty, 1L, storeDir, outDir)
+    val sigs1 = new java.io.File(s"$storeDir/sigs/batch=1")
+    assert(new java.io.File(sigs1, "_SUCCESS").exists(),
+      "empty batch must still commit its replay sentinel")
+    assert(!GateStore.hasDataFiles(sigs1))
+    assert(spark.read.parquet(s"$outDir/batch=1").count() == 0)
+    StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Dedup.d20Frame(bs(0), bs(2))))
+    // compaction across the data-less dir merges cleanly and sweeps it
+    StreamEmbedDedup.compact(spark, storeDir, 2L)
+    assert(!sigs1.exists(), "data-less superseded dir survived compaction")
+    StreamEmbedDedup.processBatch(spark, bs(1), 3L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=3")) ==
+      canon(Dedup.d20Frame(bs(0).unionByName(bs(2)), bs(1))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("compaction preserves verdicts, sentinels and a half-crash; storage stays flat") {
     val root = java.nio.file.Files.createTempDirectory("embeddedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")

@@ -118,6 +118,79 @@ class StreamNearDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a committed zero-row batch neither wedges later probes nor compaction") {
+    // a micro-batch whose every doc is shorter than the shingle width
+    // commits bands/shingles dirs with _SUCCESS but NO data files
+    // (partitionBy of zero rows emits none). Pre-fix, every later
+    // batch's probe read that dir and threw 'Unable to infer schema' —
+    // and replays hit the same error, wedging the stream permanently.
+    val root = java.nio.file.Files.createTempDirectory("neardedup-z-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamNearDedup.processBatch(spark, bs(0), 0L, storeDir, outDir)
+    val tiny = Seq((9000001L, "hi")).toDF("doc_id", "text") // < 3 tokens
+    StreamNearDedup.processBatch(spark, tiny, 1L, storeDir, outDir)
+    val bands1 = new java.io.File(s"$storeDir/bands/batch=1")
+    assert(new java.io.File(bands1, "_SUCCESS").exists(),
+      "zero-row batch must still commit its replay sentinel")
+    // the data-less dir is the PARTITIONED table: partitionBy of zero
+    // rows emits no files at all (an unpartitioned zero-row write still
+    // emits one schema-bearing file, so bands stays readable)
+    val shingles1 = new java.io.File(s"$storeDir/shingles/batch=1")
+    assert(!GateStore.hasDataFiles(shingles1))
+    // the empty batch's verdicts were still probed and published (empty)
+    assert(spark.read.parquet(s"$outDir/batch=1").count() == 0)
+    // later batches must probe cleanly past the data-less dir
+    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Dedup.d19Frame(bs(0), bs(2))))
+    // and the empty batch's sentinel still makes its replay a no-op
+    val mtime = new java.io.File(bands1, "_SUCCESS").lastModified()
+    StreamNearDedup.processBatch(spark, tiny, 1L, storeDir, outDir)
+    assert(new java.io.File(bands1, "_SUCCESS").lastModified() == mtime,
+      "replay of a committed zero-row batch was reprocessed")
+    // compaction over a mix of data-bearing and data-less dirs: merges
+    // the data, supersedes (deletes) the empty dirs, keeps verdicts
+    StreamNearDedup.compact(spark, storeDir, 2L)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    assert(!bands1.exists() && !shingles1.exists(),
+      "superseded dirs (incl. the data-less one) survived compaction")
+    StreamNearDedup.processBatch(spark, bs(1), 3L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=3")) ==
+      canon(Dedup.d19Frame(bs(0).unionByName(bs(2)), bs(1))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("compact refuses a marker-covered target whose dir was merged away") {
+    // a stray superseded dir surviving a crashed delete plus a re-run
+    // of compact with an upTo BELOW the current marker: merging into
+    // the now-deleted batch=<upTo> would create a fresh dir with no
+    // _SUCCESS that every future compact trips over as torn — and no
+    // replay can repair it (the marker makes replays skip that id).
+    // The target must be a LIVE committed sentinel dir.
+    val root = java.nio.file.Files.createTempDirectory("neardedup-m-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    bs.zipWithIndex.foreach { case (b, i) =>
+      StreamNearDedup.processBatch(spark, b, i.toLong, storeDir, outDir) }
+    StreamNearDedup.compact(spark, storeDir, 2L) // marker = 2, dirs 0/1 gone
+    // simulate the stray survivor of a crashed delete
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$storeDir/bands/batch=2"),
+      new java.io.File(s"$storeDir/bands/batch=0"))
+    intercept[IllegalArgumentException] {
+      StreamNearDedup.compact(spark, storeDir, 1L)
+    }
+    // no torn batch=1 dir was planted; compacting to the live target
+    // still works and sweeps the stray
+    StreamNearDedup.compact(spark, storeDir, 2L)
+    assert(!new java.io.File(s"$storeDir/bands/batch=0").exists())
+    StreamNearDedup.processBatch(spark, bs(1), 3L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=3")) ==
+      canon(Dedup.d19Frame(bs(0).unionByName(bs(1)).unionByName(bs(2)), bs(1))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("compaction preserves verdicts, including after a simulated half-crash") {
     val root = java.nio.file.Files.createTempDirectory("neardedup-c-").toString
     val (storeDir, outDir) = (s"$root/store", s"$root/out")

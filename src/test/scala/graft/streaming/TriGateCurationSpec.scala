@@ -1,0 +1,258 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark, TrainingPipeline}
+import graft.queries.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One stream, three gates: the at-least-once incremental-curation
+  * sink (curateIncrementalBatch under StreamCuration.triGateSink) —
+  * bootstrap from EMPTY stores, per-modality gating with aligned ids,
+  * one unified verdict frame, byte-identical replay no-ops, agreement
+  * with the single-delivery curateIncremental on identical store
+  * content, and the store owner guard.
+  */
+class TriGateCurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  private def txt(unit: String) = (unit + " ").repeat(30).trim
+
+  /** Self-diagnosing modality fixtures (the TrainingPipelineSpec triad
+    * pattern): v0/v1 provably far in cosine, m0/mD provably outside
+    * the pHash gate.
+    */
+  private lazy val fixture = {
+    val eRows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(50).collect()
+    def vec(r: Row) = r.getSeq[Float](1).map(_.toDouble)
+    def cosine(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val v0 = eRows.head
+    val v1 = eRows.tail.find(r => math.abs(cosine(vec(v0), vec(r))) < 0.35)
+      .getOrElse(fail("fixture has no far vector"))
+    val mediaAll = Multimodal.mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .filter(length(col("payload")) >= 64)
+      .orderBy(col("media_id")).limit(20).collect()
+    def mediaDf(id: Long, r: Row) =
+      Seq((id, r.getAs[Array[Byte]](1), r.getString(2)))
+        .toDF("media_id", "payload", "format")
+    val m0 = mediaAll.head
+    val mD = mediaAll.tail.find(r =>
+        Multimodal.mm9Frame(mediaDf(1L, m0), mediaDf(2L, r)).count() == 0)
+      .getOrElse(fail("fixture has no far media item"))
+    (v0.getSeq[Float](1), v1.getSeq[Float](1),
+      m0.getAs[Array[Byte]](1), m0.getString(2),
+      mD.getAs[Array[Byte]](1), mD.getString(2))
+  }
+
+  /** Aligned-modality rows: (doc_id, text, source, embedding?, payload?,
+    * format?). Batch 0 seeds empty stores; batch 1 plants one clone per
+    * modality plus a kept control.
+    */
+  private def alignedBatches(): Seq[DataFrame] = {
+    val (v0, v1, m0p, m0f, mDp, mDf) = fixture
+    val b0 = Seq[(Long, String, String, Option[Seq[Float]],
+        Option[Array[Byte]], Option[String])](
+      (9500001L, txt("alpha seed corpus entry one"), "webz",
+        Some(v0), Some(m0p), Some(m0f)),
+      (9500002L, txt("beta seed second body here"), "webz",
+        None, None, None))
+    val b1 = Seq[(Long, String, String, Option[Seq[Float]],
+        Option[Array[Byte]], Option[String])](
+      // clones alpha's TEXT verbatim → text gate drop
+      (9600001L, txt("alpha seed corpus entry one"), "webz",
+        None, None, None),
+      // novel text, clones alpha's VECTOR → embed gate drop
+      (9600002L, txt("gamma wholly different wording body"), "webz",
+        Some(v0), None, None),
+      // novel text, clones alpha's MEDIA payload → media gate drop
+      (9600003L, txt("delta another unrelated passage text"), "webz",
+        None, Some(m0p), Some(m0f)),
+      // novel everything (far vector, far media) → kept
+      (9600004L, txt("epsilon final novel control doc"), "webz",
+        Some(v1), Some(mDp), Some(mDf)))
+    Seq(b0.toDF("doc_id", "text", "source", "embedding", "payload", "format"),
+      b1.toDF("doc_id", "text", "source", "embedding", "payload", "format"))
+  }
+
+  private def stageCounts(outDir: String, id: Long): Map[String, Long] =
+    spark.read.parquet(s"$outDir/stage_counts/batch=$id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def verdictSet(outDir: String, id: Long): Set[(String, Long, Long, Double)] =
+    spark.read.parquet(s"$outDir/verdicts/batch=$id")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("tri-gate stream: bootstrap, per-modality gating, one verdict frame, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-").toString
+    val (srcDir, tStore, eStore, mStore, outDir) = (s"$root/src",
+      s"$root/text", s"$root/embed", s"$root/media", s"$root/out")
+    val bs = alignedBatches()
+    bs.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp$i"
+      b.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"part_$i%02d.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = spark.readStream
+      .schema(bs.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(StreamCuration.triGateSink(spark, tStore, eStore,
+        mStore, dir, outDir, owner = "trigate-spec"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // batch 0: empty stores probe nothing — everything passes, stores
+    // seeded, verdict frame empty (the bootstrap curateIncremental's
+    // flat layout cannot express)
+    val c0 = stageCounts(outDir, 0)
+    assert(c0("ingest") == 2 && c0("near_dup_gate") == 2 &&
+      c0("embed_dup_gate") == 2 && c0("media_dup_gate") == 2, c0.toString)
+    assert(verdictSet(outDir, 0).isEmpty)
+    assert(new java.io.File(s"$tStore/bands/batch=0/_SUCCESS").exists())
+
+    // batch 1: one drop per modality, the control survives
+    val c1 = stageCounts(outDir, 1)
+    assert(c1("ingest") == 4 && c1("near_dup_gate") == 3 &&
+      c1("embed_dup_gate") == 2 && c1("media_dup_gate") == 1, c1.toString)
+    val kept = spark.read.parquet(s"$outDir/chunks/batch=1")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9600004L))
+    // ONE verdict frame names every drop with its modality and score
+    val v1s = verdictSet(outDir, 1)
+    assert(v1s.exists { case (m, n, d, s) =>
+      m == "text" && n == 9600001L && d == 9500001L && s == 1.0 }, v1s.toString)
+    assert(v1s.exists { case (m, n, d, s) =>
+      m == "embed" && n == 9600002L && d == 9500001L && s == 1.0 }, v1s.toString)
+    assert(v1s.exists { case (m, n, d, s) =>
+      m == "media" && n == 9600003L && d == 9500001L && s == 0.0 }, v1s.toString)
+
+    // at-least-once replay of batch 1: byte-identical no-op across
+    // verdicts, chunks, counts and ALL THREE stores; zero leaked RDDs
+    import scala.jdk.CollectionConverters._
+    def fp(p: String) = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(p), null, true).asScala
+      .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+    val watched = Seq(s"$outDir/verdicts/batch=1", s"$outDir/chunks/batch=1",
+      s"$outDir/stage_counts/batch=1", tStore, eStore, mStore)
+    val before = watched.map(fp)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    TrainingPipeline.curateIncrementalBatch(spark,
+      bs(1).select(col("doc_id"), col("text"), col("source")), 1L,
+      tStore, dir, outDir,
+      batchEmbeddings = Some(bs(1).filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding"))),
+      embedStoreDir = Some(eStore),
+      batchMedia = Some(bs(1).filter(col("payload").isNotNull)
+        .select(col("doc_id").as("media_id"), col("payload"), col("format"))),
+      mediaStoreDir = Some(mStore))
+    assert(watched.map(fp) == before, "replayed batch rewrote files")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"replay leaked persistent RDDs: $leaked")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("curateIncrementalBatch == curateIncremental on identical store content") {
+    // the batch-dir layout vs the flat single-delivery layout, same
+    // store CONTENT: gate decisions, stage counts and chunks must agree
+    // — the stream is the same pipeline, not a reimplementation
+    val root = java.nio.file.Files.createTempDirectory("trigate-eq-").toString
+    val bs = alignedBatches()
+    val seed = bs(0)
+    val docs0 = seed.select(col("doc_id"), col("text"), col("source"))
+    try {
+      // batch-layout stores, seeded by processing batch 0
+      val (tB, eB, mB, outB) = (s"$root/bt", s"$root/be", s"$root/bm", s"$root/bo")
+      def embsOf(b: DataFrame) = b.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      def mediaOf(b: DataFrame) = b.filter(col("payload").isNotNull)
+        .select(col("doc_id").as("media_id"), col("payload"), col("format"))
+      TrainingPipeline.curateIncrementalBatch(spark, docs0, 0L, tB, dir, outB,
+        batchEmbeddings = Some(embsOf(seed)), embedStoreDir = Some(eB),
+        batchMedia = Some(mediaOf(seed)), mediaStoreDir = Some(mB))
+      // a PROCESSING batch (not a replay) must also leave executor
+      // storage flat — probes bracketed, appends swept
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      TrainingPipeline.curateIncrementalBatch(spark,
+        bs(1).select(col("doc_id"), col("text"), col("source")), 1L,
+        tB, dir, outB,
+        batchEmbeddings = Some(embsOf(bs(1))), embedStoreDir = Some(eB),
+        batchMedia = Some(mediaOf(bs(1))), mediaStoreDir = Some(mB))
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+      assert(leaked.isEmpty, s"batch processing leaked persistent RDDs: $leaked")
+
+      // flat stores seeded with batch 0's ACCEPTED docs (batch 0 passes
+      // every gate, so that is batch 0's full quality-gated clean set —
+      // read it back from the chunk output's id set)
+      val kept0 = spark.read.parquet(s"$outB/chunks/batch=0")
+        .select(col("doc_id")).distinct()
+      val clean0 = docs0.join(kept0, Seq("doc_id"))
+      val (tF, eF, mF) = (s"$root/ft", s"$root/fe", s"$root/fm")
+      Dedup.d19WriteStore(clean0, tF)
+      Dedup.d20WriteStore(embsOf(seed)
+        .join(kept0.select(col("doc_id").as("vec_id")), Seq("vec_id")), eF)
+      Multimodal.mm9WriteStore(mediaOf(seed)
+        .join(kept0.select(col("doc_id").as("media_id")), Seq("media_id")), mF)
+      val (chunksF, countsF) = TrainingPipeline.curateIncremental(spark,
+        bs(1).select(col("doc_id"), col("text"), col("source")), tF, dir,
+        batchEmbeddings = Some(embsOf(bs(1))), embedStoreDir = Some(eF),
+        batchMedia = Some(mediaOf(bs(1))), mediaStoreDir = Some(mF))
+
+      assert(stageCounts(outB, 1).toSeq.sorted == countsF.sorted,
+        s"stage counts diverged: ${stageCounts(outB, 1)} vs $countsF")
+      val chunksB = spark.read.parquet(s"$outB/chunks/batch=1")
+      val cols = chunksF.columns.sorted.toSeq
+      assert(chunksB.select(cols.map(col): _*).collect().toSet ==
+        chunksF.select(cols.map(col): _*).collect().toSet,
+        "chunk outputs diverged between batch-dir and flat layouts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("gate stores refuse a second writer; same owner re-claims; release hands over") {
+    val root = java.nio.file.Files.createTempDirectory("owner-").toString
+    val store = s"$root/store"
+    GateStore.claimOwner(store, "ingest-q1")
+    GateStore.claimOwner(store, "ingest-q1") // restart path: no-op
+    // a second query pointed at the same store fails LOUDLY at sink
+    // construction — before any batch dir could interleave
+    val e = intercept[IllegalStateException] {
+      StreamNearDedup.sink(spark, store, s"$root/out2",
+        owner = Some("ingest-q2"))
+    }
+    assert(e.getMessage.contains("ingest-q1"))
+    intercept[IllegalStateException] {
+      StreamEmbedDedup.sink(spark, store, s"$root/out3",
+        owner = Some("rogue"))
+    }
+    intercept[IllegalStateException] {
+      GateStore.releaseOwner(store, "not-the-owner")
+    }
+    // decommission hands the store over cleanly
+    GateStore.releaseOwner(store, "ingest-q1")
+    StreamMediaDedup.sink(spark, store, s"$root/out4",
+      owner = Some("ingest-q2")) // new owner claims fine
+    GateStore.releaseOwner(store, "ingest-q2")
+    GateStore.releaseOwner(store, "anyone") // missing marker: no-op
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
