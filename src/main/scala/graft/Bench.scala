@@ -199,6 +199,17 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"target/$metricsName"),
       metricsLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the driver's log tail keeps only the LAST ~2000 chars of stdout
+    // and json-parses what it finds there — the full line above is
+    // ~14 KB at 182 queries, so it has been truncated mid-JSON (parsed:
+    // null) every round. Emit a compact summary as the LAST stdout line
+    // (nothing may print after it), guaranteed to fit the tail window:
+    // headline totals + the slowest queries + a pointer to the full
+    // artifact (BENCH_LATEST.json, committed at repo root).
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

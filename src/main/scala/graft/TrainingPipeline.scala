@@ -335,14 +335,11 @@ object TrainingPipeline {
       mediaGated.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
     // append the ACCEPTED docs to the store so the NEXT batch's gate
-    // sees them — shingles (verify payloads) FIRST, bands (the probe
-    // index) LAST, StreamNearDedup's discipline: a crash between the
-    // two leaves payload rows without index rows (harmless orphans the
-    // next probe never joins to), whereas the reverse order would leave
-    // index rows whose verify payloads are missing — those candidates
-    // silently vanish at the verify join and the affected docs would
-    // permanently pass the gate with no retry path (single-delivery
-    // contract, so the batch is never re-presented).
+    // sees them — shingles (verify payloads) FIRST, bands (probe index)
+    // LAST: GateStore's append-order contract (see its scaladoc for the
+    // full argument), doubly load-bearing here because under the
+    // single-delivery contract a crash-orphaned index row has NO retry
+    // path at all.
     Checkpoints.sweep(s) {
       val sh = Dedup.shingleSetsOf(clean).cache()
       sh.withColumn("bucket",

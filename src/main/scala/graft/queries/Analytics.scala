@@ -111,13 +111,25 @@ object Analytics {
     * window over the POST-aggregation daily frame (cardinality = #days)
     * — safe at any input scale.
     */
-  def a2SentimentTrend(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.documents(s, dir)
+  def a2SentimentTrend(s: SparkSession, dir: String): DataFrame =
+    sentimentTrendOf(Tables.documents(s, dir)
       .withColumn("day", date_add(to_date(lit("2022-01-01")), (col("doc_id") % 60).cast("int")))
       .withColumn("s", sentimentUdf(col("text")))
+      .select(col("day"), col("s.polarity").as("polarity"),
+        col("s.subjectivity").as("subjectivity")))
+
+  /** The E3 trend core over ANY per-document (day DATE, polarity,
+    * subjectivity) frame: daily mean → 10-day trailing rolling mean
+    * with pandas null semantics. Factored out of [[a2SentimentTrend]]
+    * so the synthetic-fixture query and the golden-CSV replay
+    * (BbcCorpusSpec driving the reference's committed 20,350-row
+    * articles_sentiments.csv through it) run the SAME code path.
+    */
+  def sentimentTrendOf(scored: DataFrame): DataFrame = {
+    val daily = scored
       .groupBy(col("day"))
-      .agg(avg(col("s.polarity")).as("polarity"),
-        avg(col("s.subjectivity")).as("subjectivity"))
+      .agg(avg(col("polarity")).as("polarity"),
+        avg(col("subjectivity")).as("subjectivity"))
     val w = Window.orderBy(col("day")).rowsBetween(-9, 0)
     def rolling(c: Column) = // pandas rolling(10): first 9 rows null
       when(count(lit(1)).over(w) < 10, lit(null))

@@ -75,9 +75,8 @@ object StreamNearDedup {
       probe = prior =>
         Dedup.d19ProbeDirs(spark, docs, prior("bands"), prior("shingles")),
       append = () => {
-        // publish-then-merge: shingles first, bands LAST — the bands
-        // commit marker is the replay sentinel, so a crash between the
-        // two leaves a store the retry fully repairs (overwrite mode)
+        // shingles first, bands (the sentinel table) LAST —
+        // GateStore's append-order contract
         val sh = Dedup.shingleSetsOf(docs).cache()
         sh.withColumn("bucket",
             pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))

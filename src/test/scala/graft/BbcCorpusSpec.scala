@@ -169,6 +169,67 @@ class BbcCorpusSpec extends AnyFunSuite {
     assert(math.abs(meanS - 0.3966) < 0.08, s"subjectivity mean $meanS")
   }
 
+  test("golden end-to-end replay: the full 20,350-row reference CSV through the a2 trend") {
+    // E1→E2's terminal artifact is the reference's committed
+    // data/articles_sentiments.csv (its one real full-corpus output);
+    // E3's trend stage (daily mean → rolling-10, pandas null semantics)
+    // run over it must reproduce values computed INDEPENDENTLY from the
+    // same file — closing the loop on the reference's own data rather
+    // than synthetic fixtures. The engine side runs the exact a2 code
+    // path (Analytics.sentimentTrendOf); the expectation side is plain
+    // Scala arithmetic over the collected rows.
+    val goldenPath = "/root/reference/data/articles_sentiments.csv"
+    assume(new java.io.File(goldenPath).exists(), "reference CSV not present")
+    val golden = spark.read.option("header", "true")
+      .schema("date STRING, polarity DOUBLE, subjectivity DOUBLE, title STRING, url STRING")
+      .csv(goldenPath)
+      .filter(col("polarity").isNotNull && col("subjectivity").isNotNull &&
+        to_date(to_timestamp(col("date"))).isNotNull)
+    val n = golden.count()
+    assert(n > 20000, s"golden CSV parsed only $n rows")
+
+    val trend = queries.Analytics.sentimentTrendOf(
+        golden.select(to_date(to_timestamp(col("date"))).as("day"),
+          col("polarity"), col("subjectivity")))
+      .collect()
+
+    // independent expectation: plain Scala over the same rows
+    val rows = golden.select(to_date(to_timestamp(col("date"))).as("day"),
+        col("polarity"), col("subjectivity")).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    val byDay = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.map(_._2).sum / g.size, g.map(_._3).sum / g.size) }
+    val expRolling = byDay.indices.map { i =>
+      if (i < 9) (None, None)
+      else {
+        val win = byDay.slice(i - 9, i + 1)
+        (Some(win.map(_._2).sum / 10), Some(win.map(_._3).sum / 10))
+      }
+    }
+
+    assert(trend.length == byDay.length,
+      s"${trend.length} trend days vs ${byDay.length} golden days")
+    val tol = 1e-6
+    trend.zipWithIndex.foreach { case (r, i) =>
+      val (d, p, s) = byDay(i)
+      assert(r.getDate(0).toString == d, s"day order diverged at $i")
+      assert(math.abs(r.getDouble(1) - p) < tol, s"daily polarity @$d: ${r.getDouble(1)} vs $p")
+      assert(math.abs(r.getDouble(2) - s) < tol, s"daily subjectivity @$d")
+      (expRolling(i), r.isNullAt(3), r.isNullAt(4)) match {
+        case ((None, None), n3, n4) =>
+          assert(n3 && n4, s"rolling must be null for the first 9 days (@$d)")
+        case ((Some(rp), Some(rs)), _, _) =>
+          assert(math.abs(r.getDouble(3) - rp) < tol, s"rolling polarity @$d")
+          assert(math.abs(r.getDouble(4) - rs) < tol, s"rolling subjectivity @$d")
+        case other => fail(s"inconsistent expectation shape $other")
+      }
+    }
+    // and the full-corpus stats BASELINE.md publishes hold exactly here
+    val stats = golden.agg(avg("polarity"), avg("subjectivity")).head
+    assert(math.abs(stats.getDouble(0) - 0.0654) < 0.001, s"corpus polarity mean ${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - 0.3966) < 0.001, s"corpus subjectivity mean ${stats.getDouble(1)}")
+  }
+
   test("O-J1: topic labels dim joins broadcast against dominant topics") {
     val labels = spark.read.option("header", "true")
       .schema("topic_num INT, topic_label STRING")
