@@ -266,30 +266,43 @@ object Similarity {
       |)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Multi-probe flip masks for [[s6LshTopK]]: the query's own bucket
+    * plus every hamming-1 and hamming-2 neighbor (1 + 8 + 28 = 37 of
+    * 256 buckets — still a 7× candidate cut vs exhaustive). Depth 2 is
+    * the recall dial: with GENUINE hyperplanes (see [[lshHyperplane]]'s
+    * round-14 note) a top-5 neighbor at cos ≈ 0.4 has per-bit match
+    * probability ~0.63, so P(within hamming 2 of the query's sig) ≈
+    * 0.38 vs ~0.12 at depth 1 — the measured depth-1 0.64 recall of
+    * earlier rounds was an artifact of the degenerate banding (2
+    * buckets ≈ exhaustive search).
+    */
+  private val s6ProbeMasks: Seq[Int] =
+    Seq(0) ++ (0 until 8).map(1 << _) ++
+      (for (a <- 0 until 8; b <- a + 1 until 8) yield (1 << a) | (1 << b))
+
   /** S6: sign-LSH ANN (random-hyperplane LSH, Charikar 2002) — the
     * bucket-join ANN family, complementing s2/s3's IVF cells. Each
     * vector gets an NBITS-bit signature (sign of its dot product with
     * NBITS fixed ±1 Rademacher hyperplanes, derived deterministically
     * from FNV-1a so the oracle replays them as literals); queries probe
-    * their own bucket plus all 1-bit-flip neighbors (multi-probe LSH) via
-    * an EQUI-join on the probe signature — at 100 TB this is a plain
-    * keyed shuffle on a 1-byte key, never a similarity-predicate join —
-    * and candidates rerank exactly. Deterministic as a computation
-    * (fixed hyperplanes, rounded scores, (score desc, id asc) ties), so
-    * fully value-checked.
+    * their own bucket plus all hamming ≤ 2 neighbors ([[s6ProbeMasks]],
+    * multi-probe LSH) via an EQUI-join on the probe signature — at
+    * 100 TB this is a plain keyed shuffle on a 1-byte key, never a
+    * similarity-predicate join — and candidates rerank exactly.
+    * Deterministic as a computation (fixed hyperplanes, rounded scores,
+    * (score desc, id asc) ties), so fully value-checked.
     */
   def s6LshTopK(s: SparkSession, dir: String): DataFrame = {
     val NBITS = 8
     val sigExpr = (0 until NBITS).map(i =>
       when(dot(col("v"), typedLit(lshHyperplane(i))) >= 0, lit(1 << i))
         .otherwise(lit(0))).reduce(_ + _)
-    // cache materializes sig — 9 downstream references would otherwise
+    // cache materializes sig — 37 downstream references would otherwise
     // re-inline (and recompute) the 8 dot products per reference
     val all = vecs(s, dir).withColumn("sig", sigExpr).cache()
     val corpus = all.select(col("vec_id").as("id2"), col("v").as("v2"),
       col("nrm").as("n2"), col("sig").as("sig2"))
-    val probeCols = col("sig") +:
-      (0 until NBITS).map(b => col("sig").bitwiseXOR(lit(1 << b)))
+    val probeCols = s6ProbeMasks.map(m => col("sig").bitwiseXOR(lit(m)))
     val qside = all.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"),
         explode(array(probeCols: _*)).as("probe"))
@@ -306,13 +319,31 @@ object Similarity {
       .orderBy(col("id1"), col("rank"))
   }
 
-  /** ±1 hyperplane i, deterministic from FNV-1a — shared by the Spark
-    * plan and (as inlined literals) the SQL oracle.
+  /** ±1 hyperplane i, deterministic from FNV-1a + a splitmix64
+    * finalizer — shared by the Spark plan and (as inlined literals) the
+    * SQL oracle, so any change here retwins both sides automatically.
+    *
+    * The finalizer is LOAD-BEARING (round-14 find): FNV-1a's low bit is
+    * the XOR-parity of the input bytes' low bits — multiplying by an
+    * odd prime preserves bit 0, so `hash & 1` telescopes to
+    * `basis₀ ⊕ ⊕(byteₖ & 1)`, which for "$i:$j" separates into
+    * f(i) ⊕ g(j). Every hyperplane was therefore ± one shared vector:
+    * all sign bits perfectly correlated, exactly 2 distinct signatures
+    * over ANY corpus, and the s6/d8/d20 bandings passed half of all
+    * pairs as candidates (zero pruning; precision was still exact via
+    * the cosine verify, and the DuckDB twins replayed the same
+    * degenerate literals, so nothing failed — the receipts finally
+    * caught it). splitmix64's avalanche makes bit 0 depend on every
+    * input bit, giving genuinely independent hyperplanes.
     */
   private[queries] def lshHyperplane(i: Int): Seq[Double] =
     Seq.tabulate(64) { j =>
-      if ((graft.expressions.SimHash64.fnv1a64(s"$i:$j".getBytes("UTF-8")) & 1L) == 1L)
-        1.0 else -1.0
+      val h = graft.expressions.SimHash64.fnv1a64(s"$i:$j".getBytes("UTF-8"))
+      var z = h + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if ((z & 1L) == 1L) 1.0 else -1.0
     }
 
   val s6Sql: String = {
@@ -321,7 +352,8 @@ object Similarity {
         .mkString("[", ", ", "]::DOUBLE[]")
       s"(CASE WHEN list_dot_product(v, $h) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("\n      + ")
-    val probeList = ("sig" +: (0 until 8).map(b => s"xor(sig, ${1 << b})"))
+    val probeList = s6ProbeMasks
+      .map(m => if (m == 0) "sig" else s"xor(sig, $m)")
       .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),

@@ -627,8 +627,10 @@ class PlansSpec extends AnyFunSuite {
         "bucket pruning predicate missing:\n" + sigScans.mkString("\n").take(1200))
       // ...and the banding read is COLUMN-pruned to (vec_id, sig) — the
       // derived band index never decodes the vector payloads
+      // (sig is BIGINT since the SigSpec geometries — 12 bytes/vector
+      // narrow-encoded on disk either way, parquet ints are delta-packed)
       assert(sigScans.exists(
-          _.contains("ReadSchema: struct<vec_id:bigint,sig:int>")),
+          _.contains("ReadSchema: struct<vec_id:bigint,sig:bigint>")),
         "banding scan not pruned to (vec_id, sig):\n" +
           sigScans.mkString("\n").take(1200))
     } finally {
