@@ -12,6 +12,29 @@ class SimilaritySpec extends AnyFunSuite {
   private val dir = TestSpark.sfDir
   import spark.implicits._
 
+  test("lsh hyperplanes are pairwise independent, not ± one shared vector") {
+    // round-14 regression pin: FNV-1a's low bit is the XOR-parity of
+    // the input bytes' low bits, which made every lshHyperplane(i)
+    // EXACTLY ± one shared vector — all sign bits perfectly correlated,
+    // 2 distinct signatures over any corpus, zero banding pruning in
+    // s6/d8/d20. The splitmix64 finalizer fixes it; this pin fails on
+    // any future hash whose hyperplanes collapse again.
+    val hs = (0 until 64).map(Similarity.lshHyperplane)
+    for (i <- hs.indices; j <- i + 1 until hs.size) {
+      val agree = hs(i).zip(hs(j)).count { case (a, b) => a == b }
+      // ±shared-vector degeneracy is agree ∈ {0, 64}; independent ±1
+      // vectors have agree ~ Binomial(64, 1/2) — huge slack both sides
+      assert(agree >= 16 && agree <= 48,
+        s"hyperplanes $i,$j agree on $agree/64 dims — degenerate banding")
+    }
+    // and each hyperplane is itself balanced-ish (a constant-sign
+    // hyperplane would make its sig bit constant)
+    hs.zipWithIndex.foreach { case (h, i) =>
+      val pos = h.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"hyperplane $i has $pos/64 positive dims")
+    }
+  }
+
   /** Driver-side exact top-k with the same rounding + tie-break. */
   private def bruteTopK(k: Int, nq: Int): Map[Long, Seq[(Long, Double)]] = {
     val vs = Tables.embeddings(spark, dir)
