@@ -202,6 +202,39 @@ private[graft] object GateStore {
     graft.Checkpoints.sweep(spark)(append())
   }
 
+  /** Opt-in compact-every-K policy — the scheduling rule the
+    * GateCompactionProbe receipt recommends, runnable inline from a
+    * gate's foreachBatch: once the sentinel table holds `every` or more
+    * LIVE committed batch dirs, [[compact]] everything into the newest
+    * one. Keyed off the sentinel's OWN committed dirs (not the incoming
+    * batch id), so it composes with multi-store batches where a store
+    * may not receive a dir for every logical batch, and with replays —
+    * a re-delivered compacted id sees a small dir count and no-ops.
+    * Returns the target batch id when a compaction ran.
+    *
+    * Cost model (measured, SCALING.md round-14): per-batch probe time
+    * grows with the live dir count (listing + N-way union analysis +
+    * N file footers), while one compaction costs roughly a handful of
+    * batches — so small `every` keeps the probe flat for the price of
+    * amortized ~1/every compactions per batch. The loud [[compact]]
+    * preconditions (torn superseded dirs) propagate: under the
+    * single-writer contract a torn dir is repaired by its own replay
+    * BEFORE any later batch runs, so hitting one here means the store
+    * was corrupted outside the protocol and wedging is the right call.
+    */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      tables: Seq[(String, Seq[String])], every: Int): Option[Long] = {
+    require(every >= 2, s"compactEvery must be >= 2, got $every")
+    val sentinel = tables.head._1
+    val committed = listBatchDirs(new File(storeDir, sentinel))
+      .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
+    if (committed.size >= every) {
+      val upTo = committed.last._1
+      compact(spark, storeDir, upTo, tables)
+      Some(upTo)
+    } else None
+  }
+
   /** Compact every store partition with batch id < `upTo` into the
     * `batch=<upTo>` directory of each listed table — the small-files
     * maintenance a long-running gate needs: after thousands of batches

@@ -77,7 +77,8 @@ object StreamCuration {
   def triGateSink(spark: SparkSession, textStoreDir: String,
       embedStoreDir: String, mediaStoreDir: String, benchDir: String,
       outDir: String, owner: String, minQuality: Double = 0.25,
-      sigSpec: graft.queries.Dedup.SigSpec = graft.queries.Dedup.SigNarrow)
+      sigSpec: graft.queries.Dedup.SigSpec = graft.queries.Dedup.SigNarrow,
+      compactEvery: Option[Int] = None)
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
@@ -93,6 +94,17 @@ object StreamCuration {
         batchEmbeddings = Some(embs), embedStoreDir = Some(embedStoreDir),
         batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
         sigSpec = sigSpec)
+      // inline maintenance, per store (each keyed off its OWN committed
+      // dir count — see GateStore.maybeCompact). Safe relative to the
+      // cross-store replay sentinel: compaction's marker-before-delete
+      // keeps every merged TEXT id vouched, and the embed/media stores
+      // are only ever read for ids below a batch that text's sentinel
+      // already gates.
+      compactEvery.foreach { k =>
+        StreamNearDedup.maybeCompact(spark, textStoreDir, k)
+        StreamEmbedDedup.maybeCompact(spark, embedStoreDir, k)
+        StreamMediaDedup.maybeCompact(spark, mediaStoreDir, k)
+      }
     }
   }
 

@@ -48,12 +48,16 @@ object StreamEmbedDedup {
     * picks the signature geometry (`Dedup.SigWide` for production-scale
     * corpora — see SigSpec's candidate-rate argument); a store is
     * written and probed at ONE geometry for its whole life.
+    * `compactEvery` opts into the inline compact-every-K maintenance
+    * policy ([[GateStore.maybeCompact]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       spec: Dedup.SigSpec = Dedup.SigNarrow,
-      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+      owner: Option[String] = None,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
     owner.foreach(GateStore.claimOwner(storeDir, _))
-    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir, spec)
+    (batch, batchId) =>
+      processBatch(spark, batch, batchId, storeDir, outDir, spec, compactEvery)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -61,7 +65,8 @@ object StreamEmbedDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
-      spec: Dedup.SigSpec = Dedup.SigNarrow): Unit = {
+      spec: Dedup.SigSpec = Dedup.SigNarrow,
+      compactEvery: Option[Int] = None): Unit = {
     val vecs = batch.select(col("vec_id"), col("embedding"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",
@@ -72,6 +77,7 @@ object StreamEmbedDedup {
       append = () => Dedup.sigStoreRows(vecs, spec)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$storeDir/sigs/batch=$batchId"))
+    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -80,5 +86,12 @@ object StreamEmbedDedup {
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
+
+  /** Inline compact-every-K policy over this gate's store layout —
+    * see [[GateStore.maybeCompact]] for the rule and cost model.
+    */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      every: Int): Option[Long] =
+    GateStore.maybeCompact(spark, storeDir, Tables, every)
 
 }

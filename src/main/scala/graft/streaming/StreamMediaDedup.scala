@@ -42,19 +42,24 @@ object StreamMediaDedup {
 
   /** The foreachBatch body, curried with the store/output roots.
     * `owner` claims exclusive store ownership at sink construction —
-    * [[GateStore.claimOwner]]'s contract.
+    * [[GateStore.claimOwner]]'s contract. `compactEvery` opts into the
+    * inline compact-every-K maintenance policy
+    * ([[GateStore.maybeCompact]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
-      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+      owner: Option[String] = None,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
     owner.foreach(GateStore.claimOwner(storeDir, _))
-    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir)
+    (batch, batchId) =>
+      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery)
   }
 
   /** One gate step; package-visible so the spec can drive batches
     * directly and assert replay idempotence.
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, outDir: String): Unit = {
+      batchId: Long, storeDir: String, outDir: String,
+      compactEvery: Option[Int] = None): Unit = {
     val media = batch.select(col("media_id"), col("payload"), col("format"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, hamming BIGINT",
@@ -63,6 +68,7 @@ object StreamMediaDedup {
       // row set's and the replay sentinel's commit point
       append = () => Multimodal.mm9IndexRows(media).write.mode("overwrite")
         .parquet(s"$storeDir/bands/batch=$batchId"))
+    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -71,5 +77,12 @@ object StreamMediaDedup {
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
+
+  /** Inline compact-every-K policy over this gate's store layout —
+    * see [[GateStore.maybeCompact]] for the rule and cost model.
+    */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      every: Int): Option[Long] =
+    GateStore.maybeCompact(spark, storeDir, Tables, every)
 
 }

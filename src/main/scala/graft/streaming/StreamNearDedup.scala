@@ -56,19 +56,23 @@ object StreamNearDedup {
     * not a per-run UUID) claims exclusive store ownership at sink
     * construction via [[GateStore.claimOwner]]: a second query pointed
     * at the same store fails LOUDLY instead of interleaving batch dirs
-    * undetected.
+    * undetected. `compactEvery` opts into the inline compact-every-K
+    * maintenance policy ([[GateStore.maybeCompact]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
-      owner: Option[String] = None): (DataFrame, Long) => Unit = {
+      owner: Option[String] = None,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
     owner.foreach(GateStore.claimOwner(storeDir, _))
-    (batch, batchId) => processBatch(spark, batch, batchId, storeDir, outDir)
+    (batch, batchId) =>
+      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery)
   }
 
   /** One gate step; package-visible so the spec can drive batches
     * directly and assert replay idempotence.
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, outDir: String): Unit = {
+      batchId: Long, storeDir: String, outDir: String,
+      compactEvery: Option[Int] = None): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, jaccard DOUBLE",
@@ -86,6 +90,7 @@ object StreamNearDedup {
         Dedup.minhashBands(sh).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       })
+    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
   }
 
   /** Compact every store partition with batch id < `upTo` into the
@@ -95,5 +100,12 @@ object StreamNearDedup {
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long): Unit =
     GateStore.compact(spark, storeDir, upTo, Tables)
+
+  /** Inline compact-every-K policy over this gate's store layout —
+    * see [[GateStore.maybeCompact]] for the rule and cost model.
+    */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      every: Int): Option[Long] =
+    GateStore.maybeCompact(spark, storeDir, Tables, every)
 
 }

@@ -140,4 +140,44 @@ class StreamMediaDedupSpec extends AnyFunSuite {
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("compactEvery policy: verdicts identical to the uncompacted gate, store stays small, compacted replays stay no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("mediadedup-p-").toString
+    val bs = batches()
+    // control: no policy. policy store: compact whenever >= 2 committed
+    // dirs — i.e. after every batch past the first
+    val (cs, co) = (s"$root/cstore", s"$root/cout")
+    val (ps, po) = (s"$root/pstore", s"$root/pout")
+    bs.zipWithIndex.foreach { case (b, i) =>
+      StreamMediaDedup.processBatch(spark, b, i.toLong, cs, co)
+      StreamMediaDedup.processBatch(spark, b, i.toLong, ps, po,
+        compactEvery = Some(2))
+    }
+    (0 until 3).foreach { i =>
+      assert(canon(spark.read.parquet(s"$po/batch=$i")) ==
+        canon(spark.read.parquet(s"$co/batch=$i")),
+        s"policy store verdicts diverged at batch $i")
+    }
+    def dirs(store: String) =
+      GateStore.listBatchDirs(new java.io.File(s"$store/bands")).map(_._1)
+    assert(dirs(cs) == Seq(0L, 1L, 2L))
+    assert(dirs(ps) == Seq(2L),
+      s"policy store not compacted: ${dirs(ps)}")
+    assert(GateStore.compactedUpTo(ps) == 2L)
+    // replays of the merged-away ids are still no-ops (marker vouches)
+    StreamMediaDedup.processBatch(spark, bs(0), 0L, ps, po,
+      compactEvery = Some(2))
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, ps, po,
+      compactEvery = Some(2))
+    assert(dirs(ps) == Seq(2L), "compacted-id replay re-seeded the store")
+    // below-threshold store: the policy is a no-op, nothing compacts
+    val (ss, so) = (s"$root/sstore", s"$root/sout")
+    StreamMediaDedup.processBatch(spark, bs(0), 0L, ss, so,
+      compactEvery = Some(5))
+    StreamMediaDedup.processBatch(spark, bs(1), 1L, ss, so,
+      compactEvery = Some(5))
+    assert(dirs(ss) == Seq(0L, 1L))
+    assert(GateStore.compactedUpTo(ss) == Long.MinValue)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

@@ -228,6 +228,64 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tri-gate compactEvery: all three stores compact inline, verdicts and chunks unchanged, compacted replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-p-").toString
+    val bs = alignedBatches()
+    try {
+      // control run (no policy) and policy run (compact at >= 2 dirs)
+      val (tC, eC, mC, oC) = (s"$root/ct", s"$root/ce", s"$root/cm", s"$root/co")
+      val (tP, eP, mP, oP) = (s"$root/pt", s"$root/pe", s"$root/pm", s"$root/po")
+      val control = StreamCuration.triGateSink(spark, tC, eC, mC, dir, oC,
+        owner = "trigate-ctl")
+      val policy = StreamCuration.triGateSink(spark, tP, eP, mP, dir, oP,
+        owner = "trigate-pol", compactEvery = Some(2))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        control(b, i.toLong); policy(b, i.toLong)
+      }
+      (0 until 2).foreach { i =>
+        assert(verdictSet(oP, i) == verdictSet(oC, i),
+          s"policy verdicts diverged at batch $i")
+        assert(stageCounts(oP, i) == stageCounts(oC, i))
+        assert(spark.read.parquet(s"$oP/chunks/batch=$i")
+            .select("doc_id").collect().map(_.getLong(0)).toSet ==
+          spark.read.parquet(s"$oC/chunks/batch=$i")
+            .select("doc_id").collect().map(_.getLong(0)).toSet)
+      }
+      // every store collapsed to its newest batch dir, markers vouch
+      def dirs(store: String, table: String) =
+        GateStore.listBatchDirs(new java.io.File(s"$store/$table")).map(_._1)
+      assert(dirs(tP, "bands") == Seq(1L) && dirs(tP, "shingles") == Seq(1L))
+      assert(dirs(eP, "sigs") == Seq(1L))
+      assert(dirs(mP, "bands") == Seq(1L))
+      Seq(tP, eP, mP).foreach(s => assert(GateStore.compactedUpTo(s) == 1L))
+      // replay of the merged-away batch 0: still a no-op everywhere
+      import scala.jdk.CollectionConverters._
+      def fp(p: String) = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(p), null, true).asScala
+        .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+      val watched = Seq(tP, eP, mP, s"$oP/verdicts/batch=0")
+      val before = watched.map(fp)
+      policy(bs(0), 0L)
+      assert(watched.map(fp) == before,
+        "replay of a compacted tri-gate batch rewrote files")
+      // batch 2 (a fresh doc) probes the compacted stores correctly:
+      // its alpha-clone text row must still be caught by batch 0's
+      // (merged) bands
+      val b2 = Seq[(Long, String, String, Option[Seq[Float]],
+          Option[Array[Byte]], Option[String])](
+        (9700001L, txt("alpha seed corpus entry one"), "webz",
+          None, None, None))
+        .toDF("doc_id", "text", "source", "embedding", "payload", "format")
+      policy(b2, 2L)
+      val v2 = verdictSet(oP, 2)
+      assert(v2.exists { case (m, n, d, s) =>
+        m == "text" && n == 9700001L && d == 9500001L && s == 1.0 },
+        s"compacted store lost batch 0's rows: $v2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("gate stores refuse a second writer; same owner re-claims; release hands over") {
     val root = java.nio.file.Files.createTempDirectory("owner-").toString
     val store = s"$root/store"
