@@ -36,6 +36,22 @@ import org.apache.spark.sql.SparkSession
   * spans SEVERAL stores (TrainingPipeline.curateIncrementalBatch), the
   * designated sentinel store's table still goes last across all of
   * them.
+  *
+  * PORTABILITY (local FS → DFS/object store): the protocol uses four
+  * filesystem primitives, each with a standard distributed equivalent —
+  * (1) job-commit `_SUCCESS` markers are Spark's own FileOutputCommitter
+  * contract and work unchanged on HDFS/S3A committers; (2) the
+  * `_compacted_up_to` tmp+rename is an atomic metadata swap — HDFS
+  * rename is atomic, object stores use a conditional put (S3
+  * If-None-Match / GCS generation precondition) or a metastore CAS;
+  * (3) the `_owner` hard-link CAS is exactly a conditional-create —
+  * same conditional-put mapping; (4) compaction's per-file renames
+  * into a live dir are HDFS-atomic, while on object stores the crash
+  * envelope's duplicates-not-losses guarantee holds under plain
+  * copy-then-delete because the probes collapse duplicate rows anyway.
+  * This is the same reduction Delta/Iceberg make (their commit is one
+  * conditional swap of a manifest pointer); the local-FS forms here
+  * keep the test surface byte-honest without a metastore dependency.
   */
 private[graft] object GateStore {
 
