@@ -429,157 +429,170 @@ object TrainingPipeline {
       "batchEmbeddings and embedStoreDir must be supplied together")
     require(batchMedia.isDefined == mediaStoreDir.isDefined,
       "batchMedia and mediaStoreDir must be supplied together")
+    // loud geometry pin BEFORE the replay early-return: a mis-specced
+    // caller should fail on its first touch of the store, not only on
+    // the first unprocessed batch (GateStore.ensureGeometry's contract)
+    embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.toString))
     if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
 
-    // prior store partitions: strictly below this batch, data-bearing
-    // (zero-row committed dirs are sentinels, not readable inputs)
-    def prior(root: String, table: String): Seq[String] =
-      GateStore.listBatchDirs(new java.io.File(s"$root/$table"))
-        .filter { case (id, p) =>
-          id < batchId && GateStore.hasDataFiles(new java.io.File(p)) }
-        .map(_._2)
-
-    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var prevStage: Checkpoints.Checkpointed = null
-    def stage(name: String, df: DataFrame): DataFrame = {
-      val cp = Checkpoints.eager(df)
-      counts += name -> cp.df.count()
-      if (prevStage != null) prevStage.release()
-      prevStage = cp
-      cp.df
-    }
-
-    val ingested = stage("ingest", batch)
-    val gated = stage("quality_gate",
-      ingested.filter(qualityScore(col("text")) >= minQuality))
-    val keepers = gated
-      .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exact = stage("exact_dedup",
-      gated.join(keepers, Seq("doc_id"), "left_semi"))
-
-    // the three gates, each probing only its predecessor's SURVIVORS
-    // (curateIncremental's shape). The probe checkpoints are held until
-    // the verdict union is WRITTEN — a released localCheckpoint cannot
-    // be re-read, so releasing at stage time would lose the pair rows
-    // the verdict frame publishes.
-    val textPrior = prior(storeDir, "bands")
-    val textV =
-      if (textPrior.isEmpty) None
-      else Some(Checkpoints.eagerBuild(s)(Dedup.d19ProbeDirs(
-        s, exact, textPrior, prior(storeDir, "shingles"))))
-    val novel = textV match {
-      case None => stage("near_dup_gate", exact)
-      case Some(cp) => stage("near_dup_gate",
-        exact.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
-          Seq("doc_id"), "left_anti"))
-    }
-
-    val embedV = (batchEmbeddings, embedStoreDir) match {
-      case (Some(embs), Some(eStore)) if prior(eStore, "sigs").nonEmpty =>
-        val survivorVecs = embs.select(col("vec_id"), col("embedding"))
-          .join(novel.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        Some(Checkpoints.eagerBuild(s)(Dedup.d20ProbeDirs(
-          s, survivorVecs, prior(eStore, "sigs"), sigSpec)))
-      case _ => None
-    }
-    val embedGated =
-      if (embedStoreDir.isEmpty) novel
-      else embedV match {
-        case None => stage("embed_dup_gate", novel)
-        case Some(cp) => stage("embed_dup_gate",
-          novel.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
-            Seq("doc_id"), "left_anti"))
-      }
-
-    val mediaV = (batchMedia, mediaStoreDir) match {
-      case (Some(media), Some(mStore)) if prior(mStore, "bands").nonEmpty =>
-        val survivorMedia = media
-          .select(col("media_id"), col("payload"), col("format"))
-          .join(embedGated.select(col("doc_id").as("media_id")),
-            Seq("media_id"))
-        Some(Checkpoints.eagerBuild(s)(Multimodal.mm9ProbeDirs(
-          s, survivorMedia, prior(mStore, "bands"))))
-      case _ => None
-    }
-    val mediaGated =
-      if (mediaStoreDir.isEmpty) embedGated
-      else mediaV match {
-        case None => stage("media_dup_gate", embedGated)
-        case Some(cp) => stage("media_dup_gate",
-          embedGated.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
-            Seq("doc_id"), "left_anti"))
-      }
-
-    // decontaminate (d6's slice and gram width, curateIncremental's shape)
-    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
-      explode(shingles(tokenize(col("text")), 4)).as("g"))
-    val bench = grams(Tables.documents(s, benchDir)
-        .filter(col("doc_id") % 97 === 0))
-      .select(col("g")).distinct()
-    val contaminated = grams(mediaGated)
-      .join(broadcast(bench), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val clean = stage("decontaminate",
-      mediaGated.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
-
-    // ---- publish, then append, sentinel LAST (GateStore contract) ----
-    // 1. the unified verdict frame
-    val verdictParts =
-      textV.map(_.df.select(lit("text").as("modality"), col("new_id"),
-        col("dup_of"), col("jaccard").cast("double").as("score"))) ++
-      embedV.map(_.df.select(lit("embed").as("modality"), col("new_id"),
-        col("dup_of"), col("cos").cast("double").as("score"))) ++
-      mediaV.map(_.df.select(lit("media").as("modality"), col("new_id"),
-        col("dup_of"), col("hamming").cast("double").as("score")))
-    val verdicts = verdictParts.reduceOption(_.unionByName(_)).getOrElse(
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(VerdictsDdl)))
-    verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
-    Seq(textV, embedV, mediaV).flatten.foreach(_.release())
-
-    // 2. chunks (written straight to disk — no checkpoint needed, the
-    //    stage count reads the committed file back)
-    val chunksPath = s"$outDir/chunks/batch=$batchId"
-    chunkFrame(clean).write.mode("overwrite").parquet(chunksPath)
-    counts += "chunk" -> s.read.parquet(chunksPath).count()
-
-    // 3. per-stage accounting
-    import s.implicits._
-    counts.toSeq.toDF("stage", "rows").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/stage_counts/batch=$batchId")
-
-    // 4. store appends — shingles/sigs/media bands first, TEXT bands
-    //    (the batch's one replay sentinel) dead last
+    // exception safety: the per-stage and per-probe releases below run
+    // on the SUCCESS path only; a mid-batch failure (and its
+    // at-least-once retry) would otherwise leak every localCheckpoint
+    // pinned so far, once per attempt. sweep() brackets the whole batch
+    // as the backstop — the inner early releases still matter (they cap
+    // PEAK storage inside the batch), the sweep guarantees zero leaks
+    // on ANY exit. Double-release is a no-op (unpersist is idempotent).
     Checkpoints.sweep(s) {
-      val sh = Dedup.shingleSetsOf(clean).cache()
-      sh.withColumn("bucket",
-          pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
-        .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$storeDir/shingles/batch=$batchId")
-      (batchEmbeddings, embedStoreDir) match {
-        case (Some(embs), Some(eStore)) =>
-          Dedup.sigStoreRows(embs.select(col("vec_id"), col("embedding"))
-              .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id")),
-              sigSpec)
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$eStore/sigs/batch=$batchId")
-        case _ => ()
+      // prior store partitions: strictly below this batch, data-bearing
+      // (zero-row committed dirs are sentinels, not readable inputs)
+      def prior(root: String, table: String): Seq[String] =
+        GateStore.listBatchDirs(new java.io.File(s"$root/$table"))
+          .filter { case (id, p) =>
+            id < batchId && GateStore.hasDataFiles(new java.io.File(p)) }
+          .map(_._2)
+
+      val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var prevStage: Checkpoints.Checkpointed = null
+      def stage(name: String, df: DataFrame): DataFrame = {
+        val cp = Checkpoints.eager(df)
+        counts += name -> cp.df.count()
+        if (prevStage != null) prevStage.release()
+        prevStage = cp
+        cp.df
       }
-      (batchMedia, mediaStoreDir) match {
-        case (Some(media), Some(mStore)) =>
-          Multimodal.mm9IndexRows(media
-              .select(col("media_id"), col("payload"), col("format"))
-              .join(clean.select(col("doc_id").as("media_id")), Seq("media_id")))
-            .write.mode("overwrite")
-            .parquet(s"$mStore/bands/batch=$batchId")
-        case _ => ()
+
+      val ingested = stage("ingest", batch)
+      val gated = stage("quality_gate",
+        ingested.filter(qualityScore(col("text")) >= minQuality))
+      val keepers = gated
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exact = stage("exact_dedup",
+        gated.join(keepers, Seq("doc_id"), "left_semi"))
+
+      // the three gates, each probing only its predecessor's SURVIVORS
+      // (curateIncremental's shape). The probe checkpoints are held until
+      // the verdict union is WRITTEN — a released localCheckpoint cannot
+      // be re-read, so releasing at stage time would lose the pair rows
+      // the verdict frame publishes.
+      val textPrior = prior(storeDir, "bands")
+      val textV =
+        if (textPrior.isEmpty) None
+        else Some(Checkpoints.eagerBuild(s)(Dedup.d19ProbeDirs(
+          s, exact, textPrior, prior(storeDir, "shingles"))))
+      val novel = textV match {
+        case None => stage("near_dup_gate", exact)
+        case Some(cp) => stage("near_dup_gate",
+          exact.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti"))
       }
-      Dedup.minhashBands(sh).write.mode("overwrite")
-        .parquet(s"$storeDir/bands/batch=$batchId")
+
+      val embedV = (batchEmbeddings, embedStoreDir) match {
+        case (Some(embs), Some(eStore)) if prior(eStore, "sigs").nonEmpty =>
+          val survivorVecs = embs.select(col("vec_id"), col("embedding"))
+            .join(novel.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+          Some(Checkpoints.eagerBuild(s)(Dedup.d20ProbeDirs(
+            s, survivorVecs, prior(eStore, "sigs"), sigSpec)))
+        case _ => None
+      }
+      val embedGated =
+        if (embedStoreDir.isEmpty) novel
+        else embedV match {
+          case None => stage("embed_dup_gate", novel)
+          case Some(cp) => stage("embed_dup_gate",
+            novel.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti"))
+        }
+
+      val mediaV = (batchMedia, mediaStoreDir) match {
+        case (Some(media), Some(mStore)) if prior(mStore, "bands").nonEmpty =>
+          val survivorMedia = media
+            .select(col("media_id"), col("payload"), col("format"))
+            .join(embedGated.select(col("doc_id").as("media_id")),
+              Seq("media_id"))
+          Some(Checkpoints.eagerBuild(s)(Multimodal.mm9ProbeDirs(
+            s, survivorMedia, prior(mStore, "bands"))))
+        case _ => None
+      }
+      val mediaGated =
+        if (mediaStoreDir.isEmpty) embedGated
+        else mediaV match {
+          case None => stage("media_dup_gate", embedGated)
+          case Some(cp) => stage("media_dup_gate",
+            embedGated.join(broadcast(cp.df.select(col("new_id").as("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti"))
+        }
+
+      // decontaminate (d6's slice and gram width, curateIncremental's shape)
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(shingles(tokenize(col("text")), 4)).as("g"))
+      val bench = grams(Tables.documents(s, benchDir)
+          .filter(col("doc_id") % 97 === 0))
+        .select(col("g")).distinct()
+      val contaminated = grams(mediaGated)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = stage("decontaminate",
+        mediaGated.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+
+      // ---- publish, then append, sentinel LAST (GateStore contract) ----
+      // 1. the unified verdict frame
+      val verdictParts =
+        textV.map(_.df.select(lit("text").as("modality"), col("new_id"),
+          col("dup_of"), col("jaccard").cast("double").as("score"))) ++
+        embedV.map(_.df.select(lit("embed").as("modality"), col("new_id"),
+          col("dup_of"), col("cos").cast("double").as("score"))) ++
+        mediaV.map(_.df.select(lit("media").as("modality"), col("new_id"),
+          col("dup_of"), col("hamming").cast("double").as("score")))
+      val verdicts = verdictParts.reduceOption(_.unionByName(_)).getOrElse(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(VerdictsDdl)))
+      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
+      Seq(textV, embedV, mediaV).flatten.foreach(_.release())
+
+      // 2. chunks (written straight to disk — no checkpoint needed, the
+      //    stage count reads the committed file back)
+      val chunksPath = s"$outDir/chunks/batch=$batchId"
+      chunkFrame(clean).write.mode("overwrite").parquet(chunksPath)
+      counts += "chunk" -> s.read.parquet(chunksPath).count()
+
+      // 3. per-stage accounting
+      import s.implicits._
+      counts.toSeq.toDF("stage", "rows").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/stage_counts/batch=$batchId")
+
+      // 4. store appends — shingles/sigs/media bands first, TEXT bands
+      //    (the batch's one replay sentinel) dead last
+      Checkpoints.sweep(s) {
+        val sh = Dedup.shingleSetsOf(clean).cache()
+        sh.withColumn("bucket",
+            pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+          .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$storeDir/shingles/batch=$batchId")
+        (batchEmbeddings, embedStoreDir) match {
+          case (Some(embs), Some(eStore)) =>
+            Dedup.sigStoreRows(embs.select(col("vec_id"), col("embedding"))
+                .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+                sigSpec)
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$eStore/sigs/batch=$batchId")
+          case _ => ()
+        }
+        (batchMedia, mediaStoreDir) match {
+          case (Some(media), Some(mStore)) =>
+            Multimodal.mm9IndexRows(media
+                .select(col("media_id"), col("payload"), col("format"))
+                .join(clean.select(col("doc_id").as("media_id")), Seq("media_id")))
+              .write.mode("overwrite")
+              .parquet(s"$mStore/bands/batch=$batchId")
+          case _ => ()
+        }
+        Dedup.minhashBands(sh).write.mode("overwrite")
+          .parquet(s"$storeDir/bands/batch=$batchId")
+      }
+      if (prevStage != null) prevStage.release()
     }
-    if (prevStage != null) prevStage.release()
   }
 }

@@ -820,6 +820,7 @@ object Dedup {
     * fixture-scale exhaustive probing.
     */
   final case class SigSpec(bits: Int, bands: Int) {
+    require(bands > 0, s"SigSpec($bits, $bands): bands must be positive")
     require(bits > 0 && bits <= 64 && bits % bands == 0,
       s"SigSpec($bits, $bands): bits must be in (0, 64] and divisible by bands")
     val bandBits: Int = bits / bands
@@ -1728,11 +1729,20 @@ object Dedup {
       .distinct().collect().map(_.getLong(0)).toSeq
     // one read per root: the bucket= layer is PARTITIONING within each
     // batch dir, and a multi-root read would try to treat batch= as a
-    // partition level too (CONFLICTING_DIRECTORY_STRUCTURES)
+    // partition level too (CONFLICTING_DIRECTORY_STRUCTURES).
+    // shingleDirs CAN be empty while bandDirs is not: a zero-row text
+    // batch leaves a schema-bearing (data-"bearing") flat bands file
+    // but NO shingle files (zero-row partitionBy writes emit none), so
+    // a store whose history is all zero-row batches reaches here with
+    // an empty list — the verify then has no payloads and the correct
+    // verdict set is empty (reduceOption, not reduce: the bare reduce
+    // threw and permanently wedged the stream on every replay)
     val fetched = shingleDirs.map(d => s.read.parquet(d))
-      .reduce(_.unionByName(_))
-      .filter(col("bucket").isin(buckets: _*))
-      .select(col("doc_id").as("dup_of"), col("sh").as("sh2"))
+      .reduceOption(_.unionByName(_))
+      .map(_.filter(col("bucket").isin(buckets: _*))
+        .select(col("doc_id").as("dup_of"), col("sh").as("sh2")))
+      .getOrElse(batchSh.select(col("doc_id").as("dup_of"),
+        col("sh").as("sh2")).limit(0))
     // compaction-duplicate tolerance lives at the PAIR level, not the
     // payload level: duplicate store rows are byte-identical (the crash
     // envelope only ever duplicates, never diverges), so they yield

@@ -57,6 +57,7 @@ private[graft] object GateStore {
 
   private val CompactedMarker = "_compacted_up_to"
   private val OwnerMarker = "_owner"
+  private val GeometryMarker = "_geometry"
 
   /** Claim exclusive WRITE ownership of a gate store, loudly.
     * [[runBatch]] assumes one writer per store (true under a single
@@ -94,6 +95,41 @@ private[graft] object GateStore {
             s"'$owner'. Two writers interleaving batch dirs would " +
             "silently skip each other's batches; decommission the owner " +
             "(releaseOwner) before repointing.")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Pin the signature geometry (or any store-shape parameter) a store
+    * was created with, LOUDLY. The stored sig bits mean nothing under
+    * another spec's banding — probing a SigWide store as SigNarrow (a
+    * forgotten `spec` argument after a restart) would band the 64-bit
+    * signatures as 4×4 bits, match nothing, and wave near-dups through
+    * with ZERO errors; silent recall loss is the worst failure mode a
+    * dedup gate has. First call plants a `_geometry` marker at the
+    * store root via the same hard-link CAS as [[claimOwner]]; every
+    * later call (and a racing first call that lost) must match it
+    * exactly or this throws. One store, one geometry, for life.
+    */
+  def ensureGeometry(storeDir: String, geometry: String): Unit = {
+    require(geometry.nonEmpty && !geometry.contains('\n'),
+      s"geometry must be a non-empty single line, got '$geometry'")
+    val root = new File(storeDir)
+    Files.createDirectories(root.toPath)
+    val marker = new File(root, GeometryMarker)
+    def existing(): String =
+      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
+    if (marker.exists() && existing() == geometry) return
+    val tmp = new File(root, s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
+    Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(marker.toPath, tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val e = existing()
+        if (e != geometry) throw new IllegalStateException(
+          s"gate store $storeDir was written with signature geometry '$e' " +
+            s"— refusing to probe/append at '$geometry'. Stored sig bits " +
+            "mean nothing under another spec's banding (near-dups would " +
+            "pass the gate silently); one store, one geometry, for life.")
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -230,9 +266,20 @@ private[graft] object GateStore {
     *
     * Cost model (measured, SCALING.md round-14): per-batch probe time
     * grows with the live dir count (listing + N-way union analysis +
-    * N file footers), while one compaction costs roughly a handful of
-    * batches — so small `every` keeps the probe flat for the price of
-    * amortized ~1/every compactions per batch. The loud [[compact]]
+    * N file footers), while one compaction at fixture scale costs
+    * roughly a handful of batches — so small `every` keeps the probe
+    * flat for the price of amortized ~1/every compactions per batch.
+    * HONEST CAVEAT for very long streams: [[compact]] merges EVERYTHING
+    * below the target, including the previous compaction's output, so
+    * each compaction rewrites the full store — cumulative write
+    * amplification is O(N²/every) in stream length. At fixture scale
+    * the rewrite is footer-dominated and flat (the 1k-batch receipt);
+    * at production scale the extension is leveled compaction (merge
+    * only the dirs above the last compacted level, tolerate a bounded
+    * number of level dirs per probe — the LSM shape every lakehouse
+    * table service converges on), which this protocol admits because
+    * probes read ANY union of dirs and the marker only ever needs to
+    * vouch for deleted sentinel ids. The loud [[compact]]
     * preconditions (torn superseded dirs) propagate: under the
     * single-writer contract a torn dir is repaired by its own replay
     * BEFORE any later batch runs, so hitting one here means the store

@@ -67,6 +67,9 @@ object StreamEmbedDedup {
       batchId: Long, storeDir: String, outDir: String,
       spec: Dedup.SigSpec = Dedup.SigNarrow,
       compactEvery: Option[Int] = None): Unit = {
+    // loud geometry pin: probing a store at another SigSpec would wave
+    // near-dups through silently (GateStore.ensureGeometry's contract)
+    GateStore.ensureGeometry(storeDir, spec.toString)
     val vecs = batch.select(col("vec_id"), col("embedding"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",

@@ -135,7 +135,7 @@ object GateScaleProbe {
           timed(Dedup.d20WriteStore(corpusOf(dir), store))))
         out(s"probe_stored_$label") = median((1 to runs).map(_ =>
           timed(noop(Dedup.d20ProbeStored(spark, batch, store)))))
-        // the production-width geometry (SigWide, 64-bit/8×8 bands):
+        // the production-width geometry (SigWide, 64-bit/4×16 bands):
         // same fixed batch against a wide-signature store — the
         // candidate-rate cut that keeps the stored probe ahead of the
         // rebuild past the narrow geometry's 64-cell saturation point

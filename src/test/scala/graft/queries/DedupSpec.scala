@@ -735,7 +735,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d20 SigWide geometry: clones survive any geometry, verdicts agree where shared") {
-    // the production-width path: 64-bit/8-band signatures for at-scale
+    // the production-width path: 64-bit/4×16-band signatures for at-scale
     // stores (the 16-bit/4-band narrow form stays the oracle-pinned
     // twin). Geometry changes the CANDIDATE set only — the exact-cosine
     // verify makes precision exact under any SigSpec, verbatim clones

@@ -87,6 +87,36 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a store written at one geometry refuses a probe at another, loudly") {
+    // silent recall loss is the worst dedup-gate failure: a SigWide
+    // store probed as SigNarrow bands 64-bit sigs as 4x4 bits, matches
+    // nothing, and waves near-dups through with zero errors. The
+    // _geometry marker makes the mismatch throw on first touch.
+    val root = java.nio.file.Files.createTempDirectory("embeddedup-g-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val bs = batches()
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, storeDir, outDir,
+      spec = Dedup.SigWide)
+    // same geometry: restart path, re-touch is a no-op
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, storeDir, outDir,
+      spec = Dedup.SigWide)
+    // forgotten spec argument after a restart → default narrow → throw
+    val e = intercept[IllegalStateException] {
+      StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    }
+    assert(e.getMessage.contains(Dedup.SigWide.toString), e.getMessage)
+    // the pipeline-level entry point guards the same way
+    val e2 = intercept[IllegalStateException] {
+      graft.TrainingPipeline.curateIncrementalBatch(spark,
+        Seq((1L, ("w " * 40).trim, "webz")).toDF("doc_id", "text", "source"),
+        5L, s"$root/text", dir, s"$root/o2",
+        batchEmbeddings = Some(bs(2)), embedStoreDir = Some(storeDir),
+        sigSpec = Dedup.SigNarrow)
+    }
+    assert(e2.getMessage.contains("geometry"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a torn sentinel write is reprocessed, not skipped") {
     // the gates share GateStore.runBatch, but the commit-marker sentinel
     // contract deserves its own pin per modality (single-table store

@@ -118,6 +118,35 @@ class StreamNearDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("a store whose ENTIRE history is zero-row batches does not wedge the probe") {
+    // the asymmetric cousin of the zero-row pin below: a zero-shingle
+    // batch's BANDS dir stays data-"bearing" (flat zero-row writes emit
+    // one schema-carrying parquet file) while its SHINGLES dir has no
+    // files at all (partitionBy of zero rows emits none) — so when the
+    // whole history is zero-row, the probe branch RUNS (prior bands
+    // non-empty) with an EMPTY shingle-dir list. Pre-fix,
+    // d19ProbeDirs' payload-fetch reduce threw on that empty list, and
+    // every at-least-once replay rethrew: a permanent wedge reachable
+    // from nothing more than an all-short-docs first batch.
+    val root = java.nio.file.Files.createTempDirectory("neardedup-z0-").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    val tiny = Seq((9000001L, "hi")).toDF("doc_id", "text") // < 3 tokens
+    StreamNearDedup.processBatch(spark, tiny, 0L, storeDir, outDir)
+    assert(GateStore.hasDataFiles(new java.io.File(s"$storeDir/bands/batch=0")),
+      "flat zero-row bands write should keep a schema-bearing file")
+    assert(!GateStore.hasDataFiles(new java.io.File(s"$storeDir/shingles/batch=0")))
+    val bs = batches()
+    // pre-fix: UnsupportedOperationException (empty.reduceLeft), forever
+    StreamNearDedup.processBatch(spark, bs(1), 1L, storeDir, outDir)
+    assert(spark.read.parquet(s"$outDir/batch=1").count() == 0,
+      "no payload history means the correct verdict set is empty")
+    // and the gate keeps gating: batch 2 still catches batch 1's rows
+    StreamNearDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
+    assert(canon(spark.read.parquet(s"$outDir/batch=2")) ==
+      canon(Dedup.d19Frame(bs(1), bs(2))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a committed zero-row batch neither wedges later probes nor compaction") {
     // a micro-batch whose every doc is shorter than the shingle width
     // commits bands/shingles dirs with _SUCCESS but NO data files
