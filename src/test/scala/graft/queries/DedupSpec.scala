@@ -741,6 +741,12 @@ class DedupSpec extends AnyFunSuite {
     // verify makes precision exact under any SigSpec, verbatim clones
     // (s → 1) collide with certainty under every geometry, and pairs
     // both geometries happen to report must carry identical cosines.
+    // constructor diagnostics: a bands typo must name the constraint,
+    // not surface as an ArithmeticException from the modulo
+    assert(intercept[IllegalArgumentException] {
+      Dedup.SigSpec(16, 0) }.getMessage.contains("bands must be positive"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.SigSpec(16, 3) }.getMessage.contains("divisible"))
     val emb = Tables.embeddings(spark, dir)
     val eCorpus = emb.filter(col("vec_id") % 10 =!= 7)
     val eBatch = emb.filter(col("vec_id") % 10 === 7)
