@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver json-parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` (BENCH_r*.json `parsed`). Two sbt defaults
+// defeat it: forked run output is routed through the logger with an
+// "[info] " prefix, and "[success] Total time..." prints after the task
+// — so the bench's compact summary line was never the last line and
+// every round recorded parsed: null. Route forked output straight to
+// stdout and drop the success banner; the summary line Bench prints
+// last is then genuinely the process's last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

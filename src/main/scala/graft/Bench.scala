@@ -209,7 +209,11 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
+    // stop() BEFORE the summary so no Spark shutdown chatter can land
+    // after it — with build.sbt's StdoutOutput + showSuccess=false this
+    // line is the process's last stdout line, which is exactly what the
+    // driver's tail parser reads
     spark.stop()
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
   }
 }

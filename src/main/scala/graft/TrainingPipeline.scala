@@ -415,6 +415,13 @@ object TrainingPipeline {
     *
     * `sigSpec` picks the embedding-signature geometry (SigWide for
     * production-scale stores); one store, one geometry, for life.
+    * `probeDepth` turns on the embed gate's multi-probe recall dial
+    * ([[Dedup.d20ProbeDirs]]). `stageCounts = false` drops the
+    * per-stage accounting — each stage's eager count() is a full Spark
+    * job, and at production batch sizes the 8 count jobs plus the
+    * stage_counts write are pure fixed floor (TriGateScaleProbe's ~8 s
+    * breakdown); with counts off the `stage_counts` table is simply
+    * not written and verdicts/chunks are byte-identical (spec-pinned).
     */
   def curateIncrementalBatch(s: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, benchDir: String, outDir: String,
@@ -423,16 +430,23 @@ object TrainingPipeline {
       embedStoreDir: Option[String] = None,
       batchMedia: Option[DataFrame] = None,
       mediaStoreDir: Option[String] = None,
-      sigSpec: Dedup.SigSpec = Dedup.SigNarrow): Unit = {
+      sigSpec: Dedup.SigSpec = Dedup.SigNarrow,
+      probeDepth: Int = 0,
+      stageCounts: Boolean = true): Unit = {
     import graft.streaming.GateStore
     require(batchEmbeddings.isDefined == embedStoreDir.isDefined,
       "batchEmbeddings and embedStoreDir must be supplied together")
     require(batchMedia.isDefined == mediaStoreDir.isDefined,
       "batchMedia and mediaStoreDir must be supplied together")
-    // loud geometry pin BEFORE the replay early-return: a mis-specced
-    // caller should fail on its first touch of the store, not only on
-    // the first unprocessed batch (GateStore.ensureGeometry's contract)
-    embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.toString))
+    // loud geometry pins BEFORE the replay early-return: a mis-specced
+    // caller should fail on its first touch of ANY store, not only on
+    // the first unprocessed batch (GateStore.ensureGeometry's contract).
+    // All three stores have shape parameters — text shingle/banding,
+    // embed SigSpec, media pHash banding — and all three pin them.
+    GateStore.ensureGeometry(storeDir, graft.streaming.StreamNearDedup.Geometry)
+    embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.geometryId))
+    mediaStoreDir.foreach(
+      GateStore.ensureGeometry(_, graft.streaming.StreamMediaDedup.Geometry))
     if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
 
     // exception safety: the per-stage and per-probe releases below run
@@ -455,7 +469,11 @@ object TrainingPipeline {
       var prevStage: Checkpoints.Checkpointed = null
       def stage(name: String, df: DataFrame): DataFrame = {
         val cp = Checkpoints.eager(df)
-        counts += name -> cp.df.count()
+        // the checkpoint itself stays either way (it caps recompute and
+        // lets the predecessor release); only the count() JOB is on the
+        // stageCounts dial — one full job per stage, pure floor when
+        // nobody reads the accounting
+        if (stageCounts) counts += name -> cp.df.count()
         if (prevStage != null) prevStage.release()
         prevStage = cp
         cp.df
@@ -493,7 +511,7 @@ object TrainingPipeline {
           val survivorVecs = embs.select(col("vec_id"), col("embedding"))
             .join(novel.select(col("doc_id").as("vec_id")), Seq("vec_id"))
           Some(Checkpoints.eagerBuild(s)(Dedup.d20ProbeDirs(
-            s, survivorVecs, prior(eStore, "sigs"), sigSpec)))
+            s, survivorVecs, prior(eStore, "sigs"), sigSpec, probeDepth)))
         case _ => None
       }
       val embedGated =
@@ -555,12 +573,15 @@ object TrainingPipeline {
       //    stage count reads the committed file back)
       val chunksPath = s"$outDir/chunks/batch=$batchId"
       chunkFrame(clean).write.mode("overwrite").parquet(chunksPath)
-      counts += "chunk" -> s.read.parquet(chunksPath).count()
 
-      // 3. per-stage accounting
-      import s.implicits._
-      counts.toSeq.toDF("stage", "rows").coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/stage_counts/batch=$batchId")
+      // 3. per-stage accounting (stageCounts dial: the chunk re-read +
+      //    count and the coalesced write are two more floor jobs)
+      if (stageCounts) {
+        counts += "chunk" -> s.read.parquet(chunksPath).count()
+        import s.implicits._
+        counts.toSeq.toDF("stage", "rows").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/stage_counts/batch=$batchId")
+      }
 
       // 4. store appends — shingles/sigs/media bands first, TEXT bands
       //    (the batch's one replay sentinel) dead last

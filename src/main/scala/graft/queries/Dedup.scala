@@ -54,10 +54,17 @@ object Dedup {
     * d19 incremental path shingles the corpus and the incoming batch
     * separately.
     */
+  /** Word-shingle width of the d1/d2/d19 text index — a store-shape
+    * parameter: shingle sets built at another width share no keys with
+    * the stored ones (the text gate's `_geometry` pin covers it).
+    */
+  private[graft] val ShingleWidth = 3
+
   private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        array_sort(array_distinct(shingles(tokenize(col("text")), 3))).as("sh"))
+        array_sort(array_distinct(
+          shingles(tokenize(col("text")), ShingleWidth))).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Exact |sh1 ∩ sh2| via the native sorted-merge expression —
@@ -79,8 +86,16 @@ object Dedup {
     * text, no signatures — what a 100 TB pipeline keeps between ingest
     * batches.
     */
+  /** MinHash banding shape (128 permutations = B×R): like
+    * [[ShingleWidth]], a store-shape parameter the text gate's
+    * `_geometry` marker pins — band hashes from any other (B, R) never
+    * collide meaningfully with stored ones.
+    */
+  private[graft] val MinhashBandCount = 32
+  private[graft] val MinhashBandRows = 4
+
   private[graft] def minhashBands(sh: DataFrame): DataFrame = {
-    val B = 32; val R = 4
+    val B = MinhashBandCount; val R = MinhashBandRows
     // cache is load-bearing: 128 element_at references below would
     // otherwise each inline (and recompute) the full signature scan
     val sig = sh.select(col("doc_id"),
@@ -825,6 +840,16 @@ object Dedup {
       s"SigSpec($bits, $bands): bits must be in (0, 64] and divisible by bands")
     val bandBits: Int = bits / bands
     require(bandBits <= 32, s"SigSpec($bits, $bands): band value must fit an int")
+
+    /** The FROZEN serialized form the `_geometry` store markers pin
+      * (GateStore.ensureGeometry). Deliberately NOT `toString`: a
+      * case-class rename or added field would silently change the
+      * derived string and make every existing store throw a spurious
+      * mismatch on first touch after an upgrade. `sig:<bits>/<bands>`
+      * is the whole on-disk meaning of a signature, so it is the whole
+      * pin.
+      */
+    def geometryId: String = s"sig:$bits/$bands"
   }
 
   /** The oracle-pinned 16-bit/4-band geometry — [[embedSigs]]'s exact
@@ -1894,8 +1919,9 @@ object Dedup {
     * buckets — [[d20Probe]]'s full-index verify join, pruned.
     */
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String, spec: SigSpec = SigNarrow): DataFrame =
-    d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"), spec)
+      storePath: String, spec: SigSpec = SigNarrow,
+      probeDepth: Int = 0): DataFrame =
+    d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"), spec, probeDepth)
 
   /** [[d20ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamEmbedDedup]]) keeps one
@@ -1913,9 +1939,43 @@ object Dedup {
     * Same release contract as [[d19ProbeDirs]]: bracket the call in
     * `Checkpoints.eagerBuild`.
     */
+  /** XOR masks for [[d20ProbeDirs]]' multi-probe: every ≤`depth`-bit
+    * flip of one band value (s6ProbeMasks' device at an arbitrary band
+    * width). Depth is the wide geometry's recall dial BELOW the clone
+    * regime: a cos-0.9 pair's per-band collision needs all 16 bits to
+    * agree (~30% somewhere across 4 bands at depth 0); admitting
+    * hamming ≤ d raises per-band hit probability from P(X=0) to
+    * P(X ≤ d), X ~ Binomial(bandBits, 1 − s) — measured in SigGeomProbe
+    * (SCALING.md round 15). Candidate volume scales by |masks| (17 at
+    * depth 1, 137 at depth 2 for 16-bit bands) on the ~2⁻¹⁶ base rate —
+    * still output-bound. Mask count is bounded policy data (≤ 1 +
+    * bandBits + bandBits²/2), and the expansion happens on the BATCH
+    * side of the equi-join only: the store scan, the join shape and the
+    * verify are untouched.
+    */
+  private[graft] def d20ProbeMasks(bandBits: Int, depth: Int): Seq[Long] = {
+    require(depth >= 0 && depth <= 2,
+      s"probeDepth must be 0, 1 or 2, got $depth")
+    Seq(0L) ++
+      (if (depth >= 1) (0 until bandBits).map(1L << _) else Nil) ++
+      (if (depth >= 2)
+        for (a <- 0 until bandBits; b <- a + 1 until bandBits)
+          yield (1L << a) | (1L << b)
+      else Nil)
+  }
+
   def d20ProbeDirs(s: SparkSession, batch: DataFrame,
-      sigDirs: Seq[String], spec: SigSpec = SigNarrow): DataFrame = {
+      sigDirs: Seq[String], spec: SigSpec = SigNarrow,
+      probeDepth: Int = 0): DataFrame = {
     import graft.functions.SimFunctions.dot
+    val masks = d20ProbeMasks(spec.bandBits, probeDepth)
+    // multi-probe = the batch band rows, fanned |masks|-fold BEFORE the
+    // equi-join (depth 0 fans nothing and leaves the plan byte-equal to
+    // the single-probe path — the DedupSpec pin)
+    def fan(bands: DataFrame): DataFrame =
+      if (masks.size == 1) bands
+      else bands.withColumn("bv",
+        explode(array(masks.map(m => col("bv").bitwiseXOR(lit(m))): _*)))
     val be = embedSigsSpec(batch, spec).cache()
     // band "index" = stored signatures, banded at read time: parquet
     // column pruning keeps this scan at 12 bytes/vector, vs stored
@@ -1930,7 +1990,7 @@ object Dedup {
     // many batch vectors share a band value — a pairwise variant
     // re-streamed the full quadratic-ish candidate volume just to learn
     // ≤64 bucket ids, and a cached-cand variant spilled at ×50.
-    val batchBandVals = embedBandsSpec(be, spec)
+    val batchBandVals = fan(embedBandsSpec(be, spec))
       .select(col("band"), col("bv")).distinct()
     val buckets = index
       .join(batchBandVals, Seq("band", "bv"), "left_semi")
@@ -1938,7 +1998,7 @@ object Dedup {
       .distinct().collect().map(_.getLong(0)).toSeq
     // candidates STREAM into the verify (d20Frame's shape — no cache):
     // the pair-distinct is the only candidate-sized shuffle
-    val cand = embedBandsSpec(be, spec).as("p")
+    val cand = fan(embedBandsSpec(be, spec)).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
       .select(col("p.vec_id").as("new_id"), col("i.vec_id").as("dup_of"))

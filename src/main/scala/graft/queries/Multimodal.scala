@@ -467,8 +467,8 @@ object Multimodal {
         .select(col("media_id"), col("payload"), col("meta.format").as("format"))
         .unionByName(mm6Plants(s, dir)))
       .cache() // both sides of the banded self-join read this
-    val bandCols = array((0 until 4).map(b =>
-      substring(col("phash"), b * 16 + 1, 16)): _*)
+    val bandCols = array((0 until PhashBands).map(b =>
+      substring(col("phash"), b * PhashBandChars + 1, PhashBandChars)): _*)
     val bands = ph.select(col("media_id"), col("phash"),
       posexplode(bandCols).as(Seq("band", "bs")))
     val cand = bands.as("a").join(bands.as("b"),
@@ -829,11 +829,20 @@ object Multimodal {
     * index (4 rows × ~80 bytes per media item, no payloads).
     */
   private[queries] def phashBands(ph: DataFrame): DataFrame = {
-    val bandCols = array((0 until 4).map(b =>
-      substring(col("phash"), b * 16 + 1, 16)): _*)
+    val bandCols = array((0 until PhashBands).map(b =>
+      substring(col("phash"), b * PhashBandChars + 1, PhashBandChars)): _*)
     ph.select(col("media_id"), col("phash"),
       posexplode(bandCols).as(Seq("band", "bs")))
   }
+
+  /** pHash banding shape (64-char hash, 4 bands × 16 chars) — a store-
+    * shape parameter of the mm9 gate: band substrings taken at another
+    * split never equi-match stored ones, so the media store's
+    * `_geometry` marker pins it (silent-recall-loss prevention, same
+    * contract as the embed store's SigSpec pin).
+    */
+  private[graft] val PhashBands = 4
+  private[graft] val PhashBandChars = 16
 
   /** Build the corpus index inline, then probe; production persists
     * `phashBands(phashOf(corpus))` and hands the loaded frame to

@@ -58,6 +58,15 @@ private[graft] object GateStore {
   private val CompactedMarker = "_compacted_up_to"
   private val OwnerMarker = "_owner"
   private val GeometryMarker = "_geometry"
+  private val LevelsMarker = "_levels"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[maybeCompact]] rewrites the FULL store each time it fires; past
+    * this many merged input bytes per compaction, surface the O(N²)
+    * amplification loudly and point at the leveled policy.
+    */
+  private val FullRewriteWarnBytes: Long = 256L * 1024 * 1024
 
   /** Claim exclusive WRITE ownership of a gate store, loudly.
     * [[runBatch]] assumes one writer per store (true under a single
@@ -293,9 +302,129 @@ private[graft] object GateStore {
       .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
     if (committed.size >= every) {
       val upTo = committed.last._1
+      // the full-rewrite policy's amplification guard (sized BEFORE the
+      // merge): every store byte below the target is about to be
+      // rewritten; past the threshold that is no longer footer-dominated
+      // maintenance but the O(N²/every) curve — say so, loudly enough
+      // for a long-running stream's logs to surface it
+      val rewriteBytes = tables.map { case (t, _) =>
+        listBatchDirs(new File(storeDir, t))
+          .filter(_._1 < upTo).map(d => treeBytes(new File(d._2))).sum
+      }.sum
+      if (rewriteBytes > FullRewriteWarnBytes)
+        log.warn(s"maybeCompact($storeDir, every=$every) is rewriting " +
+          s"$rewriteBytes bytes (> $FullRewriteWarnBytes): the full-rewrite " +
+          "policy re-merges every prior compaction's output, O(N²/every) " +
+          "over the stream — switch to maybeCompactLeveled for bounded " +
+          "per-compaction cost")
       compact(spark, storeDir, upTo, tables)
       Some(upTo)
     } else None
+  }
+
+  private def treeBytes(dir: File): Long = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    children.collect {
+      case f if f.isFile => f.length()
+      case d if d.isDirectory => treeBytes(d)
+    }.sum
+  }
+
+  /** Live level-run targets recorded by [[maybeCompactLeveled]]:
+    * (level, batchId) pairs, one line each in the `_levels` file.
+    * ADVISORY metadata only — probes never read it, replay never
+    * depends on it, and a stale file (crash between a compaction and
+    * its `_levels` update) costs at worst one extra re-merge of the
+    * unrecorded run (it looks fresh again), never correctness.
+    */
+  private[graft] def readLevels(storeDir: String): Seq[(Int, Long)] = {
+    val f = new File(storeDir, LevelsMarker)
+    if (!f.exists()) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(lv, id) = l.split("\\s+", 2)
+        (lv.toInt, id.toLong)
+      }.toSeq
+  }
+
+  private def writeLevels(storeDir: String, levels: Seq[(Int, Long)]): Unit = {
+    val body = levels.sortBy(e => (e._1, e._2))
+      .map { case (lv, id) => s"$lv $id" }.mkString("", "\n", "\n")
+    val tmp = new File(storeDir, LevelsMarker + ".tmp").toPath
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, new File(storeDir, LevelsMarker).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** LEVELED compact-every-K — the bounded-write-amplification policy
+    * [[maybeCompact]]'s own caveat names, and the production default for
+    * long streams. Shape (the LSM/tiered design every lakehouse table
+    * service converges on, sized here in batch dirs instead of bytes):
+    *
+    *  - once `every` FRESH batch dirs accumulate (dirs that are not a
+    *    recorded level run), merge just those into the newest of them —
+    *    a LEVEL-0 run. Previous runs are NOT inputs, so a level-0
+    *    compaction always rewrites exactly `every` batches' rows no
+    *    matter how large the store has grown — per-compaction cost is
+    *    O(every), vs [[maybeCompact]]'s O(store).
+    *  - once `fanout` runs exist at level L, merge them into the newest
+    *    of them — a level-(L+1) run. Amortized write cost per batch is
+    *    O(log_fanout N) rewrites over the stream's life (each row is
+    *    re-merged once per level it climbs), vs O(N/every) under the
+    *    full-rewrite policy.
+    *  - probes are untouched: they read the union of live dirs, and the
+    *    live-dir count stays ≤ (every − 1) + fanout·levels — bounded
+    *    logarithmically instead of by the last full rewrite.
+    *
+    * Correctness rests on two properties the protocol already grants:
+    * probes read ANY union of live dirs (so which dirs rows live in is
+    * free), and the `_compacted_up_to` marker may over-cover ids whose
+    * dirs survive ([[compactFiltered]]'s note). The `_levels` file is
+    * advisory ([[readLevels]]); every merge itself runs under
+    * [[compact]]'s crash envelope. Runs cascade within one call (a
+    * level-0 merge can trigger a level-1 merge immediately); returns
+    * the target ids of every compaction performed.
+    */
+  def maybeCompactLeveled(spark: SparkSession, storeDir: String,
+      tables: Seq[(String, Seq[String])], every: Int,
+      fanout: Int = 4): Seq[Long] = {
+    require(every >= 2, s"compactEvery must be >= 2, got $every")
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val sentinel = tables.head._1
+    val committed = listBatchDirs(new File(storeDir, sentinel))
+      .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
+      .map(_._1)
+    val live = committed.toSet
+    // stale-entry tolerance: a run whose dir a later full compact()
+    // merged away (mixed-API use) simply drops out of the ledger
+    var levels = readLevels(storeDir).filter { case (_, id) => live(id) }
+    val levelIds = levels.map(_._2).toSet
+    val fresh = committed.filterNot(levelIds)
+    if (fresh.size < every) return Seq.empty
+    val ran = Seq.newBuilder[Long]
+    // level-0: fold the fresh run into its newest member
+    val target0 = fresh.max
+    compactFiltered(spark, storeDir, target0, tables,
+      id => !levelIds.contains(id))
+    levels :+= ((0, target0)); ran += target0
+    writeLevels(storeDir, levels)
+    // cascade: fanout runs at level L fold into a level-(L+1) run
+    var l = 0
+    var cascading = true
+    while (cascading) {
+      val runs = levels.filter(_._1 == l).map(_._2)
+      if (runs.size >= fanout) {
+        val t = runs.max
+        val inputs = runs.filter(_ != t).toSet
+        compactFiltered(spark, storeDir, t, tables, inputs)
+        levels = levels.filterNot { case (lv, id) =>
+          lv == l && (inputs(id) || id == t) } :+ ((l + 1, t))
+        ran += t
+        writeLevels(storeDir, levels)
+        l += 1
+      } else cascading = false
+    }
+    ran.result()
   }
 
   /** Compact every store partition with batch id < `upTo` into the
@@ -323,7 +452,26 @@ private[graft] object GateStore {
     * collapses duplicates (candidate distinct + payload dedup by id).
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long,
-      tables: Seq[(String, Seq[String])]): Unit = {
+      tables: Seq[(String, Seq[String])]): Unit =
+    compactFiltered(spark, storeDir, upTo, tables, _ => true)
+
+  /** [[compact]] restricted to an input SUBSET: only batch dirs whose id
+    * satisfies `include` (and is < `upTo`) are merged into `batch=<upTo>`
+    * and deleted; excluded dirs below `upTo` stay live and keep serving
+    * probes unchanged. This is the primitive [[maybeCompactLeveled]]
+    * builds its LSM shape from — the protocol admits it because probes
+    * read ANY union of live dirs, and the `_compacted_up_to` marker only
+    * needs to vouch for ids whose sentinel dir is GONE (it may safely
+    * over-cover ids whose dir is still live: [[alreadyMerged]] is
+    * dir-OR-marker, and under the single-writer contract every id below
+    * the newest committed sentinel was processed, so a marker-covered
+    * replay skipping it is correct whether or not its dir survives).
+    * Crash envelope identical to [[compact]]: stage → per-file rename →
+    * marker → delete, duplicates-not-losses at every point.
+    */
+  private def compactFiltered(spark: SparkSession, storeDir: String,
+      upTo: Long, tables: Seq[(String, Seq[String])],
+      include: Long => Boolean): Unit = {
     val sentinel = tables.head._1
     // the target must be a LIVE committed sentinel dir, not merely
     // marker-covered: if a prior compaction already merged `upTo` away
@@ -338,15 +486,17 @@ private[graft] object GateStore {
     val superseded = Seq.newBuilder[File]
     for ((sub, partCols) <- tables) {
       val root = new File(storeDir, sub)
-      val olds = listBatchDirs(root).filter(_._1 < upTo)
-      // every superseded dir must itself be COMMITTED: merging a torn
-      // dir and then writing the marker would vouch its id as merged
-      // forever, converting a repairable torn write into permanent
-      // silent loss — refuse loudly instead (the torn batch needs its
-      // at-least-once re-delivery first)
-      olds.find { case (_, p) => !new File(p, "_SUCCESS").exists() }
+      // the commit check runs over EVERY dir below upTo, merged or not:
+      // the marker will vouch for the whole id range, and vouching a
+      // torn write (whose at-least-once re-delivery the marker would
+      // then skip) converts a repairable crash into permanent silent
+      // loss — refuse loudly instead (the torn batch needs its replay
+      // first). Only dirs passing `include` are merged and deleted.
+      val below = listBatchDirs(root).filter(_._1 < upTo)
+      below.find { case (_, p) => !new File(p, "_SUCCESS").exists() }
         .foreach { case (id, _) => throw new IllegalStateException(
           s"$root/batch=$id is uncommitted (no _SUCCESS) — replay it before compacting") }
+      val olds = below.filter { case (id, _) => include(id) }
       // committed-but-data-less dirs (zero-row batches) contribute no
       // rows: they are superseded (deleted, marker-covered) but must
       // not be READ — a merge input set of only such dirs would fail

@@ -78,10 +78,19 @@ object StreamCuration {
       embedStoreDir: String, mediaStoreDir: String, benchDir: String,
       outDir: String, owner: String, minQuality: Double = 0.25,
       sigSpec: graft.queries.Dedup.SigSpec = graft.queries.Dedup.SigNarrow,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false,
+      probeDepth: Int = 0,
+      stageCounts: Boolean = true)
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
+    // construction-time geometry pins, next to the owner claims: a
+    // mis-specced restart fails before the stream starts, not at its
+    // first micro-batch (round-14 advice)
+    GateStore.ensureGeometry(textStoreDir, StreamNearDedup.Geometry)
+    GateStore.ensureGeometry(embedStoreDir, sigSpec.geometryId)
+    GateStore.ensureGeometry(mediaStoreDir, StreamMediaDedup.Geometry)
     (batch, batchId) => {
       val docs = batch.select(col("doc_id"), col("text"), col("source"))
       val embs = batch.filter(col("embedding").isNotNull)
@@ -93,17 +102,26 @@ object StreamCuration {
         minQuality = minQuality,
         batchEmbeddings = Some(embs), embedStoreDir = Some(embedStoreDir),
         batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
-        sigSpec = sigSpec)
+        sigSpec = sigSpec, probeDepth = probeDepth,
+        stageCounts = stageCounts)
       // inline maintenance, per store (each keyed off its OWN committed
       // dir count — see GateStore.maybeCompact). Safe relative to the
       // cross-store replay sentinel: compaction's marker-before-delete
       // keeps every merged TEXT id vouched, and the embed/media stores
       // are only ever read for ids below a batch that text's sentinel
-      // already gates.
+      // already gates. `compactLeveled` swaps in the bounded-
+      // amplification leveled policy (GateStore.maybeCompactLeveled) —
+      // the long-stream choice.
       compactEvery.foreach { k =>
-        StreamNearDedup.maybeCompact(spark, textStoreDir, k)
-        StreamEmbedDedup.maybeCompact(spark, embedStoreDir, k)
-        StreamMediaDedup.maybeCompact(spark, mediaStoreDir, k)
+        if (compactLeveled) {
+          StreamNearDedup.maybeCompactLeveled(spark, textStoreDir, k)
+          StreamEmbedDedup.maybeCompactLeveled(spark, embedStoreDir, k)
+          StreamMediaDedup.maybeCompactLeveled(spark, mediaStoreDir, k)
+        } else {
+          StreamNearDedup.maybeCompact(spark, textStoreDir, k)
+          StreamEmbedDedup.maybeCompact(spark, embedStoreDir, k)
+          StreamMediaDedup.maybeCompact(spark, mediaStoreDir, k)
+        }
       }
     }
   }

@@ -47,17 +47,27 @@ object StreamEmbedDedup {
   /** The foreachBatch body, curried with the store/output roots. `spec`
     * picks the signature geometry (`Dedup.SigWide` for production-scale
     * corpora — see SigSpec's candidate-rate argument); a store is
-    * written and probed at ONE geometry for its whole life.
-    * `compactEvery` opts into the inline compact-every-K maintenance
-    * policy ([[GateStore.maybeCompact]]).
+    * written and probed at ONE geometry for its whole life — pinned at
+    * construction (a mis-specced restart fails before the stream
+    * starts) AND per batch (a spec drifting mid-run fails at its first
+    * micro-batch). `owner` defaults to `out:<outDir>` — stable across
+    * restarts, so an unguarded call no longer exists
+    * ([[StreamNearDedup.sink]]'s doctrine). `probeDepth` turns on
+    * multi-probe for wide geometries ([[Dedup.d20ProbeDirs]]);
+    * `compactLeveled` picks the bounded-amplification policy
+    * ([[GateStore.maybeCompactLeveled]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       spec: Dedup.SigSpec = Dedup.SigNarrow,
       owner: Option[String] = None,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
-    owner.foreach(GateStore.claimOwner(storeDir, _))
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false,
+      probeDepth: Int = 0): (DataFrame, Long) => Unit = {
+    GateStore.claimOwner(storeDir, owner.getOrElse(s"out:$outDir"))
+    GateStore.ensureGeometry(storeDir, spec.geometryId)
     (batch, batchId) =>
-      processBatch(spark, batch, batchId, storeDir, outDir, spec, compactEvery)
+      processBatch(spark, batch, batchId, storeDir, outDir, spec,
+        compactEvery, compactLeveled, probeDepth)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -66,21 +76,27 @@ object StreamEmbedDedup {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
       spec: Dedup.SigSpec = Dedup.SigNarrow,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false,
+      probeDepth: Int = 0): Unit = {
     // loud geometry pin: probing a store at another SigSpec would wave
     // near-dups through silently (GateStore.ensureGeometry's contract)
-    GateStore.ensureGeometry(storeDir, spec.toString)
+    GateStore.ensureGeometry(storeDir, spec.geometryId)
     val vecs = batch.select(col("vec_id"), col("embedding"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",
-      probe = prior => Dedup.d20ProbeDirs(spark, vecs, prior("sigs"), spec),
+      probe = prior =>
+        Dedup.d20ProbeDirs(spark, vecs, prior("sigs"), spec, probeDepth),
       // single-table append: the sigs commit marker is both the store
       // row set's and the replay sentinel's commit point (GateStore's
       // append-order contract)
       append = () => Dedup.sigStoreRows(vecs, spec)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$storeDir/sigs/batch=$batchId"))
-    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
+    compactEvery.foreach { k =>
+      if (compactLeveled) GateStore.maybeCompactLeveled(spark, storeDir, Tables, k)
+      else GateStore.maybeCompact(spark, storeDir, Tables, k)
+    }
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -96,5 +112,12 @@ object StreamEmbedDedup {
   def maybeCompact(spark: SparkSession, storeDir: String,
       every: Int): Option[Long] =
     GateStore.maybeCompact(spark, storeDir, Tables, every)
+
+  /** Leveled compact-every-K over this gate's store layout — bounded
+    * per-compaction cost; see [[GateStore.maybeCompactLeveled]].
+    */
+  def maybeCompactLeveled(spark: SparkSession, storeDir: String,
+      every: Int, fanout: Int = 4): Seq[Long] =
+    GateStore.maybeCompactLeveled(spark, storeDir, Tables, every, fanout)
 
 }

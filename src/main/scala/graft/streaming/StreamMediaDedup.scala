@@ -40,18 +40,31 @@ object StreamMediaDedup {
 
   private val Tables = Seq("bands" -> Seq.empty[String])
 
+  /** The media store's shape pin ([[GateStore.ensureGeometry]]): the
+    * pHash banding split. FROZEN format (SigSpec.geometryId's doctrine).
+    */
+  private[graft] val Geometry: String =
+    s"phash:64hex,bands=${graft.queries.Multimodal.PhashBands}" +
+      s"x${graft.queries.Multimodal.PhashBandChars}"
+
   /** The foreachBatch body, curried with the store/output roots.
     * `owner` claims exclusive store ownership at sink construction —
-    * [[GateStore.claimOwner]]'s contract. `compactEvery` opts into the
-    * inline compact-every-K maintenance policy
-    * ([[GateStore.maybeCompact]]).
+    * [[GateStore.claimOwner]]'s contract — and defaults to
+    * `out:<outDir>` (stable across restarts), so an unguarded call no
+    * longer exists. The geometry pin runs at construction too.
+    * `compactEvery` opts into inline compact-every-K maintenance;
+    * `compactLeveled` picks the bounded-amplification leveled policy
+    * ([[GateStore.maybeCompactLeveled]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       owner: Option[String] = None,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
-    owner.foreach(GateStore.claimOwner(storeDir, _))
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
+    GateStore.claimOwner(storeDir, owner.getOrElse(s"out:$outDir"))
+    GateStore.ensureGeometry(storeDir, Geometry)
     (batch, batchId) =>
-      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery)
+      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,
+        compactLeveled)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -59,7 +72,9 @@ object StreamMediaDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false): Unit = {
+    GateStore.ensureGeometry(storeDir, Geometry)
     val media = batch.select(col("media_id"), col("payload"), col("format"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, hamming BIGINT",
@@ -68,7 +83,10 @@ object StreamMediaDedup {
       // row set's and the replay sentinel's commit point
       append = () => Multimodal.mm9IndexRows(media).write.mode("overwrite")
         .parquet(s"$storeDir/bands/batch=$batchId"))
-    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
+    compactEvery.foreach { k =>
+      if (compactLeveled) GateStore.maybeCompactLeveled(spark, storeDir, Tables, k)
+      else GateStore.maybeCompact(spark, storeDir, Tables, k)
+    }
   }
 
   /** Compact store partitions with batch id < `upTo` into `batch=<upTo>`
@@ -84,5 +102,12 @@ object StreamMediaDedup {
   def maybeCompact(spark: SparkSession, storeDir: String,
       every: Int): Option[Long] =
     GateStore.maybeCompact(spark, storeDir, Tables, every)
+
+  /** Leveled compact-every-K over this gate's store layout — bounded
+    * per-compaction cost; see [[GateStore.maybeCompactLeveled]].
+    */
+  def maybeCompactLeveled(spark: SparkSession, storeDir: String,
+      every: Int, fanout: Int = 4): Seq[Long] =
+    GateStore.maybeCompactLeveled(spark, storeDir, Tables, every, fanout)
 
 }

@@ -50,21 +50,43 @@ object StreamNearDedup {
   private val Tables = Seq("bands" -> Seq.empty[String],
     "shingles" -> Seq("bucket"))
 
+  /** The text store's shape pin ([[GateStore.ensureGeometry]]): shingle
+    * width, MinHash permutation/banding split and verify-bucket count.
+    * A store probed at any other shape would band-match nothing and
+    * wave near-dups through with zero errors — the same silent-recall
+    * failure mode the embed store's SigSpec pin guards. FROZEN format
+    * (SigSpec.geometryId's doctrine: never a derived toString).
+    */
+  private[graft] val Geometry: String =
+    s"minhash:shingle=${graft.queries.Dedup.ShingleWidth}," +
+      s"bands=${graft.queries.Dedup.MinhashBandCount}x${graft.queries.Dedup.MinhashBandRows}," +
+      s"buckets=${graft.queries.Dedup.D19Buckets}"
+
   /** The foreachBatch body, curried with the store/output roots:
     * `stream.writeStream.foreachBatch(sink(spark, store, out)).start()`.
     * `owner` (a STABLE logical name — the query's checkpoint location,
     * not a per-run UUID) claims exclusive store ownership at sink
     * construction via [[GateStore.claimOwner]]: a second query pointed
     * at the same store fails LOUDLY instead of interleaving batch dirs
-    * undetected. `compactEvery` opts into the inline compact-every-K
-    * maintenance policy ([[GateStore.maybeCompact]]).
+    * undetected. DEFAULT-ON: when no name is given, the claim is
+    * derived from the verdict output root (`out:<outDir>`) — exactly as
+    * stable across restarts as the query's checkpoint, so an unguarded
+    * call no longer exists (round-14 advice). The geometry pin runs
+    * here too, so a mis-specced restart fails at construction, before
+    * the stream starts. `compactEvery` opts into inline compact-every-K
+    * maintenance; `compactLeveled` picks the bounded-amplification
+    * leveled policy ([[GateStore.maybeCompactLeveled]]) over the
+    * fixture-scale full rewrite ([[GateStore.maybeCompact]]).
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       owner: Option[String] = None,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
-    owner.foreach(GateStore.claimOwner(storeDir, _))
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
+    GateStore.claimOwner(storeDir, owner.getOrElse(s"out:$outDir"))
+    GateStore.ensureGeometry(storeDir, Geometry)
     (batch, batchId) =>
-      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery)
+      processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,
+        compactLeveled)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -72,7 +94,9 @@ object StreamNearDedup {
     */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      compactLeveled: Boolean = false): Unit = {
+    GateStore.ensureGeometry(storeDir, Geometry)
     val docs = batch.select(col("doc_id"), col("text"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, jaccard DOUBLE",
@@ -90,7 +114,10 @@ object StreamNearDedup {
         Dedup.minhashBands(sh).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       })
-    compactEvery.foreach(GateStore.maybeCompact(spark, storeDir, Tables, _))
+    compactEvery.foreach { k =>
+      if (compactLeveled) GateStore.maybeCompactLeveled(spark, storeDir, Tables, k)
+      else GateStore.maybeCompact(spark, storeDir, Tables, k)
+    }
   }
 
   /** Compact every store partition with batch id < `upTo` into the
@@ -107,5 +134,12 @@ object StreamNearDedup {
   def maybeCompact(spark: SparkSession, storeDir: String,
       every: Int): Option[Long] =
     GateStore.maybeCompact(spark, storeDir, Tables, every)
+
+  /** Leveled compact-every-K over this gate's store layout — bounded
+    * per-compaction cost; see [[GateStore.maybeCompactLeveled]].
+    */
+  def maybeCompactLeveled(spark: SparkSession, storeDir: String,
+      every: Int, fanout: Int = 4): Seq[Long] =
+    GateStore.maybeCompactLeveled(spark, storeDir, Tables, every, fanout)
 
 }

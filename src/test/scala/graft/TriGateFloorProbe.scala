@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The tri-gate FLOOR receipt (round-14 verdict #7): the ~8 s/batch
+  * flat line TriGateScaleProbe measured is ~30 Spark jobs of fixed
+  * overhead — 8 of them the per-stage eager count()s plus the chunk
+  * re-read and the stage_counts write. This probe drives the tri-gate
+  * sink over N aligned micro-batches with stage counts ON and OFF,
+  * counting jobs via a listener and recording per-window median batch
+  * seconds, to receipt that the opt-out measurably lowers the flat
+  * line while verdicts stay byte-identical (the spec pins equality;
+  * this pins the saving).
+  *
+  * Usage: tools/run.sh graft.TriGateFloorProbe [N] [docsPerBatch]
+  */
+object TriGateFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 48
+    val perBatch = if (args.length > 1) args(1).toInt else 8
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("tri-gate-floor-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.Multimodal
+    import graft.streaming.StreamCuration
+
+    val docs = Tables.documents(spark, src)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .limit(n * perBatch)
+    val embs = Tables.embeddings(spark, src)
+      .select(col("vec_id"), col("embedding"))
+    val aligned = Multimodal.mediaTableOf(docs)
+      .select(col("media_id").as("doc_id"), col("payload"),
+        col("meta.format").as("format"))
+      .join(docs.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
+      .join(embs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("source"), col("embedding"),
+        col("payload"), col("format"))
+      .withColumn("b", (col("doc_id") % n).cast("int"))
+    val stage = "/tmp/trigate-floor-batches"
+    aligned.repartition(col("b")).write.mode("overwrite")
+      .partitionBy("b").parquet(stage)
+    val batches: Int => DataFrame = i =>
+      spark.read.parquet(stage).filter(col("b") === i)
+        .select("doc_id", "text", "source", "embedding", "payload", "format")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+
+    def run(stageCounts: Boolean): (Seq[Double], Int) = {
+      val tag = if (stageCounts) "on" else "off"
+      val root = s"/tmp/trigate-floor-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val sink = StreamCuration.triGateSink(spark,
+        s"$root/text", s"$root/embed", s"$root/media", src, s"$root/out",
+        owner = s"floor-probe-$tag", stageCounts = stageCounts)
+      val times = Array.ofDim[Double](n)
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try
+        for (i <- 0 until n) {
+          val b = batches(i)
+          val t0 = System.nanoTime()
+          sink(b, i.toLong)
+          times(i) = (System.nanoTime() - t0) / 1e9
+        }
+      finally {
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      (times.toSeq, jobs.get())
+    }
+
+    val (onTimes, onJobs) = run(stageCounts = true)
+    val (offTimes, offJobs) = run(stageCounts = false)
+    val win = 16
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def curve(ts: Seq[Double]) = ts.grouped(win).map(w => median(w))
+      .map(v => math.rint(v * 1000) / 1000).mkString("[", ",", "]")
+    println(s"""{"metric":"trigate_floor","n_batches":$n,"docs_per_batch":$perBatch,"window":$win,"counts_on_curve":${curve(onTimes)},"counts_off_curve":${curve(offTimes)},"counts_on_total_sec":${math.rint(onTimes.sum * 10) / 10},"counts_off_total_sec":${math.rint(offTimes.sum * 10) / 10},"counts_on_jobs":$onJobs,"counts_off_jobs":$offJobs,"jobs_per_batch_on":${math.rint(10.0 * onJobs / n) / 10},"jobs_per_batch_off":${math.rint(10.0 * offJobs / n) / 10}}""")
+    spark.stop()
+  }
+}

@@ -836,4 +836,80 @@ class DedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(d20Store.toFile)
     }
   }
+
+  test("d20 multi-probe: depth 0 unchanged, deeper probes only ADD pairs, recall lifts below the clone regime") {
+    // masks are bounded policy data: 1 + bandBits + C(bandBits, 2)
+    assert(Dedup.d20ProbeMasks(16, 0) == Seq(0L))
+    assert(Dedup.d20ProbeMasks(16, 1).size == 17)
+    assert(Dedup.d20ProbeMasks(16, 2).size == 137)
+    assert(Dedup.d20ProbeMasks(16, 2).distinct.size == 137)
+    intercept[IllegalArgumentException] { Dedup.d20ProbeMasks(16, 3) }
+
+    // sign-DIVERSE fixture (SigGeomProbe's finding: the sf embeddings
+    // are sign-degenerate — 2 distinct signatures corpus-wide — so they
+    // cannot exercise banding math). Plants at cos 0.90/0.95, exactly
+    // the near-dup regime SigWide's depth-0 recall is thin in (~30% /
+    // ~55% per SigSpec's binomial analysis).
+    val dims = 64
+    val rnd = new scala.util.Random(20260816L)
+    def vec(): Array[Double] = Array.fill(dims)(rnd.nextGaussian())
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // exact-cosine plant: cos·v̂ + sin·ŵ⊥ (float rounding moves the
+    // verify's cosine a hair, never the side of the 0.4 gate)
+    def plantAt(v: Array[Double], cos: Double): Array[Double] = {
+      val vh = norm(v)
+      val w = vec()
+      val proj = w.zip(vh).map { case (a, b) => a * b }.sum
+      val orth = norm(w.zip(vh).map { case (a, b) => a - proj * b })
+      val sin = math.sqrt(1 - cos * cos)
+      vh.zip(orth).map { case (a, b) => cos * a + sin * b }
+    }
+    val batchVecs = (0 until 40).map(k => (3000000L + k, vec()))
+    val plants = for {
+      (id, v) <- batchVecs
+      (c, ci) <- Seq(0.90, 0.95).zipWithIndex
+    } yield ((id - 3000000L) * 10 + 4000000L + ci, plantAt(v, c), id)
+    val decoys = (0 until 4000).map(k => (5000000L + k, vec()))
+    def toDf(rows: Seq[(Long, Array[Double])]) =
+      rows.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding")
+    val batchDf = toDf(batchVecs)
+    val corpusDf = toDf(plants.map(p => (p._1, p._2)) ++ decoys)
+    val store = java.nio.file.Files.createTempDirectory("d20-mp-")
+    try {
+      Dedup.d20WriteStore(corpusDf, store.toString, Dedup.SigWide)
+      def probe(depth: Int): Map[(Long, Long), Double] =
+        Dedup.d20ProbeStored(spark, batchDf, store.toString,
+            Dedup.SigWide, depth)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+          .toMap
+      // THE round-15 pin: the default (no probeDepth argument) equals
+      // depth 0 exactly — adding the dial changed nothing existing
+      val p0 = probe(0)
+      val pDefault = Dedup.d20ProbeStored(spark, batchDf, store.toString,
+          Dedup.SigWide)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(p0 == pDefault, "depth-0 verdicts differ from the default path")
+      val p1 = probe(1)
+      val p2 = probe(2)
+      // probing is candidacy-only: supersets with identical cosines
+      assert(p0.keySet.subsetOf(p1.keySet), "depth 1 lost a depth-0 pair")
+      assert(p1.keySet.subsetOf(p2.keySet), "depth 2 lost a depth-1 pair")
+      p0.keySet.foreach(k => assert(p0(k) == p1(k) && p1(k) == p2(k),
+        s"cosine changed with probe depth at $k"))
+      // recall on the planted near-dups rises with depth
+      def recall(p: Map[(Long, Long), Double]): Int =
+        plants.count(pl => p.contains((pl._3, pl._1)))
+      val (r0, r1, r2) = (recall(p0), recall(p1), recall(p2))
+      assert(r0 <= r1 && r1 <= r2)
+      assert(r2 > r0, s"multi-probe added no recall: $r0 -> $r1 -> $r2")
+      assert(r2 >= (plants.size * 0.8).toInt,
+        s"depth-2 recall $r2/${plants.size} below the binomial prediction")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(store.toFile)
+    }
+  }
 }

@@ -104,7 +104,11 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       StreamEmbedDedup.processBatch(spark, bs(2), 2L, storeDir, outDir)
     }
-    assert(e.getMessage.contains(Dedup.SigWide.toString), e.getMessage)
+    // the marker stores the FROZEN geometryId form, not the case-class
+    // toString (a rename/refactor must not invalidate live stores)
+    assert(e.getMessage.contains(Dedup.SigWide.geometryId), e.getMessage)
+    assert(Dedup.SigWide.geometryId == "sig:64/4",
+      "geometryId format is frozen — changing it orphans every live store")
     // the pipeline-level entry point guards the same way
     val e2 = intercept[IllegalStateException] {
       graft.TrainingPipeline.curateIncrementalBatch(spark,

@@ -180,4 +180,29 @@ class StreamMediaDedupSpec extends AnyFunSuite {
     assert(GateStore.compactedUpTo(ss) == Long.MinValue)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("media store geometry is pinned: a mismatched probe throws before any batch runs") {
+    // pHash band substrings taken at another split never equi-match the
+    // stored ones — same silent-recall failure mode as the embed
+    // store's SigSpec, same _geometry pin.
+    val root = java.nio.file.Files.createTempDirectory("mediadedup-g-").toString
+    try {
+      val store = s"$root/store"
+      assert(StreamMediaDedup.Geometry == "phash:64hex,bands=4x16")
+      GateStore.ensureGeometry(store, "phash:64hex,bands=8x8")
+      val e = intercept[IllegalStateException] {
+        StreamMediaDedup.processBatch(spark, batches().head, 0L,
+          store, s"$root/out")
+      }
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+      assert(!new java.io.File(s"$store/bands").exists(),
+        "mismatched-geometry batch still wrote store rows")
+      val e2 = intercept[IllegalStateException] {
+        StreamMediaDedup.sink(spark, store, s"$root/out")
+      }
+      assert(e2.getMessage.contains("geometry"), e2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

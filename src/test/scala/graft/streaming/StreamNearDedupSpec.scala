@@ -266,4 +266,58 @@ class StreamNearDedupSpec extends AnyFunSuite {
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("text store geometry is pinned: a mismatched probe throws before any batch runs") {
+    // the text store's shape parameters (shingle width, MinHash banding,
+    // verify buckets) are exactly as silent-recall-lethal as the embed
+    // store's SigSpec: shingles built at another width share no keys
+    // with the stored sets, so near-dups sail through with zero errors.
+    val root = java.nio.file.Files.createTempDirectory("neardedup-g-").toString
+    try {
+      val store = s"$root/store"
+      // frozen serialized form — a refactor must not orphan live stores
+      assert(StreamNearDedup.Geometry ==
+        "minhash:shingle=3,bands=32x4,buckets=64")
+      // a store created by some other build at a different shape...
+      GateStore.ensureGeometry(store, "minhash:shingle=5,bands=16x8,buckets=64")
+      // ...refuses this build's probe BEFORE any write happens
+      val e = intercept[IllegalStateException] {
+        StreamNearDedup.processBatch(spark, batches().head, 0L,
+          store, s"$root/out")
+      }
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+      assert(!new java.io.File(s"$store/bands").exists(),
+        "mismatched-geometry batch still wrote store rows")
+      // and the sink fails at CONSTRUCTION, before the stream starts
+      val e2 = intercept[IllegalStateException] {
+        StreamNearDedup.sink(spark, store, s"$root/out")
+      }
+      assert(e2.getMessage.contains("geometry"), e2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("owner guard is DEFAULT-ON: two queries with different outputs refuse one store, no explicit owner needed") {
+    val root = java.nio.file.Files.createTempDirectory("neardedup-o-").toString
+    try {
+      val store = s"$root/store"
+      // first query claims out:<outDir> implicitly
+      StreamNearDedup.sink(spark, store, s"$root/outA")
+      // restart of the SAME query (same outDir) re-claims fine
+      StreamNearDedup.sink(spark, store, s"$root/outA")
+      // a DIFFERENT query pointed at the same store is refused loudly —
+      // the unguarded-by-default path no longer exists
+      val e = intercept[IllegalStateException] {
+        StreamNearDedup.sink(spark, store, s"$root/outB")
+      }
+      assert(e.getMessage.contains("owned"), e.getMessage)
+      // same refusal across gate types sharing the store root
+      intercept[IllegalStateException] {
+        StreamMediaDedup.sink(spark, store, s"$root/outC")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

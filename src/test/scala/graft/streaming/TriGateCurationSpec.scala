@@ -286,6 +286,56 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stageCounts off: verdicts and chunks identical, stage_counts not written, measurably fewer jobs") {
+    // the tri-gate floor is ~30 jobs/batch, 8 of them the per-stage
+    // eager count()s plus the chunk re-read and the stage_counts write
+    // (TriGateScaleProbe's breakdown) — pure fixed cost when nobody
+    // reads the accounting. stageCounts=false must drop jobs WITHOUT
+    // touching a single output byte of verdicts or chunks.
+    val root = java.nio.file.Files.createTempDirectory("trigate-sc-").toString
+    try {
+      val bs = alignedBatches()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      def drive(tag: String, counts: Boolean): (String, Int) = {
+        val out = s"$root/out-$tag"
+        val sink = StreamCuration.triGateSink(spark, s"$root/text-$tag",
+          s"$root/embed-$tag", s"$root/media-$tag", dir, out,
+          owner = s"trigate-sc-$tag", stageCounts = counts)
+        spark.sparkContext.addSparkListener(listener)
+        jobs.set(0)
+        try bs.zipWithIndex.foreach { case (b, i) => sink(b, i.toLong) }
+        finally {
+          Thread.sleep(1000) // let the async listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        (out, jobs.get())
+      }
+      val (onOut, onJobs) = drive("on", counts = true)
+      val (offOut, offJobs) = drive("off", counts = false)
+      def chunkSet(out: String, i: Int): Set[String] =
+        spark.read.parquet(s"$out/chunks/batch=$i")
+          .collect().map(_.mkString("|")).toSet
+      (0 until bs.size).foreach { i =>
+        assert(verdictSet(offOut, i.toLong) == verdictSet(onOut, i.toLong),
+          s"verdicts diverged with counts off at batch $i")
+        assert(chunkSet(offOut, i) == chunkSet(onOut, i),
+          s"chunks diverged with counts off at batch $i")
+        assert(new java.io.File(s"$onOut/stage_counts/batch=$i").exists())
+      }
+      assert(!new java.io.File(s"$offOut/stage_counts").exists(),
+        "stage_counts written despite stageCounts=false")
+      assert(offJobs < onJobs,
+        s"counts-off ran $offJobs jobs vs $onJobs with counts on")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("gate stores refuse a second writer; same owner re-claims; release hands over") {
     val root = java.nio.file.Files.createTempDirectory("owner-").toString
     val store = s"$root/store"
