@@ -830,7 +830,11 @@ object Dedup {
     * output-bound at hundreds of millions of vectors. The price is
     * recall BELOW the clone regime (per-band s^16: ~93% of cos ≥ 0.99
     * pairs collide somewhere, ~55% at 0.95, ~30% at 0.9, ~nothing at
-    * the oracle's 0.4 floor) — the production gate hunts CLONES; the
+    * the oracle's 0.4 floor) — bought back, when the gate must catch
+    * near-clones too, by multi-probe ([[d20ProbeMasks]]): probeDepth 1
+    * lifts cos-0.90 recall 0.30 → 0.76 for 17× the (tiny) candidate
+    * rate, depth 2 to 0.98 for 137× — measured against planted
+    * rotations in SigMultiProbe (SCALING.md round 15). The
     * oracle-pinned narrow geometry remains the high-recall twin for
     * fixture-scale exhaustive probing.
     */

@@ -283,12 +283,10 @@ private[graft] object GateStore {
     * each compaction rewrites the full store — cumulative write
     * amplification is O(N²/every) in stream length. At fixture scale
     * the rewrite is footer-dominated and flat (the 1k-batch receipt);
-    * at production scale the extension is leveled compaction (merge
-    * only the dirs above the last compacted level, tolerate a bounded
-    * number of level dirs per probe — the LSM shape every lakehouse
-    * table service converges on), which this protocol admits because
-    * probes read ANY union of dirs and the marker only ever needs to
-    * vouch for deleted sentinel ids. The loud [[compact]]
+    * past [[FullRewriteWarnBytes]] this logs loudly, and the production
+    * answer is [[maybeCompactLeveled]] — bounded per-compaction cost
+    * (the 512-batch GateLeveledProbe receipt, SCALING.md round 15),
+    * same verdicts, same replay envelope. The loud [[compact]]
     * preconditions (torn superseded dirs) propagate: under the
     * single-writer contract a torn dir is repaired by its own replay
     * BEFORE any later batch runs, so hitting one here means the store

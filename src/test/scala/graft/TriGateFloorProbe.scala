@@ -63,9 +63,13 @@ object TriGateFloorProbe {
       val tag = if (stageCounts) "on" else "off"
       val root = s"/tmp/trigate-floor-$tag"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      // leveled compact-every-16 keeps both lines FLAT (the production
+      // profile): without it, store-dir growth dominates later windows
+      // and drowns the fixed-floor delta under measurement
       val sink = StreamCuration.triGateSink(spark,
         s"$root/text", s"$root/embed", s"$root/media", src, s"$root/out",
-        owner = s"floor-probe-$tag", stageCounts = stageCounts)
+        owner = s"floor-probe-$tag", stageCounts = stageCounts,
+        compactEvery = Some(16), compactLeveled = true)
       val times = Array.ofDim[Double](n)
       spark.sparkContext.addSparkListener(listener)
       jobs.set(0)
