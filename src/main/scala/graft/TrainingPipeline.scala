@@ -438,13 +438,17 @@ object TrainingPipeline {
       "batchEmbeddings and embedStoreDir must be supplied together")
     require(batchMedia.isDefined == mediaStoreDir.isDefined,
       "batchMedia and mediaStoreDir must be supplied together")
+    // fail-fast probeDepth validation, even when no embed store is
+    // wired this run — a bad dial must not lie dormant until the first
+    // batch that happens to carry embeddings
+    Dedup.d20ProbeMasks(sigSpec.bandBits, probeDepth)
     // loud geometry pins BEFORE the replay early-return: a mis-specced
     // caller should fail on its first touch of ANY store, not only on
     // the first unprocessed batch (GateStore.ensureGeometry's contract).
     // All three stores have shape parameters — text shingle/banding,
     // embed SigSpec, media pHash banding — and all three pin them.
     GateStore.ensureGeometry(storeDir, graft.streaming.StreamNearDedup.Geometry)
-    embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.geometryId))
+    embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.geometryId, sigSpec.legacyGeometryIds))
     mediaStoreDir.foreach(
       GateStore.ensureGeometry(_, graft.streaming.StreamMediaDedup.Geometry))
     if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return

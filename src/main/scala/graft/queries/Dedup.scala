@@ -854,6 +854,13 @@ object Dedup {
       * pin.
       */
     def geometryId: String = s"sig:$bits/$bands"
+
+    /** Marker spellings superseded rounds wrote for the SAME geometry
+      * (the pre-frozen case-class toString) — passed to
+      * `GateStore.ensureGeometry` so stores created before the freeze
+      * upgrade in place instead of throwing a spurious mismatch.
+      */
+    def legacyGeometryIds: Seq[String] = Seq(s"SigSpec($bits,$bands)")
   }
 
   /** The oracle-pinned 16-bit/4-band geometry — [[embedSigs]]'s exact
@@ -1949,7 +1956,7 @@ object Dedup {
     * regime: a cos-0.9 pair's per-band collision needs all 16 bits to
     * agree (~30% somewhere across 4 bands at depth 0); admitting
     * hamming ≤ d raises per-band hit probability from P(X=0) to
-    * P(X ≤ d), X ~ Binomial(bandBits, 1 − s) — measured in SigGeomProbe
+    * P(X ≤ d), X ~ Binomial(bandBits, 1 − s) — measured in SigMultiProbe
     * (SCALING.md round 15). Candidate volume scales by |masks| (17 at
     * depth 1, 137 at depth 2 for 16-bit bands) on the ~2⁻¹⁶ base rate —
     * still output-bound. Mask count is bounded policy data (≤ 1 +

@@ -83,6 +83,16 @@ private[graft] object GateStore {
     * released by [[releaseOwner]] on decommission, never by crashes —
     * a crashed owner's restart re-claims its own name.
     */
+  /** The DEFAULT owner name a gate sink claims when the caller gives
+    * none: the verdict output root, absolutized and normalized so a
+    * restart that respells the same path (trailing slash, relative vs
+    * absolute) still re-claims its own store instead of being refused
+    * as a second writer. (Symlinked roots still differ — pass an
+    * explicit stable owner if the deployment moves mounts around.)
+    */
+  private[graft] def ownerFor(outDir: String): String =
+    "out:" + java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+
   def claimOwner(storeDir: String, owner: String): Unit = {
     require(owner.nonEmpty && !owner.contains('\n'),
       s"owner name must be a non-empty single line, got '$owner'")
@@ -118,7 +128,8 @@ private[graft] object GateStore {
     * later call (and a racing first call that lost) must match it
     * exactly or this throws. One store, one geometry, for life.
     */
-  def ensureGeometry(storeDir: String, geometry: String): Unit = {
+  def ensureGeometry(storeDir: String, geometry: String,
+      legacyForms: Seq[String] = Nil): Unit = {
     require(geometry.nonEmpty && !geometry.contains('\n'),
       s"geometry must be a non-empty single line, got '$geometry'")
     val root = new File(storeDir)
@@ -127,6 +138,17 @@ private[graft] object GateStore {
     def existing(): String =
       new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
     if (marker.exists() && existing() == geometry) return
+    // migration path: a marker written in a superseded serialized form
+    // of the SAME geometry (e.g. the pre-frozen case-class toString) is
+    // upgraded in place via tmp+rename — a mere respelling must never
+    // orphan a live store (the exact failure the frozen form prevents)
+    if (marker.exists() && legacyForms.contains(existing())) {
+      val tmp = new File(root, GeometryMarker + ".tmp").toPath
+      Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, marker.toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      return
+    }
     val tmp = new File(root, s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
     Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
     try {
@@ -320,7 +342,7 @@ private[graft] object GateStore {
     } else None
   }
 
-  private def treeBytes(dir: File): Long = {
+  private[graft] def treeBytes(dir: File): Long = {
     val children = Option(dir.listFiles()).getOrElse(Array.empty[File])
     children.collect {
       case f if f.isFile => f.length()

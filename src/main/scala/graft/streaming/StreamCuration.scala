@@ -85,11 +85,13 @@ object StreamCuration {
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
+    // fail-fast probeDepth validation (the geometry/owner doctrine)
+    graft.queries.Dedup.d20ProbeMasks(sigSpec.bandBits, probeDepth)
     // construction-time geometry pins, next to the owner claims: a
     // mis-specced restart fails before the stream starts, not at its
     // first micro-batch (round-14 advice)
     GateStore.ensureGeometry(textStoreDir, StreamNearDedup.Geometry)
-    GateStore.ensureGeometry(embedStoreDir, sigSpec.geometryId)
+    GateStore.ensureGeometry(embedStoreDir, sigSpec.geometryId, sigSpec.legacyGeometryIds)
     GateStore.ensureGeometry(mediaStoreDir, StreamMediaDedup.Geometry)
     (batch, batchId) => {
       val docs = batch.select(col("doc_id"), col("text"), col("source"))

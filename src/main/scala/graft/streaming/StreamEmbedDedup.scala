@@ -63,8 +63,11 @@ object StreamEmbedDedup {
       compactEvery: Option[Int] = None,
       compactLeveled: Boolean = false,
       probeDepth: Int = 0): (DataFrame, Long) => Unit = {
-    GateStore.claimOwner(storeDir, owner.getOrElse(s"out:$outDir"))
-    GateStore.ensureGeometry(storeDir, spec.geometryId)
+    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)))
+    GateStore.ensureGeometry(storeDir, spec.geometryId, spec.legacyGeometryIds)
+    // fail-fast like the geometry/owner guards: an out-of-range depth
+    // must refuse at construction, not at the first non-empty store
+    Dedup.d20ProbeMasks(spec.bandBits, probeDepth)
     (batch, batchId) =>
       processBatch(spark, batch, batchId, storeDir, outDir, spec,
         compactEvery, compactLeveled, probeDepth)
@@ -81,7 +84,7 @@ object StreamEmbedDedup {
       probeDepth: Int = 0): Unit = {
     // loud geometry pin: probing a store at another SigSpec would wave
     // near-dups through silently (GateStore.ensureGeometry's contract)
-    GateStore.ensureGeometry(storeDir, spec.geometryId)
+    GateStore.ensureGeometry(storeDir, spec.geometryId, spec.legacyGeometryIds)
     val vecs = batch.select(col("vec_id"), col("embedding"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, cos DOUBLE",

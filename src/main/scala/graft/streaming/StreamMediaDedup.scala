@@ -60,7 +60,7 @@ object StreamMediaDedup {
       owner: Option[String] = None,
       compactEvery: Option[Int] = None,
       compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
-    GateStore.claimOwner(storeDir, owner.getOrElse(s"out:$outDir"))
+    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)))
     GateStore.ensureGeometry(storeDir, Geometry)
     (batch, batchId) =>
       processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,

@@ -54,14 +54,10 @@ object GateLeveledProbe {
       spark.read.parquet(stage).filter(col("b") === i)
         .select("media_id", "payload", "format")
 
-    def treeBytes(dir: java.io.File): Long = {
-      val cs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      cs.collect { case f if f.isFile => f.length()
-        case d if d.isDirectory => treeBytes(d) }.sum
-    }
     def liveDirBytes(store: String): Map[Long, Long] =
       GateStore.listBatchDirs(new java.io.File(s"$store/bands"))
-        .map { case (id, p) => id -> treeBytes(new java.io.File(p)) }.toMap
+        .map { case (id, p) =>
+          id -> GateStore.treeBytes(new java.io.File(p)) }.toMap
 
     // (policyTag, perCompaction (batch, bytesMerged, sec), batchTimes, finalDirs)
     def run(leveled: Boolean): (Seq[(Int, Long, Double)], Seq[Double], Int) = {

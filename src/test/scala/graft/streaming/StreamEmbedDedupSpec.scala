@@ -109,6 +109,17 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains(Dedup.SigWide.geometryId), e.getMessage)
     assert(Dedup.SigWide.geometryId == "sig:64/4",
       "geometryId format is frozen — changing it orphans every live store")
+    // migration: a store whose marker still carries the pre-freeze
+    // toString spelling upgrades in place instead of throwing
+    val legacyRoot = s"$root/legacy"
+    StreamEmbedDedup.processBatch(spark, bs(0), 0L, legacyRoot, s"$root/lo",
+      spec = Dedup.SigWide)
+    val marker = java.nio.file.Paths.get(legacyRoot, "_geometry")
+    java.nio.file.Files.write(marker, "SigSpec(64,4)".getBytes("UTF-8"))
+    StreamEmbedDedup.processBatch(spark, bs(1), 1L, legacyRoot, s"$root/lo",
+      spec = Dedup.SigWide) // must not throw
+    assert(new String(java.nio.file.Files.readAllBytes(marker),
+      "UTF-8").trim == "sig:64/4", "legacy marker was not upgraded")
     // the pipeline-level entry point guards the same way
     val e2 = intercept[IllegalStateException] {
       graft.TrainingPipeline.curateIncrementalBatch(spark,

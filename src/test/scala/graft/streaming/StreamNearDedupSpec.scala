@@ -306,6 +306,10 @@ class StreamNearDedupSpec extends AnyFunSuite {
       StreamNearDedup.sink(spark, store, s"$root/outA")
       // restart of the SAME query (same outDir) re-claims fine
       StreamNearDedup.sink(spark, store, s"$root/outA")
+      // ...including when the restart respells the same path (trailing
+      // slash / non-normalized) — the claim is path-normalized
+      StreamNearDedup.sink(spark, store, s"$root/outA/")
+      StreamNearDedup.sink(spark, store, s"$root/./outA")
       // a DIFFERENT query pointed at the same store is refused loudly —
       // the unguarded-by-default path no longer exists
       val e = intercept[IllegalStateException] {
