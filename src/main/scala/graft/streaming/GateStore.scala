@@ -342,6 +342,56 @@ private[graft] object GateStore {
     } else None
   }
 
+  /** One table's live-state summary inside a gate store. */
+  final case class TableStats(table: String, liveDirs: Int,
+      committedDirs: Int, dataLessDirs: Int, bytes: Long, files: Int)
+
+  /** Operational snapshot of a gate store — the numbers an operator
+    * (or a maintenance cron deciding whether to compact) needs, read
+    * straight off the directory protocol with no Spark job:
+    * per-table live/committed/data-less dir counts, bytes and file
+    * counts, the compaction high-water mark, the `_levels` ledger, and
+    * the owner/geometry markers. Pure metadata walk: safe to call
+    * concurrently with the single writer (it may see a batch mid-
+    * commit, which shows up as a live-but-uncommitted dir — exactly
+    * what it is).
+    */
+  final case class StoreStats(storeDir: String, owner: Option[String],
+      geometry: Option[String], compactedUpTo: Option[Long],
+      levels: Seq[(Int, Long)], tables: Seq[TableStats]) {
+    def totalBytes: Long = tables.map(_.bytes).sum
+    def totalFiles: Int = tables.map(_.files).sum
+  }
+
+  def describe(storeDir: String,
+      tables: Seq[(String, Seq[String])]): StoreStats = {
+    def marker(name: String): Option[String] = {
+      val f = new File(storeDir, name)
+      if (!f.exists()) None
+      else Some(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim)
+    }
+    def countFiles(dir: File): Int = {
+      val cs = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      cs.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        cs.filter(_.isDirectory).map(countFiles).sum
+    }
+    val ts = tables.map { case (t, _) =>
+      val dirs = listBatchDirs(new File(storeDir, t))
+      val committed = dirs.count { case (_, p) =>
+        new File(p, "_SUCCESS").exists() }
+      val dataLess = dirs.count { case (_, p) =>
+        !hasDataFiles(new File(p)) }
+      TableStats(t, dirs.size, committed, dataLess,
+        dirs.map(d => treeBytes(new File(d._2))).sum,
+        dirs.map(d => countFiles(new File(d._2))).sum)
+    }
+    val upTo = compactedUpTo(storeDir)
+    StoreStats(storeDir, marker(OwnerMarker), marker(GeometryMarker),
+      if (upTo == Long.MinValue) None else Some(upTo),
+      readLevels(storeDir), ts)
+  }
+
   private[graft] def treeBytes(dir: File): Long = {
     val children = Option(dir.listFiles()).getOrElse(Array.empty[File])
     children.collect {

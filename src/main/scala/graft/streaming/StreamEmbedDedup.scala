@@ -123,4 +123,10 @@ object StreamEmbedDedup {
       every: Int, fanout: Int = 4): Seq[Long] =
     GateStore.maybeCompactLeveled(spark, storeDir, Tables, every, fanout)
 
+  /** Operational snapshot of this gate's store — dir counts, bytes,
+    * markers, levels; no Spark job ([[GateStore.describe]]).
+    */
+  def describe(storeDir: String): GateStore.StoreStats =
+    GateStore.describe(storeDir, Tables)
+
 }

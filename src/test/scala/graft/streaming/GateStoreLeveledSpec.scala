@@ -82,6 +82,17 @@ class GateStoreLeveledSpec extends AnyFunSuite {
       assert(dirs(ls) == Seq(11L), s"final dirs: ${dirs(ls)}")
       assert(GateStore.readLevels(ls).toSet == Set((2, 11L)))
       assert(GateStore.compactedUpTo(ls) == 11L)
+      // the ops snapshot reads the same state off pure metadata
+      val stats = StreamMediaDedup.describe(ls)
+      assert(stats.compactedUpTo.contains(11L))
+      assert(stats.levels.toSet == Set((2, 11L)))
+      assert(stats.tables.map(_.table) == Seq("bands"))
+      val bands = stats.tables.head
+      assert(bands.liveDirs == 1 && bands.committedDirs == 1 &&
+        bands.dataLessDirs == 0)
+      assert(bands.bytes > 0 && bands.files > 0)
+      assert(stats.geometry.contains(StreamMediaDedup.Geometry))
+      assert(stats.owner.isEmpty) // driven via processBatch, no claim
       // merged-away ids replay as no-ops (marker vouches for them)
       StreamMediaDedup.processBatch(spark, bs(3), 3L, ls, lo)
       assert(dirs(ls) == Seq(11L), "compacted-id replay re-seeded the store")
