@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * for both policies, cumulative rewritten bytes, and per-window median
   * batch seconds.
   *
-  * Usage: tools/run.sh graft.GateLeveledProbe [N] [K] [fanout] [docsPerBatch]
+  * Usage: tools/run.sh graft.GateLeveledProbe [N] [K] [fanout] [docsPerBatch] [order]
+  * `order` = full-first (default) | leveled-first — the two policies run
+  * sequentially in ONE JVM, so whichever runs second inherits ~N batches
+  * of JVM aging; flipping the order separates that shared-process drift
+  * from any real policy cost in the probe-time curves.
   */
 object GateLeveledProbe {
   def main(args: Array[String]): Unit = {
@@ -30,6 +34,7 @@ object GateLeveledProbe {
     val k = if (args.length > 1) args(1).toInt else 32
     val fanout = if (args.length > 2) args(2).toInt else 4
     val perBatch = if (args.length > 3) args(3).toInt else 8
+    val leveledFirst = args.length > 4 && args(4) == "leveled-first"
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .appName("gate-leveled-probe")
@@ -93,8 +98,14 @@ object GateLeveledProbe {
       (comps.result(), times.toSeq, dirs)
     }
 
-    val (fullComps, fullTimes, fullDirs) = run(leveled = false)
-    val (levComps, levTimes, levDirs) = run(leveled = true)
+    val (fullRes, levRes) =
+      if (leveledFirst) {
+        val lev = run(leveled = true); (run(leveled = false), lev)
+      } else {
+        val full = run(leveled = false); (full, run(leveled = true))
+      }
+    val (fullComps, fullTimes, fullDirs) = fullRes
+    val (levComps, levTimes, levDirs) = levRes
 
     val win = 64
     def median(xs: Seq[Double]): Double = {
@@ -109,7 +120,8 @@ object GateLeveledProbe {
       .mkString("[", ",", "]")
     val fullCum = fullComps.map(_._2).sum
     val levCum = levComps.map(_._2).sum
-    println(s"""{"metric":"gate_leveled","n_batches":$n,"every":$k,"fanout":$fanout,"docs_per_batch":$perBatch,"window":$win,"full_compactions":${compJson(fullComps)},"leveled_compactions":${compJson(levComps)},"full_rewritten_bytes":$fullCum,"leveled_rewritten_bytes":$levCum,"full_probe_curve":${curve(fullTimes)},"leveled_probe_curve":${curve(levTimes)},"final_dirs_full":$fullDirs,"final_dirs_leveled":$levDirs}""")
+    val order = if (leveledFirst) "leveled-first" else "full-first"
+    println(s"""{"metric":"gate_leveled","n_batches":$n,"every":$k,"fanout":$fanout,"docs_per_batch":$perBatch,"order":"$order","window":$win,"full_compactions":${compJson(fullComps)},"leveled_compactions":${compJson(levComps)},"full_rewritten_bytes":$fullCum,"leveled_rewritten_bytes":$levCum,"full_probe_curve":${curve(fullTimes)},"leveled_probe_curve":${curve(levTimes)},"final_dirs_full":$fullDirs,"final_dirs_leveled":$levDirs}""")
     spark.stop()
   }
 }
