@@ -286,6 +286,63 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tri-gate LEVELED compaction: verdicts unchanged, all three stores fold to level runs, merged replay no-op, post-merge probe intact") {
+    // the leveled twin of the compactEvery test above — the production
+    // policy (GateStore.maybeCompactLeveled) composing across all three
+    // modality stores inside one logical batch
+    val root = java.nio.file.Files.createTempDirectory("trigate-l-").toString
+    val bs = alignedBatches()
+    try {
+      val (tC, eC, mC, oC) = (s"$root/ct", s"$root/ce", s"$root/cm", s"$root/co")
+      val (tL, eL, mL, oL) = (s"$root/lt", s"$root/le", s"$root/lm", s"$root/lo")
+      val control = StreamCuration.triGateSink(spark, tC, eC, mC, dir, oC,
+        owner = "trigate-ctl-l")
+      val leveled = StreamCuration.triGateSink(spark, tL, eL, mL, dir, oL,
+        owner = "trigate-lev", compactEvery = Some(2), compactLeveled = true)
+      bs.zipWithIndex.foreach { case (b, i) =>
+        control(b, i.toLong); leveled(b, i.toLong)
+      }
+      (0 until 2).foreach { i =>
+        assert(verdictSet(oL, i) == verdictSet(oC, i),
+          s"leveled verdicts diverged at batch $i")
+      }
+      // each store folded its two batches into one level-0 run,
+      // recorded in its own _levels ledger, marker vouching batch 0
+      def dirs(store: String, table: String) =
+        GateStore.listBatchDirs(new java.io.File(s"$store/$table")).map(_._1)
+      assert(dirs(tL, "bands") == Seq(1L) && dirs(tL, "shingles") == Seq(1L))
+      assert(dirs(eL, "sigs") == Seq(1L))
+      assert(dirs(mL, "bands") == Seq(1L))
+      Seq(tL, eL, mL).foreach { s =>
+        assert(GateStore.compactedUpTo(s) == 1L)
+        assert(GateStore.readLevels(s).toSet == Set((0, 1L)),
+          s"missing level-0 run ledger in $s")
+      }
+      // replay of the merged-away batch 0: no-op across all stores
+      import scala.jdk.CollectionConverters._
+      def fp(p: String) = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(p), null, true).asScala
+        .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+      val watched = Seq(tL, eL, mL, s"$oL/verdicts/batch=0")
+      val before = watched.map(fp)
+      leveled(bs(0), 0L)
+      assert(watched.map(fp) == before,
+        "replay of a leveled-compacted tri-gate batch rewrote files")
+      // fresh batch still catches batch 0's (merged) text rows
+      val b2 = Seq[(Long, String, String, Option[Seq[Float]],
+          Option[Array[Byte]], Option[String])](
+        (9700002L, txt("alpha seed corpus entry one"), "webz",
+          None, None, None))
+        .toDF("doc_id", "text", "source", "embedding", "payload", "format")
+      leveled(b2, 2L)
+      assert(verdictSet(oL, 2).exists { case (m, n, d, s) =>
+        m == "text" && n == 9700002L && d == 9500001L && s == 1.0 },
+        "leveled store lost batch 0's rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("stageCounts off: verdicts and chunks identical, stage_counts not written, measurably fewer jobs") {
     // the tri-gate floor is ~30 jobs/batch, 8 of them the per-stage
     // eager count()s plus the chunk re-read and the stage_counts write
