@@ -120,6 +120,17 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
       spec = Dedup.SigWide) // must not throw
     assert(new String(java.nio.file.Files.readAllBytes(marker),
       "UTF-8").trim == "sig:64/4", "legacy marker was not upgraded")
+    // the probeDepth dial fails at CONSTRUCTION (geometry/owner
+    // doctrine), not at the first micro-batch with a non-empty store
+    val e3 = intercept[IllegalArgumentException] {
+      StreamEmbedDedup.sink(spark, s"$root/pd", s"$root/pdo",
+        spec = Dedup.SigWide, probeDepth = 3)
+    }
+    assert(e3.getMessage.contains("probeDepth"), e3.getMessage)
+    intercept[IllegalArgumentException] {
+      StreamCuration.triGateSink(spark, s"$root/t2", s"$root/e2",
+        s"$root/m2", dir, s"$root/o3", owner = "pd-check", probeDepth = -1)
+    }
     // the pipeline-level entry point guards the same way
     val e2 = intercept[IllegalStateException] {
       graft.TrainingPipeline.curateIncrementalBatch(spark,
