@@ -152,7 +152,7 @@ object Bench {
     val cold = jsonMap(coldResults)
     val spreadJson =
       if (runs <= 1) ""
-      else ",\"runs\":" + runs + ",\"spread\":" + spread
+      else ",\"spread\":" + spread
         .map { case (k, (lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -163,8 +163,15 @@ object Bench {
     val coldMap = coldResults.toMap
     val totalWithCold = results
       .map { case (n, v) => coldMap.getOrElse(n, v) }.sum
+    val sfName = new java.io.File(sfDir).getName
+    // self-describing run conditions (round-15 verdict: BENCH_LATEST
+    // held a single cold run 28% off the 3-run median with nothing in
+    // the artifact saying which it was): runs + aggregation + sf name
+    // are stamped unconditionally, so a one-run number can't be read as
+    // a median after the fact
+    val condJson = s""","runs":$runs,"aggregation":"${if (runs > 1) "median" else "single_run"}","sf_name":"$sfName""""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_with_cold":$totalWithCold,"queries":$qs,"cold_queries":$cold$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_with_cold":$totalWithCold,"queries":$qs,"cold_queries":$cold$spreadJson$condJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's log tail truncates long stdout (BENCH_r10.json's
     // `tail` cut mid-JSON, `parsed` null) — persist the full per-query
@@ -172,14 +179,35 @@ object Bench {
     // repo-root tracked file the round-close commit picks up, so the
     // round's bench artifact is self-contained without depending on
     // how much stdout the driver keeps
-    val sfName = new java.io.File(sfDir).getName
     val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get(s"target/bench-$sfName.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, bytes)
-    if (wanted.isEmpty) // full-suite runs only; subsets would clobber
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
+    // BENCH_LATEST is per-SCALE-FACTOR: a full-suite run at another sf
+    // must not clobber the committed sf0.1 artifact (the round-15
+    // footgun — the guard was subset-only). Same sf (or no existing
+    // file) overwrites in place; a different sf diverts to a suffixed
+    // sibling and says so.
+    val latest = java.nio.file.Paths.get("BENCH_LATEST.json")
+    val existingSf: Option[String] =
+      if (!java.nio.file.Files.exists(latest)) None
+      else {
+        val prior = new String(java.nio.file.Files.readAllBytes(latest),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"sf(?:_name)?\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(prior)
+          .map(m => new java.io.File(m.group(1)).getName)
+      }
+    if (wanted.isEmpty) { // full-suite runs only; subsets would clobber
+      if (existingSf.forall(_ == sfName))
+        java.nio.file.Files.write(latest, bytes)
+      else {
+        System.err.println(s"[bench] BENCH_LATEST.json holds a " +
+          s"${existingSf.get} run — writing this $sfName run to " +
+          s"BENCH_LATEST-$sfName.json instead")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_LATEST-$sfName.json"), bytes)
+      }
+    }
     // resource receipts: per-query shuffle/input/spill/peak-mem/tasks/
     // jobs from the LAST timed run of each query (metric volumes are
     // plan-deterministic, unlike wall-clock)
@@ -212,8 +240,14 @@ object Bench {
     // stop() BEFORE the summary so no Spark shutdown chatter can land
     // after it — with build.sbt's StdoutOutput + showSuccess=false this
     // line is the process's last stdout line, which is exactly what the
-    // driver's tail parser reads
-    spark.stop()
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
+    // driver's tail parser reads. A shutdown hiccup must not eat the
+    // summary (the one line the round driver parses): catch and keep
+    // printing — the measurements were all taken before stop().
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (ignored — " +
+        s"timings already captured): ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
   }
 }

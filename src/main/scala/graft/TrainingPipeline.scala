@@ -384,6 +384,43 @@ object TrainingPipeline {
   val VerdictsDdl: String =
     "modality STRING, new_id BIGINT, dup_of BIGINT, score DOUBLE"
 
+  /** Schema of the published chunk frame ([[chunkFrame]]'s shape). */
+  val ChunksDdl: String =
+    "doc_id BIGINT, chunk_id INT, source STRING, chunk STRING, n_tok INT"
+
+  /** Published verdicts of one curated batch, read back in the exact
+    * [[VerdictsDdl]] shape from WHICHEVER layout the batch was written
+    * in — the flat per-table layout (`outDir/verdicts/batch=<id>`) or
+    * the folded single-write layout `foldWrites = true` produces
+    * (`outDir/curated/batch=<id>/kind=verdicts`). A batch with no
+    * verdict rows (bootstrap) reads as an empty frame of the right
+    * schema either way — the folded write emits no partition dir for
+    * an empty side, and reading a data-less dir would otherwise throw.
+    */
+  def readVerdicts(s: SparkSession, outDir: String, batchId: Long): DataFrame =
+    readPublished(s, outDir, batchId, "verdicts", VerdictsDdl)
+
+  /** Published chunks of one curated batch — layout-agnostic twin of
+    * [[readVerdicts]] in the [[ChunksDdl]] shape.
+    */
+  def readChunks(s: SparkSession, outDir: String, batchId: Long): DataFrame =
+    readPublished(s, outDir, batchId, "chunks", ChunksDdl)
+
+  private def readPublished(s: SparkSession, outDir: String, batchId: Long,
+      kind: String, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val folded = new java.io.File(s"$outDir/curated/batch=$batchId/kind=$kind")
+    val flat = new java.io.File(s"$outDir/$kind/batch=$batchId")
+    val readable = Seq(folded, flat)
+      .find(d => graft.streaming.GateStore.hasDataFiles(d))
+    readable match {
+      case Some(d) =>
+        s.read.parquet(d.toString).select(schema.fields.toSeq.map(f => col(f.name)): _*)
+      case None =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** [[curateIncremental]] made REPLAY-SAFE — the at-least-once edition
     * that can sit directly in a streaming foreachBatch
     * ([[graft.streaming.StreamCuration.triGateSink]] curries it): same
@@ -422,6 +459,16 @@ object TrainingPipeline {
     * stage_counts write are pure fixed floor (TriGateScaleProbe's ~8 s
     * breakdown); with counts off the `stage_counts` table is simply
     * not written and verdicts/chunks are byte-identical (spec-pinned).
+    * `foldWrites = true` shrinks the floor further: verdicts + chunks
+    * land as ONE kind-partitioned write under `outDir/curated/batch=
+    * <id>` instead of two jobs (read them back via [[readVerdicts]] /
+    * [[readChunks]] — row-identical to the flat layout, spec-pinned),
+    * and the three stores' PAYLOAD appends (shingles / sigs / media
+    * bands) are submitted concurrently — the append-order contract
+    * only sequences payloads BEFORE the text-bands sentinel, not among
+    * themselves, so the sink still joins all payload jobs before the
+    * sentinel write. Same job count on the appends, one fewer publish
+    * job, and the payload jobs overlap instead of queueing.
     */
   def curateIncrementalBatch(s: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, benchDir: String, outDir: String,
@@ -432,7 +479,8 @@ object TrainingPipeline {
       mediaStoreDir: Option[String] = None,
       sigSpec: Dedup.SigSpec = Dedup.SigNarrow,
       probeDepth: Int = 0,
-      stageCounts: Boolean = true): Unit = {
+      stageCounts: Boolean = true,
+      foldWrites: Boolean = false): Unit = {
     import graft.streaming.GateStore
     require(batchEmbeddings.isDefined == embedStoreDir.isDefined,
       "batchEmbeddings and embedStoreDir must be supplied together")
@@ -570,50 +618,88 @@ object TrainingPipeline {
       val verdicts = verdictParts.reduceOption(_.unionByName(_)).getOrElse(
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(VerdictsDdl)))
-      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
-      Seq(textV, embedV, mediaV).flatten.foreach(_.release())
+      if (foldWrites) {
+        // one frame, one write: verdicts and chunks union under a
+        // `kind` discriminator (null-padded to the superset schema) and
+        // land in a single kind-partitioned job. readVerdicts/readChunks
+        // project the exact per-table shapes back out; an empty side
+        // simply has no kind= partition dir (zero-row partitioned
+        // writes emit none — the readers' data-less fallback).
+        def nul(t: String, n: String) = lit(null).cast(t).as(n)
+        val vSide = verdicts.select(lit("verdicts").as("kind"),
+          col("modality"), col("new_id"), col("dup_of"), col("score"),
+          nul("bigint", "doc_id"), nul("int", "chunk_id"),
+          nul("string", "source"), nul("string", "chunk"), nul("int", "n_tok"))
+        val cSide = chunkFrame(clean).select(lit("chunks").as("kind"),
+          nul("string", "modality"), nul("bigint", "new_id"),
+          nul("bigint", "dup_of"), nul("double", "score"),
+          col("doc_id"), col("chunk_id"), col("source"),
+          col("chunk"), col("n_tok"))
+        vSide.unionByName(cSide).write.mode("overwrite")
+          .partitionBy("kind").parquet(s"$outDir/curated/batch=$batchId")
+        Seq(textV, embedV, mediaV).flatten.foreach(_.release())
+      } else {
+        verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
+        Seq(textV, embedV, mediaV).flatten.foreach(_.release())
 
-      // 2. chunks (written straight to disk — no checkpoint needed, the
-      //    stage count reads the committed file back)
-      val chunksPath = s"$outDir/chunks/batch=$batchId"
-      chunkFrame(clean).write.mode("overwrite").parquet(chunksPath)
+        // 2. chunks (written straight to disk — no checkpoint needed,
+        //    the stage count reads the committed file back)
+        chunkFrame(clean).write.mode("overwrite")
+          .parquet(s"$outDir/chunks/batch=$batchId")
+      }
 
       // 3. per-stage accounting (stageCounts dial: the chunk re-read +
       //    count and the coalesced write are two more floor jobs)
       if (stageCounts) {
-        counts += "chunk" -> s.read.parquet(chunksPath).count()
+        counts += "chunk" -> readChunks(s, outDir, batchId).count()
         import s.implicits._
         counts.toSeq.toDF("stage", "rows").coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/stage_counts/batch=$batchId")
       }
 
       // 4. store appends — shingles/sigs/media bands first, TEXT bands
-      //    (the batch's one replay sentinel) dead last
+      //    (the batch's one replay sentinel) dead last. The contract
+      //    orders payloads BEFORE the sentinel, not among themselves:
+      //    under foldWrites the three payload jobs run concurrently and
+      //    are ALL joined before the sentinel write starts.
       Checkpoints.sweep(s) {
         val sh = Dedup.shingleSetsOf(clean).cache()
-        sh.withColumn("bucket",
-            pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
-          .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$storeDir/shingles/batch=$batchId")
-        (batchEmbeddings, embedStoreDir) match {
-          case (Some(embs), Some(eStore)) =>
-            Dedup.sigStoreRows(embs.select(col("vec_id"), col("embedding"))
-                .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id")),
-                sigSpec)
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(s"$eStore/sigs/batch=$batchId")
-          case _ => ()
-        }
-        (batchMedia, mediaStoreDir) match {
-          case (Some(media), Some(mStore)) =>
-            Multimodal.mm9IndexRows(media
-                .select(col("media_id"), col("payload"), col("format"))
-                .join(clean.select(col("doc_id").as("media_id")), Seq("media_id")))
-              .write.mode("overwrite")
-              .parquet(s"$mStore/bands/batch=$batchId")
-          case _ => ()
-        }
+        val payloadAppends: Seq[() => Unit] = Seq(
+          Some(() => sh.withColumn("bucket",
+              pmod(xxhash64(col("doc_id")), lit(Dedup.D19Buckets.toLong)))
+            .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$storeDir/shingles/batch=$batchId")),
+          (batchEmbeddings, embedStoreDir) match {
+            case (Some(embs), Some(eStore)) => Some(() =>
+              Dedup.sigStoreRows(embs.select(col("vec_id"), col("embedding"))
+                  .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+                  sigSpec)
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(s"$eStore/sigs/batch=$batchId"))
+            case _ => None
+          },
+          (batchMedia, mediaStoreDir) match {
+            case (Some(media), Some(mStore)) => Some(() =>
+              Multimodal.mm9IndexRows(media
+                  .select(col("media_id"), col("payload"), col("format"))
+                  .join(clean.select(col("doc_id").as("media_id")), Seq("media_id")))
+                .write.mode("overwrite")
+                .parquet(s"$mStore/bands/batch=$batchId"))
+            case _ => None
+          }).flatten
+        if (foldWrites && payloadAppends.size > 1) {
+          // concurrent job submission is thread-safe in Spark; a failure
+          // in ANY payload leg must still fail the batch BEFORE the
+          // sentinel lands (rethrown after the join), so the replay
+          // envelope is untouched
+          val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+          val threads = payloadAppends.map(a => new Thread(() =>
+            try a() catch { case t: Throwable => failure.compareAndSet(null, t) }))
+          threads.foreach(_.start())
+          threads.foreach(_.join())
+          if (failure.get() != null) throw failure.get()
+        } else payloadAppends.foreach(_())
         Dedup.minhashBands(sh).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       }

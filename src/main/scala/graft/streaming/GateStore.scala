@@ -86,12 +86,44 @@ private[graft] object GateStore {
   /** The DEFAULT owner name a gate sink claims when the caller gives
     * none: the verdict output root, absolutized and normalized so a
     * restart that respells the same path (trailing slash, relative vs
-    * absolute) still re-claims its own store instead of being refused
-    * as a second writer. (Symlinked roots still differ — pass an
-    * explicit stable owner if the deployment moves mounts around.)
+    * absolute, `file:` URI vs plain path) still re-claims its own store
+    * instead of being refused as a second writer. (Symlinked roots
+    * still differ — pass an explicit stable owner if the deployment
+    * moves mounts around.)
     */
   private[graft] def ownerFor(outDir: String): String =
-    "out:" + java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    "out:" + normalizeOutPath(outDir)
+
+  /** Scheme-aware path normalization for [[ownerFor]]. Plain paths go
+    * through Paths.get (absolutize + normalize); URI-form Spark paths
+    * (`hdfs://…`, `s3a://…`, `file:/…`) must NOT — Paths.get would
+    * resolve `hdfs://nn/x` against the CWD and a restart that switches
+    * spellings of the same output would derive a different owner and be
+    * refused as a second writer. `file:` URIs with no remote authority
+    * collapse to the local-path form, so `file:/out`, `file:///out` and
+    * `/out` all name one owner; other schemes keep
+    * `scheme://authority/path` with the trailing slash stripped.
+    */
+  private[graft] def normalizeOutPath(outDir: String): String = {
+    def local(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    // a real URI scheme is 2+ chars then ":/" — one-char prefixes (and
+    // anything colon-free) are plain paths (Windows-drive lookalikes,
+    // odd relative names) and take the Paths.get route
+    if (!outDir.matches("^[A-Za-z][A-Za-z0-9+.\\-]+:/.*")) local(outDir)
+    else {
+      val u = java.net.URI.create(outDir).normalize()
+      if (u.isOpaque || u.getScheme == null) local(outDir)
+      else {
+        val scheme = u.getScheme.toLowerCase
+        val auth = Option(u.getAuthority).filter(_.nonEmpty)
+        val path = Option(u.getPath).getOrElse("")
+          .replaceAll("/+$", "") match { case "" => "/"; case p => p }
+        if (scheme == "file" && auth.isEmpty) local(path)
+        else s"$scheme://${auth.getOrElse("")}$path"
+      }
+    }
+  }
 
   def claimOwner(storeDir: String, owner: String): Unit = {
     require(owner.nonEmpty && !owner.contains('\n'),
@@ -392,6 +424,87 @@ private[graft] object GateStore {
       readLevels(storeDir), ts)
   }
 
+  /** When [[maintain]] compacts, everything it needs to decide with:
+    * fold fresh dirs once `compactEvery` of them accumulate (the same
+    * rule the inline leveled policy runs), or — the out-of-band
+    * backstop — force a fold of whatever fresh dirs exist (≥ 2) once
+    * the sentinel's LIVE dir count or the store's total bytes crosses
+    * its ceiling, so a store whose writer never reaches `compactEvery`
+    * fresh dirs between maintenance passes still gets its file count
+    * bounded. `onBehalfOf` names the owner the maintainer acts for —
+    * see [[maintain]]'s refusal contract.
+    */
+  final case class MaintenancePolicy(
+      compactEvery: Int = 16,
+      fanout: Int = 4,
+      maxLiveDirs: Int = 64,
+      maxBytes: Long = Long.MaxValue,
+      onBehalfOf: Option[String] = None)
+
+  /** What one [[maintain]] pass saw and did: the [[describe]] snapshot
+    * it decided on, the compaction target ids it ran (empty = below
+    * every threshold, no Spark job submitted), and the post-pass
+    * snapshot (== `before` when nothing ran).
+    */
+  final case class MaintenanceReport(before: StoreStats,
+      compactions: Seq[Long], after: StoreStats)
+
+  /** Out-of-band store maintenance — the entry point a cron (or any
+    * scheduler outside the streaming query) calls on a gate store that
+    * is NOT running inline compaction: read the [[describe]] snapshot,
+    * and when the policy's thresholds are crossed, run
+    * [[maybeCompactLeveled]] under the same crash envelope the inline
+    * path uses. Verdict semantics are untouched by construction —
+    * compaction only reshapes which live dirs hold the rows, and probes
+    * read the union.
+    *
+    * SINGLE-WRITER CONTRACT: compaction interleaved with a live writer
+    * it doesn't coordinate with is exactly the two-writers hazard the
+    * `_owner` marker exists to refuse. So: if the store carries an
+    * owner marker, the policy's `onBehalfOf` must match it — the caller
+    * asserting it IS (or acts with the authority of) that owner, e.g.
+    * the maintenance cron of the deployment whose query owns the store,
+    * scheduled in the query's trigger gaps. A mismatch (or a missing
+    * `onBehalfOf` against an owned store) throws before any Spark job.
+    * An unowned store (driven via bare processBatch) needs no
+    * credential.
+    */
+  def maintain(spark: SparkSession, storeDir: String,
+      tables: Seq[(String, Seq[String])],
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    require(policy.compactEvery >= 2,
+      s"compactEvery must be >= 2, got ${policy.compactEvery}")
+    val before = describe(storeDir, tables)
+    before.owner.foreach { o =>
+      if (!policy.onBehalfOf.contains(o)) throw new IllegalStateException(
+        s"gate store $storeDir is owned by '$o' — refusing out-of-band " +
+          s"maintenance on behalf of '${policy.onBehalfOf.getOrElse("<none>")}'. " +
+          "Compacting under a live writer you don't coordinate with is " +
+          "the two-writers hazard; pass onBehalfOf = the owner name to " +
+          "assert you act for it.")
+    }
+    val sentinel = before.tables.headOption
+      .getOrElse(TableStats(tables.head._1, 0, 0, 0, 0L, 0))
+    val levelIds = before.levels.map(_._2).toSet
+    val freshCommitted = listBatchDirs(new File(storeDir, tables.head._1))
+      .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
+      .map(_._1).count(id => !levelIds.contains(id))
+    val ceilingHit = sentinel.liveDirs >= policy.maxLiveDirs ||
+      before.totalBytes >= policy.maxBytes
+    val compactions =
+      if (freshCommitted >= policy.compactEvery)
+        maybeCompactLeveled(spark, storeDir, tables,
+          policy.compactEvery, policy.fanout)
+      else if (ceilingHit && freshCommitted >= 2)
+        // force-fold whatever fresh dirs exist: the ceiling says the
+        // store can't wait for a full compactEvery run to accumulate
+        maybeCompactLeveled(spark, storeDir, tables,
+          freshCommitted, policy.fanout)
+      else Seq.empty
+    MaintenanceReport(before, compactions,
+      if (compactions.isEmpty) before else describe(storeDir, tables))
+  }
+
   private[graft] def treeBytes(dir: File): Long = {
     val children = Option(dir.listFiles()).getOrElse(Array.empty[File])
     children.collect {
@@ -410,11 +523,27 @@ private[graft] object GateStore {
   private[graft] def readLevels(storeDir: String): Seq[(Int, Long)] = {
     val f = new File(storeDir, LevelsMarker)
     if (!f.exists()) Seq.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
-        val Array(lv, id) = l.split("\\s+", 2)
-        (lv.toInt, id.toLong)
-      }.toSeq
+    else try {
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+          try {
+            val Array(lv, id) = l.split("\\s+", 2)
+            Some((lv.toInt, id.toLong))
+          } catch { case _: RuntimeException =>
+            // advisory doctrine: a corrupt line degrades exactly like a
+            // lost file — the run it named looks fresh again and costs
+            // one extra re-merge. Throwing here instead would wedge
+            // every later maybeCompactLeveled/describe call.
+            log.warn(s"dropping unparseable _levels line '$l' in " +
+              s"$storeDir (advisory ledger — worst case one extra re-merge)")
+            None
+          }
+        }.toSeq
+    } catch { case _: java.io.IOException =>
+      log.warn(s"unreadable _levels file in $storeDir — treating the " +
+        "advisory ledger as absent")
+      Seq.empty
+    }
   }
 
   private def writeLevels(storeDir: String, levels: Seq[(Int, Long)]): Unit = {
@@ -455,6 +584,16 @@ private[graft] object GateStore {
     * level-0 merge can trigger a level-1 merge immediately); returns
     * the target ids of every compaction performed.
     */
+  /** TEST-ONLY fault injection for the mid-cascade crash specs: called
+    * at each tear point inside [[maybeCompactLeveled]] with a point
+    * name — `level0-merged` (level-0 fold committed, `_levels` not yet
+    * updated), `level0-recorded` (fold + ledger done, any due cascade
+    * not yet run), `cascade-merged-<L>` (a level-L cascade committed,
+    * its ledger update pending). A spec throwing from here simulates a
+    * crash at exactly that point; production never sets this.
+    */
+  private[graft] var leveledFault: String => Unit = _ => ()
+
   def maybeCompactLeveled(spark: SparkSession, storeDir: String,
       tables: Seq[(String, Seq[String])], every: Int,
       fanout: Int = 4): Seq[Long] = {
@@ -476,8 +615,10 @@ private[graft] object GateStore {
     val target0 = fresh.max
     compactFiltered(spark, storeDir, target0, tables,
       id => !levelIds.contains(id))
+    leveledFault("level0-merged")
     levels :+= ((0, target0)); ran += target0
     writeLevels(storeDir, levels)
+    leveledFault("level0-recorded")
     // cascade: fanout runs at level L fold into a level-(L+1) run
     var l = 0
     var cascading = true
@@ -487,6 +628,7 @@ private[graft] object GateStore {
         val t = runs.max
         val inputs = runs.filter(_ != t).toSet
         compactFiltered(spark, storeDir, t, tables, inputs)
+        leveledFault(s"cascade-merged-$l")
         levels = levels.filterNot { case (lv, id) =>
           lv == l && (inputs(id) || id == t) } :+ ((l + 1, t))
         ran += t

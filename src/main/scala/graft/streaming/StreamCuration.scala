@@ -81,7 +81,8 @@ object StreamCuration {
       compactEvery: Option[Int] = None,
       compactLeveled: Boolean = false,
       probeDepth: Int = 0,
-      stageCounts: Boolean = true)
+      stageCounts: Boolean = true,
+      foldWrites: Boolean = false)
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
@@ -105,7 +106,7 @@ object StreamCuration {
         batchEmbeddings = Some(embs), embedStoreDir = Some(embedStoreDir),
         batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
         sigSpec = sigSpec, probeDepth = probeDepth,
-        stageCounts = stageCounts)
+        stageCounts = stageCounts, foldWrites = foldWrites)
       // inline maintenance, per store (each keyed off its OWN committed
       // dir count — see GateStore.maybeCompact). Safe relative to the
       // cross-store replay sentinel: compaction's marker-before-delete

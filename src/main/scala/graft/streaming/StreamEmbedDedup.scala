@@ -129,4 +129,14 @@ object StreamEmbedDedup {
   def describe(storeDir: String): GateStore.StoreStats =
     GateStore.describe(storeDir, Tables)
 
+  /** Out-of-band threshold-driven maintenance over this gate's store —
+    * reads the [[describe]] snapshot and compacts (leveled) when the
+    * policy says so; refuses owned stores without the owner's name
+    * ([[GateStore.maintain]]).
+    */
+  def maintain(spark: SparkSession, storeDir: String,
+      policy: GateStore.MaintenancePolicy = GateStore.MaintenancePolicy())
+      : GateStore.MaintenanceReport =
+    GateStore.maintain(spark, storeDir, Tables, policy)
+
 }

@@ -59,8 +59,9 @@ object TriGateFloorProbe {
         jobs.incrementAndGet()
     }
 
-    def run(stageCounts: Boolean): (Seq[Double], Int) = {
-      val tag = if (stageCounts) "on" else "off"
+    def run(stageCounts: Boolean, foldWrites: Boolean = false): (Seq[Double], Int) = {
+      val tag = (if (stageCounts) "on" else "off") +
+        (if (foldWrites) "-fold" else "")
       val root = s"/tmp/trigate-floor-$tag"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       // leveled compact-every-16 keeps both lines FLAT (the production
@@ -69,7 +70,8 @@ object TriGateFloorProbe {
       val sink = StreamCuration.triGateSink(spark,
         s"$root/text", s"$root/embed", s"$root/media", src, s"$root/out",
         owner = s"floor-probe-$tag", stageCounts = stageCounts,
-        compactEvery = Some(16), compactLeveled = true)
+        compactEvery = Some(16), compactLeveled = true,
+        foldWrites = foldWrites)
       val times = Array.ofDim[Double](n)
       spark.sparkContext.addSparkListener(listener)
       jobs.set(0)
@@ -89,6 +91,9 @@ object TriGateFloorProbe {
 
     val (onTimes, onJobs) = run(stageCounts = true)
     val (offTimes, offJobs) = run(stageCounts = false)
+    // the round-16 leg: counts off AND the publish/append fold — one
+    // verdict+chunks write instead of two, payload appends overlapped
+    val (foldTimes, foldJobs) = run(stageCounts = false, foldWrites = true)
     val win = 16
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -97,7 +102,7 @@ object TriGateFloorProbe {
     }
     def curve(ts: Seq[Double]) = ts.grouped(win).map(w => median(w))
       .map(v => math.rint(v * 1000) / 1000).mkString("[", ",", "]")
-    println(s"""{"metric":"trigate_floor","n_batches":$n,"docs_per_batch":$perBatch,"window":$win,"counts_on_curve":${curve(onTimes)},"counts_off_curve":${curve(offTimes)},"counts_on_total_sec":${math.rint(onTimes.sum * 10) / 10},"counts_off_total_sec":${math.rint(offTimes.sum * 10) / 10},"counts_on_jobs":$onJobs,"counts_off_jobs":$offJobs,"jobs_per_batch_on":${math.rint(10.0 * onJobs / n) / 10},"jobs_per_batch_off":${math.rint(10.0 * offJobs / n) / 10}}""")
+    println(s"""{"metric":"trigate_floor","n_batches":$n,"docs_per_batch":$perBatch,"window":$win,"counts_on_curve":${curve(onTimes)},"counts_off_curve":${curve(offTimes)},"fold_curve":${curve(foldTimes)},"counts_on_total_sec":${math.rint(onTimes.sum * 10) / 10},"counts_off_total_sec":${math.rint(offTimes.sum * 10) / 10},"fold_total_sec":${math.rint(foldTimes.sum * 10) / 10},"counts_on_jobs":$onJobs,"counts_off_jobs":$offJobs,"fold_jobs":$foldJobs,"jobs_per_batch_on":${math.rint(10.0 * onJobs / n) / 10},"jobs_per_batch_off":${math.rint(10.0 * offJobs / n) / 10},"jobs_per_batch_fold":${math.rint(10.0 * foldJobs / n) / 10}}""")
     spark.stop()
   }
 }

@@ -108,6 +108,137 @@ class GateStoreLeveledSpec extends AnyFunSuite {
     }
   }
 
+  /** Drive control + leveled gates batch-by-batch, compacting the
+    * leveled one; `fault` installs GateStore.leveledFault for the whole
+    * drive (reset by the caller's finally). Returns nothing — state is
+    * on disk.
+    */
+  private def drive(bs: Seq[DataFrame], range: Range, cs: String,
+      co: String, ls: String, lo: String, every: Int, fanout: Int): Unit =
+    for (i <- range) {
+      StreamMediaDedup.processBatch(spark, bs(i), i.toLong, cs, co)
+      StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ls, lo)
+      try StreamMediaDedup.maybeCompactLeveled(spark, ls, every, fanout)
+      catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.startsWith("injected-tear") => () }
+    }
+
+  private def assertVerdictsEqual(bs: Seq[DataFrame], upTo: Int,
+      co: String, lo: String, ctx: String): Unit =
+    for (i <- 0 until upTo)
+      assert(canon(spark.read.parquet(s"$lo/batch=$i")) ==
+        canon(spark.read.parquet(s"$co/batch=$i")),
+        s"$ctx: verdicts diverged at batch $i")
+
+  test("mid-cascade tear A — crash between the level-0 merge and its _levels write: one extra re-merge, same verdicts, merged-id replays still no-op") {
+    val root = java.nio.file.Files.createTempDirectory("leveled-tearA-").toString
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val bs = batches(6)
+      val (cs, co) = (s"$root/cstore", s"$root/cout")
+      val (ls, lo) = (s"$root/lstore", s"$root/lout")
+      // crash exactly once: the batch-2 fold commits its merge (dirs
+      // rewritten, marker advanced) but dies before writeLevels
+      var armed = true
+      GateStore.leveledFault = {
+        case p if p.endsWith("-merged") || p.startsWith("cascade-merged") =>
+          if (p == "level0-merged") {
+            merges.incrementAndGet()
+            if (armed) { armed = false; throw new RuntimeException("injected-tear A") }
+          } else merges.incrementAndGet()
+        case _ => ()
+      }
+      drive(bs, 0 until 3, cs, co, ls, lo, every = 3, fanout = 4)
+      // the torn state: fold {0,1,2}→2 landed, the ledger did not
+      assert(dirs(ls) == Seq(2L), s"post-tear dirs: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).isEmpty, "ledger survived the tear")
+      assert(GateStore.compactedUpTo(ls) == 2L)
+      // merged-away ids replay as no-ops even in the torn state
+      StreamMediaDedup.processBatch(spark, bs(1), 1L, ls, lo)
+      assert(dirs(ls) == Seq(2L), "torn-state replay re-seeded the store")
+      // restart: the unrecorded run looks fresh again; at batch 4 the
+      // fresh set {2,3,4} refolds it — the one extra re-merge
+      drive(bs, 3 until 6, cs, co, ls, lo, every = 3, fanout = 4)
+      assert(dirs(ls) == Seq(4L, 5L), s"recovered dirs: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).toSet == Set((0, 4L)))
+      assertVerdictsEqual(bs, 6, co, lo, "tear A")
+      // recovery cost: exactly 2 completed merges (the crashed fold +
+      // one recovery fold at batch 4) — the same COUNT a crash-free run
+      // does (folds at 2 and 5); the "one extra re-merge" is run 2's
+      // rows passing through a fold twice, visible above as its dir
+      // becoming an input of the batch-4 fold. No runaway repair loop.
+      assert(merges.get() == 2, s"merge count ${merges.get()} != 2")
+    } finally {
+      GateStore.leveledFault = _ => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("mid-cascade tear B — crash between a recorded level-0 fold and its due cascade: cascade deferred to the next fold, no extra re-merge, same verdicts") {
+    val root = java.nio.file.Files.createTempDirectory("leveled-tearB-").toString
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val bs = batches(9)
+      val (cs, co) = (s"$root/cstore", s"$root/cout")
+      val (ls, lo) = (s"$root/lstore", s"$root/lout")
+      // every=3, fanout=2: batch 2 folds {0,1,2}→2; batch 5 folds
+      // {3,4,5}→5 and OWES a cascade ({2,5} ≥ fanout). Crash after the
+      // fold's ledger write, before that cascade runs.
+      var armed = false
+      GateStore.leveledFault = {
+        case p if p.endsWith("-merged") || p.startsWith("cascade-merged") =>
+          merges.incrementAndGet()
+        case "level0-recorded" =>
+          if (armed) { armed = false; throw new RuntimeException("injected-tear B") }
+        case _ => ()
+      }
+      drive(bs, 0 until 5, cs, co, ls, lo, every = 3, fanout = 2)
+      armed = true // arm for the batch-5 fold only
+      drive(bs, 5 until 6, cs, co, ls, lo, every = 3, fanout = 2)
+      // torn state: both level-0 runs recorded, the due cascade missing
+      assert(dirs(ls) == Seq(2L, 5L), s"post-tear dirs: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).toSet == Set((0, 2L), (0, 5L)))
+      // restart: batches 6,7 are below threshold (the missed cascade is
+      // NOT retried eagerly — it waits for the next fold), batch 8
+      // folds {6,7,8}→8 and the cascade fires with {2,5,8}
+      drive(bs, 6 until 9, cs, co, ls, lo, every = 3, fanout = 2)
+      assert(dirs(ls) == Seq(8L), s"recovered dirs: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).toSet == Set((1, 8L)))
+      assertVerdictsEqual(bs, 9, co, lo, "tear B")
+      // no extra rewrite: 4 merges total (folds 2/5/8 + one cascade) —
+      // the same count the crash-free run does over 9 batches
+      assert(merges.get() == 4, s"merge count ${merges.get()} != crash-free 4")
+    } finally {
+      GateStore.leveledFault = _ => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("a corrupt _levels line is dropped, not fatal: describe and compaction keep working, worst case one extra re-merge") {
+    val root = java.nio.file.Files.createTempDirectory("leveled-corrupt-").toString
+    try {
+      val bs = batches(6)
+      val (cs, co) = (s"$root/cstore", s"$root/cout")
+      val (ls, lo) = (s"$root/lstore", s"$root/lout")
+      drive(bs, 0 until 3, cs, co, ls, lo, every = 3, fanout = 4)
+      assert(GateStore.readLevels(ls).toSet == Set((0, 2L)))
+      // corrupt the recorded run's line (torn write / bit rot)
+      java.nio.file.Files.write(java.nio.file.Paths.get(ls, "_levels"),
+        "0 not-a-number\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // reads degrade to "line absent" — no MatchError/NumberFormat
+      assert(GateStore.readLevels(ls).isEmpty)
+      assert(StreamMediaDedup.describe(ls).levels.isEmpty)
+      // and the run whose entry rotted looks fresh again: the next fold
+      // re-merges it (the documented worst case) with correct verdicts
+      drive(bs, 3 until 6, cs, co, ls, lo, every = 3, fanout = 4)
+      assert(dirs(ls) == Seq(4L, 5L), s"dirs after corrupt line: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).toSet == Set((0, 4L)))
+      assertVerdictsEqual(bs, 6, co, lo, "corrupt ledger line")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("a lost _levels ledger degrades to re-merge, never to wrong verdicts") {
     val root = java.nio.file.Files.createTempDirectory("leveled-crash-").toString
     try {

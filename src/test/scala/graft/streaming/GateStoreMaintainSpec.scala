@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.queries.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GateStore.maintain — the out-of-band maintenance entry point that
+  * consumes the `describe` snapshot (round-15 verdict #3): a gate left
+  * running WITHOUT inline compaction can still have its live-dir and
+  * byte growth bounded by a scheduler calling maintain between the
+  * writer's batches. Pins:
+  *  - thresholds are respected: below them maintain is a pure metadata
+  *    read (no compaction, `after eq before`); at/above, it runs the
+  *    leveled policy;
+  *  - the maxLiveDirs ceiling force-folds even when fewer than
+  *    compactEvery fresh dirs exist;
+  *  - verdicts are unchanged by maintenance (vs an unmaintained
+  *    control store);
+  *  - an owned store refuses maintenance that doesn't present the
+  *    owner's name (the two-writers hazard), and accepts it when it
+  *    does.
+  */
+class GateStoreMaintainSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def batches(n: Int): Seq[DataFrame] = {
+    val media = Multimodal.mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+    (0 until n).map(m => media.filter(col("media_id") % n === m))
+  }
+
+  private def canon(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def dirs(store: String): Seq[Long] =
+    GateStore.listBatchDirs(new java.io.File(s"$store/bands")).map(_._1)
+
+  test("maintain compacts at the threshold, no-ops below it, and leaves verdicts untouched") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-").toString
+    try {
+      val bs = batches(8)
+      val (cs, co) = (s"$root/cstore", s"$root/cout") // unmaintained control
+      val (ms, mo) = (s"$root/mstore", s"$root/mout") // maintained
+      val policy = GateStore.MaintenancePolicy(compactEvery = 4, fanout = 4)
+      for (i <- bs.indices) {
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, cs, co)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+        val rep = StreamMediaDedup.maintain(spark, ms, policy)
+        // 4 fresh dirs accumulate at batches 3 and 7 — the only two
+        // passes allowed to compact
+        if (i == 3 || i == 7)
+          assert(rep.compactions.nonEmpty,
+            s"maintain did not compact at threshold, batch $i")
+        else {
+          assert(rep.compactions.isEmpty,
+            s"maintain compacted below threshold at batch $i")
+          // no-op passes return the SAME snapshot — no second walk, and
+          // proof nothing was touched
+          assert(rep.after eq rep.before)
+        }
+      }
+      // folds at batches 3 ({0..3}→3) and 7 ({4..7}→7)
+      assert(dirs(ms) == Seq(3L, 7L), s"maintained dirs: ${dirs(ms)}")
+      assert(GateStore.readLevels(ms).toSet == Set((0, 3L), (0, 7L)))
+      // the report's snapshots bracket the work
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        policy.copy(compactEvery = 16))
+      assert(rep.compactions.isEmpty && rep.before.tables.head.liveDirs == 2)
+      // verdicts byte-equal the unmaintained control at every batch
+      for (i <- bs.indices)
+        assert(canon(spark.read.parquet(s"$mo/batch=$i")) ==
+          canon(spark.read.parquet(s"$co/batch=$i")),
+          s"maintenance changed verdicts at batch $i")
+      // and a fresh probe against the maintained store sees every
+      // merged row: same verdict as against the control
+      StreamMediaDedup.processBatch(spark, bs(0), 8L, ms, mo)
+      StreamMediaDedup.processBatch(spark, bs(0), 8L, cs, co)
+      assert(canon(spark.read.parquet(s"$mo/batch=8")) ==
+        canon(spark.read.parquet(s"$co/batch=8")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("maxLiveDirs ceiling force-folds fewer-than-compactEvery fresh dirs") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-ceil-").toString
+    try {
+      val bs = batches(3)
+      val (ms, mo) = (s"$root/mstore", s"$root/mout")
+      for (i <- bs.indices)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      // 3 fresh dirs, compactEvery=16 — but the dir ceiling is breached
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 16, maxLiveDirs = 3))
+      assert(rep.compactions == Seq(2L), s"ceiling fold ran ${rep.compactions}")
+      assert(dirs(ms) == Seq(2L))
+      assert(rep.after.tables.head.liveDirs == 1)
+      // a single fresh dir under the ceiling stays as-is (nothing to fold)
+      val rep2 = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 16, maxLiveDirs = 1))
+      assert(rep2.compactions.isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("an owned store refuses maintenance without the owner's name") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-own-").toString
+    try {
+      val bs = batches(4)
+      val (ms, mo) = (s"$root/mstore", s"$root/mout")
+      GateStore.claimOwner(ms, "curation-query-A")
+      for (i <- bs.indices)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      val policy = GateStore.MaintenancePolicy(compactEvery = 4)
+      // no credential → refused before any Spark job
+      val e1 = intercept[IllegalStateException] {
+        StreamMediaDedup.maintain(spark, ms, policy)
+      }
+      assert(e1.getMessage.contains("owned"), e1.getMessage)
+      // wrong credential → refused
+      val e2 = intercept[IllegalStateException] {
+        StreamMediaDedup.maintain(spark, ms,
+          policy.copy(onBehalfOf = Some("curation-query-B")))
+      }
+      assert(e2.getMessage.contains("owned"), e2.getMessage)
+      assert(dirs(ms) == Seq(0L, 1L, 2L, 3L), "a refused maintain touched the store")
+      // the owner's name → maintenance runs
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        policy.copy(onBehalfOf = Some("curation-query-A")))
+      assert(rep.compactions == Seq(3L))
+      assert(dirs(ms) == Seq(3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+}

@@ -324,4 +324,45 @@ class StreamNearDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
+
+  test("default owner is scheme-aware: URI and plain-path spellings of one output derive one owner; remote URIs are never CWD-resolved") {
+    // file: URIs with no remote authority collapse to the local form —
+    // all four spellings name ONE owner
+    assert(GateStore.ownerFor("/tmp/graft-owner-x") == "out:/tmp/graft-owner-x")
+    assert(GateStore.ownerFor("file:/tmp/graft-owner-x") ==
+      GateStore.ownerFor("/tmp/graft-owner-x"))
+    assert(GateStore.ownerFor("file:///tmp/graft-owner-x/") ==
+      GateStore.ownerFor("/tmp/graft-owner-x"))
+    assert(GateStore.ownerFor("file:/tmp/./graft-owner-x") ==
+      GateStore.ownerFor("/tmp/graft-owner-x"))
+    // scheme-qualified paths keep scheme://authority/path verbatim
+    // (pre-fix, Paths.get resolved these against the CWD — a restart
+    // switching spellings derived a different owner and was refused)
+    assert(GateStore.ownerFor("hdfs://nn:8020/warehouse/out/") ==
+      "out:hdfs://nn:8020/warehouse/out")
+    assert(GateStore.ownerFor("hdfs://nn:8020/warehouse/out") ==
+      GateStore.ownerFor("hdfs://nn:8020/warehouse/out///"))
+    assert(GateStore.ownerFor("s3a://bucket/curated/out") ==
+      "out:s3a://bucket/curated/out")
+    // distinct outputs stay distinct
+    assert(GateStore.ownerFor("hdfs://nn:8020/a") !=
+      GateStore.ownerFor("hdfs://nn:8020/b"))
+    assert(GateStore.ownerFor("s3a://bucket/a") !=
+      GateStore.ownerFor("s3n://bucket/a"))
+    // end-to-end: a restart that switches between URI and plain-path
+    // spellings of the same output re-claims its own store
+    val root = java.nio.file.Files.createTempDirectory("neardedup-uri-").toString
+    try {
+      val store = s"$root/store"
+      StreamNearDedup.sink(spark, store, s"$root/out")
+      StreamNearDedup.sink(spark, store, s"file:$root/out")
+      StreamNearDedup.sink(spark, store, s"file://$root/out/")
+      // a genuinely different output is still refused
+      intercept[IllegalStateException] {
+        StreamNearDedup.sink(spark, store, s"file:$root/other")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

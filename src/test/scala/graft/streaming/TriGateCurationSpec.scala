@@ -393,6 +393,85 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("foldWrites: one publish job, row-identical verdicts+chunks via the layout-agnostic readers, same stores, replay still no-op") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-fw-").toString
+    try {
+      val bs = alignedBatches()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      def drive(tag: String, fold: Boolean): (String, String, Int) = {
+        val out = s"$root/out-$tag"
+        val sink = StreamCuration.triGateSink(spark, s"$root/text-$tag",
+          s"$root/embed-$tag", s"$root/media-$tag", dir, out,
+          owner = s"trigate-fw-$tag", stageCounts = false,
+          foldWrites = fold)
+        spark.sparkContext.addSparkListener(listener)
+        jobs.set(0)
+        try bs.zipWithIndex.foreach { case (b, i) => sink(b, i.toLong) }
+        finally {
+          Thread.sleep(1000) // let the async listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        (out, s"$root/text-$tag", jobs.get())
+      }
+      val (flatOut, flatText, flatJobs) = drive("flat", fold = false)
+      val (foldOut, foldText, foldJobs) = drive("fold", fold = true)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.mkString("|")).toSet
+      (0 until bs.size).foreach { i =>
+        // layout-agnostic readers agree row-for-row AND schema-for-schema
+        val (vFlat, vFold) = (TrainingPipeline.readVerdicts(spark, flatOut, i),
+          TrainingPipeline.readVerdicts(spark, foldOut, i))
+        val (cFlat, cFold) = (TrainingPipeline.readChunks(spark, flatOut, i),
+          TrainingPipeline.readChunks(spark, foldOut, i))
+        assert(vFold.schema == vFlat.schema)
+        assert(cFold.schema == cFlat.schema)
+        assert(rows(vFold) == rows(vFlat), s"verdicts diverged, batch $i")
+        assert(rows(cFold) == rows(cFlat), s"chunks diverged, batch $i")
+        // the folded reader equals the flat layout's raw parquet too
+        assert(rows(vFold) == rows(spark.read
+          .parquet(s"$flatOut/verdicts/batch=$i")
+          .select("modality", "new_id", "dup_of", "score")))
+        // each mode writes ONLY its own layout
+        assert(!new java.io.File(s"$foldOut/verdicts").exists())
+        assert(!new java.io.File(s"$foldOut/chunks").exists())
+        assert(!new java.io.File(s"$flatOut/curated").exists())
+        // the concurrent payload appends left identical store rows
+        assert(rows(spark.read.parquet(s"$foldText/bands/batch=$i")) ==
+          rows(spark.read.parquet(s"$flatText/bands/batch=$i")),
+          s"text bands diverged, batch $i")
+      }
+      // bootstrap batch 0 published no verdict rows — the folded layout
+      // has no kind=verdicts dir and the reader degrades to an empty
+      // frame of the exact VerdictsDdl schema
+      assert(TrainingPipeline.readVerdicts(spark, foldOut, 0).isEmpty)
+      // the verdict+chunks fold is one write job instead of two
+      assert(foldJobs < flatJobs,
+        s"foldWrites ran $foldJobs jobs vs $flatJobs flat")
+      // replay stays a byte-identical no-op (sentinel ordering intact):
+      // re-deliver batch 1 and fingerprint the published files
+      def fp(p: String): Set[(String, Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        org.apache.commons.io.FileUtils
+          .listFiles(new java.io.File(p), null, true).asScala
+          .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).toSet
+      }
+      val before = fp(s"$foldOut/curated/batch=1")
+      val sink = StreamCuration.triGateSink(spark, foldText,
+        s"$root/embed-fold", s"$root/media-fold", dir, foldOut,
+        owner = "trigate-fw-fold", stageCounts = false, foldWrites = true)
+      sink(bs(1), 1L)
+      assert(fp(s"$foldOut/curated/batch=1") == before,
+        "replayed folded batch rewrote published output")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("gate stores refuse a second writer; same owner re-claims; release hands over") {
     val root = java.nio.file.Files.createTempDirectory("owner-").toString
     val store = s"$root/store"
