@@ -89,11 +89,20 @@ object TriGateFloorProbe {
       (times.toSeq, jobs.get())
     }
 
-    val (onTimes, onJobs) = run(stageCounts = true)
-    val (offTimes, offJobs) = run(stageCounts = false)
-    // the round-16 leg: counts off AND the publish/append fold — one
-    // verdict+chunks write instead of two, payload appends overlapped
-    val (foldTimes, foldJobs) = run(stageCounts = false, foldWrites = true)
+    // optional 3rd arg = comma-separated leg order (within-JVM drift
+    // inflates LATER legs — reversed-order runs adjudicate whether a
+    // leg-vs-leg gap is real, the GateLeveledProbe control pattern)
+    val legs = (if (args.length > 2) args(2) else "on,off,fold").split(",").toSeq
+    val res = legs.map {
+      case "on" => "on" -> run(stageCounts = true)
+      case "off" => "off" -> run(stageCounts = false)
+      case "fold" => "fold" -> run(stageCounts = false, foldWrites = true)
+      case other => sys.error(s"unknown leg '$other'")
+    }.toMap
+    def leg(name: String) = res.getOrElse(name, (Seq.fill(n)(0.0), 0))
+    val (onTimes, onJobs) = leg("on")
+    val (offTimes, offJobs) = leg("off")
+    val (foldTimes, foldJobs) = leg("fold")
     val win = 16
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
