@@ -189,23 +189,32 @@ object Bench {
     // file) overwrites in place; a different sf diverts to a suffixed
     // sibling and says so.
     val latest = java.nio.file.Paths.get("BENCH_LATEST.json")
-    val existingSf: Option[String] =
-      if (!java.nio.file.Files.exists(latest)) None
-      else {
-        val prior = new String(java.nio.file.Files.readAllBytes(latest),
-          java.nio.charset.StandardCharsets.UTF_8)
-        "\"sf(?:_name)?\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(prior)
-          .map(m => new java.io.File(m.group(1)).getName)
-      }
+    // where this run's full artifact actually landed — the summary line
+    // must point at THIS run's file, never at a stale sibling
+    var latestName = s"target/bench-$sfName.json"
     if (wanted.isEmpty) { // full-suite runs only; subsets would clobber
-      if (existingSf.forall(_ == sfName))
+      // overwrite in place ONLY when the prior artifact provably holds
+      // the same sf; a missing file writes fresh, and an unreadable /
+      // truncated / sf-less prior (the tail-truncation failure mode) is
+      // treated as a MISMATCH — when in doubt, divert rather than
+      // clobber
+      val existingSf: Option[String] =
+        if (!java.nio.file.Files.exists(latest)) Some(sfName)
+        else try {
+          val prior = new String(java.nio.file.Files.readAllBytes(latest),
+            java.nio.charset.StandardCharsets.UTF_8)
+          "\"sf(?:_name)?\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(prior)
+            .map(m => new java.io.File(m.group(1)).getName)
+        } catch { case _: java.io.IOException => None }
+      if (existingSf.contains(sfName)) {
         java.nio.file.Files.write(latest, bytes)
-      else {
+        latestName = "BENCH_LATEST.json"
+      } else {
         System.err.println(s"[bench] BENCH_LATEST.json holds a " +
-          s"${existingSf.get} run — writing this $sfName run to " +
-          s"BENCH_LATEST-$sfName.json instead")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_LATEST-$sfName.json"), bytes)
+          s"${existingSf.getOrElse("undetermined")} run — writing this " +
+          s"$sfName run to BENCH_LATEST-$sfName.json instead")
+        latestName = s"BENCH_LATEST-$sfName.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(latestName), bytes)
       }
     }
     // resource receipts: per-query shuffle/input/spill/peak-mem/tasks/
@@ -248,6 +257,6 @@ object Bench {
       System.err.println(s"[bench] spark.stop() failed (ignored — " +
         s"timings already captured): ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson,"full":"BENCH_LATEST.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson,"full":"$latestName","sf":"$sfDir"}""")
   }
 }

@@ -409,9 +409,16 @@ object TrainingPipeline {
   private def readPublished(s: SparkSession, outDir: String, batchId: Long,
       kind: String, ddl: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    val folded = new java.io.File(s"$outDir/curated/batch=$batchId/kind=$kind")
+    val foldedRoot = new java.io.File(s"$outDir/curated/batch=$batchId")
+    val folded = new java.io.File(foldedRoot, s"kind=$kind")
     val flat = new java.io.File(s"$outDir/$kind/batch=$batchId")
-    val readable = Seq(folded, flat)
+    // the folded layout is only trusted when its write COMMITTED
+    // (_SUCCESS at the batch root): a torn folded write followed by a
+    // flat-layout retry must not shadow the repaired data with its
+    // partial remnants — the same commit-marker doctrine as
+    // GateStore.alreadyMerged
+    val foldedCommitted = new java.io.File(foldedRoot, "_SUCCESS").exists()
+    val readable = ((if (foldedCommitted) Seq(folded) else Seq.empty) :+ flat)
       .find(d => graft.streaming.GateStore.hasDataFiles(d))
     readable match {
       case Some(d) =>

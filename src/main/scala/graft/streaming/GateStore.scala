@@ -99,33 +99,47 @@ private[graft] object GateStore {
     * (`hdfs://…`, `s3a://…`, `file:/…`) must NOT — Paths.get would
     * resolve `hdfs://nn/x` against the CWD and a restart that switches
     * spellings of the same output would derive a different owner and be
-    * refused as a second writer. `file:` URIs with no remote authority
-    * collapse to the local-path form, so `file:/out`, `file:///out` and
-    * `/out` all name one owner; other schemes keep
-    * `scheme://authority/path` with the trailing slash stripped.
+    * refused as a second writer. Parsing goes through Hadoop's Path
+    * (the parser the writers themselves use), NOT java.net.URI — Spark
+    * deployments routinely pass unencoded characters (spaces, `%`)
+    * that URI.create rejects but every Hadoop writer accepts; sink
+    * construction must not fail on a path the write would take.
+    * `file:` URIs with no remote authority collapse to the local-path
+    * form, so `file:/out`, `file:///out` and `/out` all name one owner;
+    * other schemes keep `scheme://authority/path` with the trailing
+    * slash stripped.
     */
   private[graft] def normalizeOutPath(outDir: String): String = {
     def local(p: String): String =
       java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-    // a real URI scheme is 2+ chars then ":/" — one-char prefixes (and
-    // anything colon-free) are plain paths (Windows-drive lookalikes,
-    // odd relative names) and take the Paths.get route
-    if (!outDir.matches("^[A-Za-z][A-Za-z0-9+.\\-]+:/.*")) local(outDir)
-    else {
-      val u = java.net.URI.create(outDir).normalize()
-      if (u.isOpaque || u.getScheme == null) local(outDir)
-      else {
-        val scheme = u.getScheme.toLowerCase
-        val auth = Option(u.getAuthority).filter(_.nonEmpty)
-        val path = Option(u.getPath).getOrElse("")
-          .replaceAll("/+$", "") match { case "" => "/"; case p => p }
-        if (scheme == "file" && auth.isEmpty) local(path)
-        else s"$scheme://${auth.getOrElse("")}$path"
-      }
+    val u =
+      try new org.apache.hadoop.fs.Path(outDir).toUri
+      catch { case _: IllegalArgumentException => return local(outDir) }
+    val auth = Option(u.getAuthority).filter(_.nonEmpty)
+    val path = Option(u.getPath).getOrElse("")
+      .replaceAll("/+$", "") match { case "" => "/"; case p => p }
+    Option(u.getScheme).map(_.toLowerCase) match {
+      case None => local(outDir) // plain path — absolutize the spelling
+      case Some("file") if auth.isEmpty => local(path)
+      case Some(s) => s"$s://${auth.getOrElse("")}$path"
     }
   }
 
-  def claimOwner(storeDir: String, owner: String): Unit = {
+  /** The owner name the PRE-scheme-aware [[ownerFor]] derived for the
+    * same outDir (URI forms were resolved against the CWD) — fed to
+    * [[claimOwner]] as a legacy form so stores claimed under the old
+    * normalization upgrade in place on their first post-fix restart
+    * instead of refusing their own writer. Best effort by construction:
+    * the old name baked in the claim-time CWD, so only a same-CWD
+    * restart can be recognized — exactly the deployments that worked
+    * before the fix.
+    */
+  private[graft] def legacyOwnerFor(outDir: String): Option[String] =
+    try Some("out:" + java.nio.file.Paths.get(outDir).toAbsolutePath.normalize)
+    catch { case _: java.nio.file.InvalidPathException => None }
+
+  def claimOwner(storeDir: String, owner: String,
+      legacyForms: Seq[String] = Nil): Unit = {
     require(owner.nonEmpty && !owner.contains('\n'),
       s"owner name must be a non-empty single line, got '$owner'")
     val root = new File(storeDir)
@@ -134,6 +148,17 @@ private[graft] object GateStore {
     def existing(): String =
       new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
     if (marker.exists() && existing() == owner) return
+    // migration path (ensureGeometry's doctrine): a marker holding a
+    // superseded derivation of the SAME owner (the pre-scheme-aware
+    // default) upgrades in place via tmp+rename — a normalization fix
+    // must never lock a store against its own writer
+    if (marker.exists() && legacyForms.contains(existing())) {
+      val tmp = new File(root, OwnerMarker + ".tmp").toPath
+      Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, marker.toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      return
+    }
     val tmp = new File(root, s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
     Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
     try {

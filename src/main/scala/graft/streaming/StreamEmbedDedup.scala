@@ -63,7 +63,8 @@ object StreamEmbedDedup {
       compactEvery: Option[Int] = None,
       compactLeveled: Boolean = false,
       probeDepth: Int = 0): (DataFrame, Long) => Unit = {
-    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)))
+    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)),
+      if (owner.isEmpty) GateStore.legacyOwnerFor(outDir).toSeq else Nil)
     GateStore.ensureGeometry(storeDir, spec.geometryId, spec.legacyGeometryIds)
     // fail-fast like the geometry/owner guards: an out-of-range depth
     // must refuse at construction, not at the first non-empty store

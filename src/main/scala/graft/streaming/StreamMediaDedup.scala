@@ -60,7 +60,8 @@ object StreamMediaDedup {
       owner: Option[String] = None,
       compactEvery: Option[Int] = None,
       compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
-    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)))
+    GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)),
+      if (owner.isEmpty) GateStore.legacyOwnerFor(outDir).toSeq else Nil)
     GateStore.ensureGeometry(storeDir, Geometry)
     (batch, batchId) =>
       processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,

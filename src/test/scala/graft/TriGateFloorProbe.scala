@@ -99,10 +99,6 @@ object TriGateFloorProbe {
       case "fold" => "fold" -> run(stageCounts = false, foldWrites = true)
       case other => sys.error(s"unknown leg '$other'")
     }.toMap
-    def leg(name: String) = res.getOrElse(name, (Seq.fill(n)(0.0), 0))
-    val (onTimes, onJobs) = leg("on")
-    val (offTimes, offJobs) = leg("off")
-    val (foldTimes, foldJobs) = leg("fold")
     val win = 16
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -111,7 +107,16 @@ object TriGateFloorProbe {
     }
     def curve(ts: Seq[Double]) = ts.grouped(win).map(w => median(w))
       .map(v => math.rint(v * 1000) / 1000).mkString("[", ",", "]")
-    println(s"""{"metric":"trigate_floor","n_batches":$n,"docs_per_batch":$perBatch,"window":$win,"counts_on_curve":${curve(onTimes)},"counts_off_curve":${curve(offTimes)},"fold_curve":${curve(foldTimes)},"counts_on_total_sec":${math.rint(onTimes.sum * 10) / 10},"counts_off_total_sec":${math.rint(offTimes.sum * 10) / 10},"fold_total_sec":${math.rint(foldTimes.sum * 10) / 10},"counts_on_jobs":$onJobs,"counts_off_jobs":$offJobs,"fold_jobs":$foldJobs,"jobs_per_batch_on":${math.rint(10.0 * onJobs / n) / 10},"jobs_per_batch_off":${math.rint(10.0 * offJobs / n) / 10},"jobs_per_batch_fold":${math.rint(10.0 * foldJobs / n) / 10}}""")
+    // per-leg keys only for legs that RAN — an omitted leg must be
+    // absent from the artifact, not a zero-filled lookalike of a
+    // measured run (historical key names kept: on/off = counts_*)
+    val keyOf = Map("on" -> "counts_on", "off" -> "counts_off", "fold" -> "fold")
+    val legJson = legs.map { name =>
+      val (ts, js) = res(name)
+      val k = keyOf(name)
+      s""""${k}_curve":${curve(ts)},"${k}_total_sec":${math.rint(ts.sum * 10) / 10},"${k}_jobs":$js,"jobs_per_batch_${name}":${math.rint(10.0 * js / n) / 10}"""
+    }.mkString(",")
+    println(s"""{"metric":"trigate_floor","n_batches":$n,"docs_per_batch":$perBatch,"window":$win,"legs":"${legs.mkString(",")}",$legJson}""")
     spark.stop()
   }
 }

@@ -349,6 +349,11 @@ class StreamNearDedupSpec extends AnyFunSuite {
       GateStore.ownerFor("hdfs://nn:8020/b"))
     assert(GateStore.ownerFor("s3a://bucket/a") !=
       GateStore.ownerFor("s3n://bucket/a"))
+    // unencoded characters Hadoop writers accept must not throw at sink
+    // construction (java.net.URI.create would)
+    assert(GateStore.ownerFor("s3a://bucket/out dir") ==
+      "out:s3a://bucket/out dir")
+    assert(GateStore.ownerFor("/tmp/out dir/") == "out:/tmp/out dir")
     // end-to-end: a restart that switches between URI and plain-path
     // spellings of the same output re-claims its own store
     val root = java.nio.file.Files.createTempDirectory("neardedup-uri-").toString
@@ -360,6 +365,18 @@ class StreamNearDedupSpec extends AnyFunSuite {
       // a genuinely different output is still refused
       intercept[IllegalStateException] {
         StreamNearDedup.sink(spark, store, s"file:$root/other")
+      }
+      // upgrade path: a store claimed under the PRE-scheme-aware default
+      // (URI CWD-resolved by Paths.get) re-claims and migrates its
+      // marker instead of refusing its own writer after the fix
+      val legacyStore = s"$root/legacy-store"
+      val uriOut = s"file:$root/out"
+      GateStore.claimOwner(legacyStore,
+        "out:" + java.nio.file.Paths.get(uriOut).toAbsolutePath.normalize)
+      StreamNearDedup.sink(spark, legacyStore, uriOut) // must not throw
+      StreamNearDedup.sink(spark, legacyStore, s"$root/out") // marker upgraded
+      intercept[IllegalStateException] { // and still guards
+        StreamNearDedup.sink(spark, legacyStore, s"$root/other")
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

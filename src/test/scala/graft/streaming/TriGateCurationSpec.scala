@@ -472,6 +472,37 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("a torn folded publish never shadows a repaired flat layout: readers require the fold's commit marker") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-torn-").toString
+    try {
+      val out = s"$root/out"
+      val torn = Seq((1L, 0, "webz", "torn partial rows", 3))
+        .toDF("doc_id", "chunk_id", "source", "chunk", "n_tok")
+      val repaired = Seq((2L, 0, "webz", "repaired flat rows", 3))
+        .toDF("doc_id", "chunk_id", "source", "chunk", "n_tok")
+      // simulate a folded write that died mid-flight: data files exist
+      // under kind=chunks but the batch root never got its _SUCCESS
+      torn.write.mode("overwrite").parquet(s"$out/curated/batch=0/kind=chunks")
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$out/curated/batch=0/kind=chunks/_SUCCESS"))
+      // the at-least-once retry ran with foldWrites=false and repaired
+      // the batch in the flat layout
+      repaired.write.mode("overwrite").parquet(s"$out/chunks/batch=0")
+      val got = TrainingPipeline.readChunks(spark, out, 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L),
+        s"torn folded remnants shadowed the repaired flat data: $got")
+      // once the folded batch root IS committed, it is preferred
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$out/curated/batch=0/_SUCCESS"))
+      val got2 = TrainingPipeline.readChunks(spark, out, 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got2 == Set(1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("gate stores refuse a second writer; same owner re-claims; release hands over") {
     val root = java.nio.file.Files.createTempDirectory("owner-").toString
     val store = s"$root/store"
