@@ -713,4 +713,27 @@ object TrainingPipeline {
       if (prevStage != null) prevStage.release()
     }
   }
+
+  /** One [[graft.streaming.GateStore.maintain]] pass over all three of
+    * a tri-gate deployment's stores — the out-of-band cron companion to
+    * [[graft.streaming.StreamCuration.triGateSink]] when the sink runs
+    * WITHOUT inline compaction. `owner` is the same name the sink was
+    * constructed with (all three stores carry it, so maintenance
+    * presents it to each); thresholds come from one shared policy.
+    * Returns per-store reports keyed `text` / `embed` / `media`; the
+    * single-writer refusal of any store propagates — a partially
+    * maintained trio is fine (each store's pass is independent), a
+    * silently skipped refusal is not.
+    */
+  def maintainTriGate(s: SparkSession, textStoreDir: String,
+      embedStoreDir: String, mediaStoreDir: String, owner: String,
+      policy: graft.streaming.GateStore.MaintenancePolicy =
+        graft.streaming.GateStore.MaintenancePolicy())
+      : Map[String, graft.streaming.GateStore.MaintenanceReport] = {
+    val p = policy.copy(onBehalfOf = Some(owner))
+    Map(
+      "text" -> graft.streaming.StreamNearDedup.maintain(s, textStoreDir, p),
+      "embed" -> graft.streaming.StreamEmbedDedup.maintain(s, embedStoreDir, p),
+      "media" -> graft.streaming.StreamMediaDedup.maintain(s, mediaStoreDir, p))
+  }
 }

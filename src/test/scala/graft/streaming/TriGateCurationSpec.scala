@@ -472,6 +472,41 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainTriGate: one out-of-band pass maintains all three stores under the sink's owner, verdicts unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-mt-").toString
+    try {
+      val bs = alignedBatches()
+      def mkSink(tag: String) = StreamCuration.triGateSink(spark,
+        s"$root/text-$tag", s"$root/embed-$tag", s"$root/media-$tag",
+        dir, s"$root/out-$tag", owner = "trigate-mt", stageCounts = false)
+      val (sinkM, sinkC) = (mkSink("m"), mkSink("c"))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        sinkM(b, i.toLong); sinkC(b, i.toLong) }
+      val policy = GateStore.MaintenancePolicy(compactEvery = 2)
+      // the wrong owner is refused per store — no silent skip
+      intercept[IllegalStateException] {
+        graft.TrainingPipeline.maintainTriGate(spark, s"$root/text-m",
+          s"$root/embed-m", s"$root/media-m", "someone-else", policy)
+      }
+      // the sink's owner maintains all three in one call
+      val reports = graft.TrainingPipeline.maintainTriGate(spark,
+        s"$root/text-m", s"$root/embed-m", s"$root/media-m",
+        "trigate-mt", policy)
+      assert(reports.keySet == Set("text", "embed", "media"))
+      reports.foreach { case (k, r) =>
+        assert(r.compactions.nonEmpty, s"$k store did not compact")
+        assert(r.after.tables.head.liveDirs == 1, s"$k store not folded")
+      }
+      // a post-maintenance batch probes the folded stores identically
+      // to the unmaintained control trio
+      sinkM(bs(1), 2L); sinkC(bs(1), 2L)
+      assert(verdictSet(s"$root/out-m", 2L) == verdictSet(s"$root/out-c", 2L),
+        "tri-gate maintenance changed verdicts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("a torn folded publish never shadows a repaired flat layout: readers require the fold's commit marker") {
     val root = java.nio.file.Files.createTempDirectory("trigate-torn-").toString
     try {
