@@ -416,10 +416,16 @@ object TrainingPipeline {
     // (_SUCCESS at the batch root): a torn folded write followed by a
     // flat-layout retry must not shadow the repaired data with its
     // partial remnants — the same commit-marker doctrine as
-    // GateStore.alreadyMerged
+    // GateStore.alreadyMerged. But a COMMITTED fold is AUTHORITATIVE,
+    // empty sides included: a fold whose requested kind legitimately
+    // wrote zero rows (no kind= dir — zero-row partitioned writes emit
+    // none) reads as the empty frame and never falls through to a
+    // stale flat dir from an earlier layout of the same batch.
     val foldedCommitted = new java.io.File(foldedRoot, "_SUCCESS").exists()
-    val readable = ((if (foldedCommitted) Seq(folded) else Seq.empty) :+ flat)
-      .find(d => graft.streaming.GateStore.hasDataFiles(d))
+    val readable =
+      if (foldedCommitted)
+        Some(folded).filter(graft.streaming.GateStore.hasDataFiles)
+      else Some(flat).filter(graft.streaming.GateStore.hasDataFiles)
     readable match {
       case Some(d) =>
         s.read.parquet(d.toString).select(schema.fields.toSeq.map(f => col(f.name)): _*)
@@ -508,6 +514,20 @@ object TrainingPipeline {
       GateStore.ensureGeometry(_, graft.streaming.StreamMediaDedup.Geometry))
     if (GateStore.alreadyMerged(storeDir, "bands", batchId)) return
 
+    // the whole batch holds every wired store's lock (text, then embed,
+    // then media — one fixed order, and the only other takers either
+    // skip or bounded-wait, so no deadlock): an out-of-band maintain
+    // pass can never fold a store's dirs out from under this batch's
+    // probes, and maintenance arriving mid-batch defers (GateStore.
+    // withStoreLock's contract).
+    def withLocks(dirs: Seq[String])(body: => Unit): Unit = dirs match {
+      case Seq() => body
+      case d +: rest =>
+        GateStore.withStoreLock(d, s"batch=$batchId", blocking = true)(
+          withLocks(rest)(body))
+        ()
+    }
+    withLocks(Seq(storeDir) ++ embedStoreDir ++ mediaStoreDir) {
     // exception safety: the per-stage and per-probe releases below run
     // on the SUCCESS path only; a mid-batch failure (and its
     // at-least-once retry) would otherwise leak every localCheckpoint
@@ -699,18 +719,39 @@ object TrainingPipeline {
           // concurrent job submission is thread-safe in Spark; a failure
           // in ANY payload leg must still fail the batch BEFORE the
           // sentinel lands (rethrown after the join), so the replay
-          // envelope is untouched
+          // envelope is untouched. Losing failures attach as suppressed
+          // on the first; an interrupt during join() is deferred until
+          // every writer thread has actually finished (no leg may
+          // outlive this call detached, racing the sentinel) and then
+          // re-delivered with the flag restored.
           val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-          val threads = payloadAppends.map(a => new Thread(() =>
-            try a() catch { case t: Throwable => failure.compareAndSet(null, t) }))
+          val threads = payloadAppends.zipWithIndex.map { case (a, i) =>
+            new Thread(() =>
+              try a() catch { case t: Throwable =>
+                if (!failure.compareAndSet(null, t))
+                  failure.get().addSuppressed(t)
+              }, s"graft-payload-append-$batchId-$i")
+          }
           threads.foreach(_.start())
-          threads.foreach(_.join())
-          if (failure.get() != null) throw failure.get()
+          var interrupted: InterruptedException = null
+          threads.foreach { t =>
+            var joined = false
+            while (!joined)
+              try { t.join(); joined = true }
+              catch { case ie: InterruptedException => interrupted = ie }
+          }
+          if (interrupted != null) Thread.currentThread().interrupt()
+          if (failure.get() != null) {
+            if (interrupted != null) failure.get().addSuppressed(interrupted)
+            throw failure.get()
+          }
+          if (interrupted != null) throw interrupted
         } else payloadAppends.foreach(_())
         Dedup.minhashBands(sh).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       }
       if (prevStage != null) prevStage.release()
+    }
     }
   }
 

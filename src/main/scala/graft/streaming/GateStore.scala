@@ -59,6 +59,7 @@ private[graft] object GateStore {
   private val OwnerMarker = "_owner"
   private val GeometryMarker = "_geometry"
   private val LevelsMarker = "_levels"
+  private val LockMarker = "_compaction_lock"
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -150,10 +151,15 @@ private[graft] object GateStore {
     if (marker.exists() && existing() == owner) return
     // migration path (ensureGeometry's doctrine): a marker holding a
     // superseded derivation of the SAME owner (the pre-scheme-aware
-    // default) upgrades in place via tmp+rename — a normalization fix
-    // must never lock a store against its own writer
+    // default) upgrades in place via UUID-tmp + rename — a normalization
+    // fix must never lock a store against its own writer. NOTE: unlike
+    // the first claim's hard-link CAS, the replace is only atomic, not
+    // exclusive — safe strictly under the single-writer contract (one
+    // process constructing sinks for a given store); a migrator racing
+    // a concurrent releaseOwner/claim has no exclusive guard.
     if (marker.exists() && legacyForms.contains(existing())) {
-      val tmp = new File(root, OwnerMarker + ".tmp").toPath
+      val tmp = new File(root,
+        s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
       Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, marker.toPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -197,10 +203,12 @@ private[graft] object GateStore {
     if (marker.exists() && existing() == geometry) return
     // migration path: a marker written in a superseded serialized form
     // of the SAME geometry (e.g. the pre-frozen case-class toString) is
-    // upgraded in place via tmp+rename — a mere respelling must never
-    // orphan a live store (the exact failure the frozen form prevents)
+    // upgraded in place via UUID-tmp + rename — a mere respelling must
+    // never orphan a live store (the exact failure the frozen form
+    // prevents). Same single-writer caveat as claimOwner's migration.
     if (marker.exists() && legacyForms.contains(existing())) {
-      val tmp = new File(root, GeometryMarker + ".tmp").toPath
+      val tmp = new File(root,
+        s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
       Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, marker.toPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -232,6 +240,119 @@ private[graft] object GateStore {
     if (e != owner) throw new IllegalStateException(
       s"gate store $storeDir is owned by '$e', not '$owner'")
     Files.deleteIfExists(marker.toPath)
+  }
+
+  /** How long a held store lock may go unrefreshed before a new
+    * acquirer presumes its holder crashed (a kill -9 cannot run the
+    * release) and breaks it with a warning. Breaking is SAFE: every
+    * operation the lock brackets is individually crash-enveloped
+    * (duplicates-not-losses for compaction, overwrite-mode replay
+    * repair for batches), so the lock is hazard DETECTION, never a
+    * correctness dependency. Test-adjustable, like [[leveledFault]].
+    */
+  private[graft] var LockStaleMs: Long = 15L * 60 * 1000
+
+  /** How long a BLOCKING acquirer (a batch, or a direct [[compact]]
+    * call) polls for a held lock before throwing. The streaming engine
+    * retries a thrown batch, so a maintenance pass that overruns a
+    * trigger gap costs bounded batch latency, never a wedged stream.
+    */
+  private[graft] var LockWaitMs: Long = 60L * 1000
+  private[graft] var LockPollMs: Long = 100L
+
+  /** One atomic claim attempt on the store's `_compaction_lock` (the
+    * hard-link CAS every marker here uses). Returns None on success,
+    * or the current holder's name. A lock whose timestamp is older
+    * than [[LockStaleMs]] — or unparseable — is presumed crashed,
+    * broken loudly, and re-claimed (two breakers racing get exactly
+    * one winner from the CAS).
+    */
+  private def tryLock(storeDir: String, token: String): Option[String] = {
+    val root = new File(storeDir)
+    Files.createDirectories(root.toPath)
+    val marker = new File(root, LockMarker)
+    val body = s"$token\n${System.currentTimeMillis()}\n"
+    val tmp = new File(root, s".$LockMarker-${java.util.UUID.randomUUID()}").toPath
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(marker.toPath, tmp)
+      None
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val lines =
+          try new String(Files.readAllBytes(marker.toPath),
+            StandardCharsets.UTF_8).linesIterator.toSeq
+          catch { case _: java.io.IOException => Seq.empty[String] }
+        val ts = lines.lift(1).flatMap(s =>
+          scala.util.Try(s.trim.toLong).toOption)
+        val holder = lines.headOption.getOrElse("<unreadable>")
+        if (ts.forall(t => System.currentTimeMillis() - t > LockStaleMs)) {
+          log.warn(s"breaking stale compaction lock in $storeDir held by " +
+            s"'$holder' (age > $LockStaleMs ms or unreadable) — presumed " +
+            "crashed; every bracketed operation is crash-enveloped, so " +
+            "this is safe")
+          Files.deleteIfExists(marker.toPath)
+          try { Files.createLink(marker.toPath, tmp); None }
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            Some(holder) } // a racing breaker won — yield to it
+        } else Some(holder)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def releaseLock(storeDir: String, token: String): Unit = {
+    val marker = new File(storeDir, LockMarker)
+    if (!marker.exists()) return
+    val holder =
+      try new String(Files.readAllBytes(marker.toPath),
+        StandardCharsets.UTF_8).linesIterator.toSeq.headOption.getOrElse("")
+      catch { case _: java.io.IOException => "" }
+    if (holder == token) Files.deleteIfExists(marker.toPath)
+    else log.warn(s"compaction lock in $storeDir changed hands while " +
+      s"'$token' held it (staleness break by '$holder'?) — not releasing")
+  }
+
+  /** Run `body` holding the store's advisory writer/compaction lock —
+    * the mutual exclusion that lets out-of-band [[maintain]] overlap a
+    * live writer safely: batches ([[runBatch]], the tri-gate batch) and
+    * compactions ([[compact]], [[maybeCompact]],
+    * [[maybeCompactLeveled]], and through the latter [[maintain]]) all
+    * take it, so a maintenance fold can never interleave with a probe
+    * or append mid-batch, and two compactions can never race each
+    * other's `_compact_tmp` staging and renames.
+    *
+    * Semantics by caller kind: MANDATORY work (a batch, a direct
+    * compact call) blocks up to [[LockWaitMs]] then THROWS with the
+    * holder's name — the streaming engine's retry absorbs it;
+    * DEFERRABLE work (opportunistic compaction, a maintenance cron)
+    * sees a held lock, logs, and returns None — it will run on a later
+    * pass. The lock is ADVISORY hazard detection, not a correctness
+    * dependency: every bracketed operation already carries its own
+    * crash envelope, which is also why a crashed holder's lock can be
+    * broken after [[LockStaleMs]] with no repair step.
+    */
+  private[graft] def withStoreLock[T](storeDir: String, what: String,
+      blocking: Boolean)(body: => T): Option[T] = {
+    val token = s"$what@${java.util.UUID.randomUUID()}"
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var held = tryLock(storeDir, token)
+    while (held.isDefined && blocking &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(LockPollMs)
+      held = tryLock(storeDir, token)
+    }
+    held match {
+      case Some(h) if blocking => throw new IllegalStateException(
+        s"gate store $storeDir is locked by '$h' (a batch or compaction " +
+          s"in progress) — '$what' timed out after $LockWaitMs ms. A " +
+          "crashed holder's lock expires after " + LockStaleMs + " ms; " +
+          "a live holder finishing releases it.")
+      case Some(h) =>
+        log.warn(s"gate store $storeDir is locked by '$h' — skipping " +
+          s"deferrable '$what'; a later pass will retry")
+        None
+      case None =>
+        try Some(body) finally releaseLock(storeDir, token)
+    }
   }
 
   /** True iff the tree under `dir` holds at least one parquet data
@@ -314,32 +435,40 @@ private[graft] object GateStore {
       probe: Map[String, Seq[String]] => org.apache.spark.sql.DataFrame,
       append: () => Unit): Unit = {
     val sentinel = tables.head._1
+    // the replay no-op stays lock-free: a re-delivered compacted id
+    // must not contend with a maintenance pass it has no work against
     if (alreadyMerged(storeDir, sentinel, batchId)) return
-    // data-less committed dirs (zero-row batches) are skipped, not read
-    // — see hasDataFiles: reading one throws and wedges the stream
-    val prior = tables.map { case (t, _) =>
-      t -> listBatchDirs(new File(storeDir, t))
-        .filter { case (id, p) => id < batchId && hasDataFiles(new File(p)) }
-        .map(_._2)
-    }.toMap
-    if (prior(sentinel).isEmpty)
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(verdictsDdl))
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    else {
-      // materialize, write, release (Checkpoints doctrine). The THUNK
-      // form is load-bearing: the stored probes pin internal caches
-      // during their driver-side bucket collects — while the frame is
-      // being BUILT — so only a before-snapshot taken before
-      // construction captures them for release()
-      val cp = graft.Checkpoints.eagerBuild(spark)(probe(prior))
-      try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      finally cp.release()
+    // the batch holds the store lock from first dir listing to sentinel
+    // commit, so an out-of-band maintain can never fold (and delete)
+    // a superseded dir out from under the probe's running scan
+    withStoreLock(storeDir, s"batch=$batchId", blocking = true) {
+      // data-less committed dirs (zero-row batches) are skipped, not read
+      // — see hasDataFiles: reading one throws and wedges the stream
+      val prior = tables.map { case (t, _) =>
+        t -> listBatchDirs(new File(storeDir, t))
+          .filter { case (id, p) => id < batchId && hasDataFiles(new File(p)) }
+          .map(_._2)
+      }.toMap
+      if (prior(sentinel).isEmpty)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(verdictsDdl))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      else {
+        // materialize, write, release (Checkpoints doctrine). The THUNK
+        // form is load-bearing: the stored probes pin internal caches
+        // during their driver-side bucket collects — while the frame is
+        // being BUILT — so only a before-snapshot taken before
+        // construction captures them for release()
+        val cp = graft.Checkpoints.eagerBuild(spark)(probe(prior))
+        try cp.df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        finally cp.release()
+      }
+      // the sweep releases everything the append leg pinned (e.g. the
+      // banding's internal signature cache) once the tables are on disk
+      graft.Checkpoints.sweep(spark)(append())
     }
-    // the sweep releases everything the append leg pinned (e.g. the
-    // banding's internal signature cache) once the tables are on disk
-    graft.Checkpoints.sweep(spark)(append())
+    ()
   }
 
   /** Opt-in compact-every-K policy — the scheduling rule the
@@ -374,29 +503,31 @@ private[graft] object GateStore {
   def maybeCompact(spark: SparkSession, storeDir: String,
       tables: Seq[(String, Seq[String])], every: Int): Option[Long] = {
     require(every >= 2, s"compactEvery must be >= 2, got $every")
-    val sentinel = tables.head._1
-    val committed = listBatchDirs(new File(storeDir, sentinel))
-      .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
-    if (committed.size >= every) {
-      val upTo = committed.last._1
-      // the full-rewrite policy's amplification guard (sized BEFORE the
-      // merge): every store byte below the target is about to be
-      // rewritten; past the threshold that is no longer footer-dominated
-      // maintenance but the O(N²/every) curve — say so, loudly enough
-      // for a long-running stream's logs to surface it
-      val rewriteBytes = tables.map { case (t, _) =>
-        listBatchDirs(new File(storeDir, t))
-          .filter(_._1 < upTo).map(d => treeBytes(new File(d._2))).sum
-      }.sum
-      if (rewriteBytes > FullRewriteWarnBytes)
-        log.warn(s"maybeCompact($storeDir, every=$every) is rewriting " +
-          s"$rewriteBytes bytes (> $FullRewriteWarnBytes): the full-rewrite " +
-          "policy re-merges every prior compaction's output, O(N²/every) " +
-          "over the stream — switch to maybeCompactLeveled for bounded " +
-          "per-compaction cost")
-      compact(spark, storeDir, upTo, tables)
-      Some(upTo)
-    } else None
+    withStoreLock(storeDir, "maybeCompact", blocking = false) {
+      val sentinel = tables.head._1
+      val committed = listBatchDirs(new File(storeDir, sentinel))
+        .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
+      if (committed.size >= every) {
+        val upTo = committed.last._1
+        // the full-rewrite policy's amplification guard (sized BEFORE the
+        // merge): every store byte below the target is about to be
+        // rewritten; past the threshold that is no longer footer-dominated
+        // maintenance but the O(N²/every) curve — say so, loudly enough
+        // for a long-running stream's logs to surface it
+        val rewriteBytes = tables.map { case (t, _) =>
+          listBatchDirs(new File(storeDir, t))
+            .filter(_._1 < upTo).map(d => treeBytes(new File(d._2))).sum
+        }.sum
+        if (rewriteBytes > FullRewriteWarnBytes)
+          log.warn(s"maybeCompact($storeDir, every=$every) is rewriting " +
+            s"$rewriteBytes bytes (> $FullRewriteWarnBytes): the full-rewrite " +
+            "policy re-merges every prior compaction's output, O(N²/every) " +
+            "over the stream — switch to maybeCompactLeveled for bounded " +
+            "per-compaction cost")
+        compactFiltered(spark, storeDir, upTo, tables, _ => true)
+        Some(upTo)
+      } else None
+    }.flatten
   }
 
   /** One table's live-state summary inside a gate store. */
@@ -456,8 +587,22 @@ private[graft] object GateStore {
     * the sentinel's LIVE dir count or the store's total bytes crosses
     * its ceiling, so a store whose writer never reaches `compactEvery`
     * fresh dirs between maintenance passes still gets its file count
-    * bounded. `onBehalfOf` names the owner the maintainer acts for —
-    * see [[maintain]]'s refusal contract.
+    * bounded. EVERY fold is bounded to ≤ `compactEvery` input dirs
+    * ([[maybeCompactLeveled]]'s chunking) — a neglected store pays
+    * many bounded merges per pass, never one O(accumulated) rewrite.
+    *
+    * CEILING SEMANTICS: `maxLiveDirs` and `maxBytes` bound DIR/FILE
+    * COUNTS via folding — they cannot shrink the store's byte size
+    * (compaction reshapes which dirs hold the rows; the rows stay).
+    * A breached `maxBytes` therefore never "clears": it makes every
+    * later pass fold eagerly (whenever ≥ 2 fresh dirs exist), which is
+    * the intended small-files watchdog for an oversized store, and
+    * [[maintain]] warns when a breached ceiling has nothing foldable so
+    * the operator signal is never silently dropped. Capacity itself is
+    * a retention/sharding decision above this layer.
+    *
+    * `onBehalfOf` names the owner the maintainer acts for — see
+    * [[maintain]]'s refusal contract.
     */
   final case class MaintenancePolicy(
       compactEvery: Int = 16,
@@ -488,11 +633,21 @@ private[graft] object GateStore {
     * `_owner` marker exists to refuse. So: if the store carries an
     * owner marker, the policy's `onBehalfOf` must match it — the caller
     * asserting it IS (or acts with the authority of) that owner, e.g.
-    * the maintenance cron of the deployment whose query owns the store,
-    * scheduled in the query's trigger gaps. A mismatch (or a missing
-    * `onBehalfOf` against an owned store) throws before any Spark job.
-    * An unowned store (driven via bare processBatch) needs no
-    * credential.
+    * the maintenance cron of the deployment whose query owns the store.
+    * A mismatch (or a missing `onBehalfOf` against an owned store)
+    * throws before any Spark job. An unowned store (driven via bare
+    * processBatch) needs no credential.
+    *
+    * OVERLAP WITH A LIVE BATCH: serialized by the store lock
+    * ([[withStoreLock]]) — a maintenance pass that finds the lock held
+    * (a batch mid-flight, or the owner's own inline compaction) SKIPS
+    * its compactions for this pass (logged; `compactions` comes back
+    * empty) and a batch arriving while maintenance folds waits up to
+    * [[LockWaitMs]] then throws into the streaming engine's retry.
+    * Scheduling the cron in the query's trigger gaps is therefore a
+    * latency optimization, no longer a safety requirement; combining
+    * maintain with a `compactLeveled = true` sink is likewise safe —
+    * whichever compaction loses the lock race defers.
     */
   def maintain(spark: SparkSession, storeDir: String,
       tables: Seq[(String, Seq[String])],
@@ -518,14 +673,29 @@ private[graft] object GateStore {
       before.totalBytes >= policy.maxBytes
     val compactions =
       if (freshCommitted >= policy.compactEvery)
+        // the leveled policy chunks internally, so a neglected store's
+        // whole fresh backlog drains here in ≤compactEvery-sized merges
         maybeCompactLeveled(spark, storeDir, tables,
           policy.compactEvery, policy.fanout)
       else if (ceilingHit && freshCommitted >= 2)
         // force-fold whatever fresh dirs exist: the ceiling says the
-        // store can't wait for a full compactEvery run to accumulate
+        // store can't wait for a full compactEvery run to accumulate.
+        // freshCommitted < compactEvery here, so this stays bounded too
         maybeCompactLeveled(spark, storeDir, tables,
           freshCommitted, policy.fanout)
-      else Seq.empty
+      else {
+        if (ceilingHit)
+          // the operator signal must not vanish: the ceiling is
+          // breached and folding cannot help (ceilings bound dir/file
+          // counts, not bytes — MaintenancePolicy's semantics note)
+          log.warn(s"maintain($storeDir): ceiling breached " +
+            s"(liveDirs=${sentinel.liveDirs}/${policy.maxLiveDirs}, " +
+            s"bytes=${before.totalBytes}/${policy.maxBytes}) but fewer " +
+            "than 2 fresh committed dirs exist — nothing foldable. " +
+            "Folding bounds dir/file counts, never store bytes; an " +
+            "over-maxBytes store needs retention or sharding upstream.")
+        Seq.empty
+      }
     MaintenanceReport(before, compactions,
       if (compactions.isEmpty) before else describe(storeDir, tables))
   }
@@ -624,44 +794,67 @@ private[graft] object GateStore {
       fanout: Int = 4): Seq[Long] = {
     require(every >= 2, s"compactEvery must be >= 2, got $every")
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
-    val sentinel = tables.head._1
-    val committed = listBatchDirs(new File(storeDir, sentinel))
-      .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
-      .map(_._1)
-    val live = committed.toSet
-    // stale-entry tolerance: a run whose dir a later full compact()
-    // merged away (mixed-API use) simply drops out of the ledger
-    var levels = readLevels(storeDir).filter { case (_, id) => live(id) }
-    val levelIds = levels.map(_._2).toSet
-    val fresh = committed.filterNot(levelIds)
-    if (fresh.size < every) return Seq.empty
-    val ran = Seq.newBuilder[Long]
-    // level-0: fold the fresh run into its newest member
-    val target0 = fresh.max
-    compactFiltered(spark, storeDir, target0, tables,
-      id => !levelIds.contains(id))
-    leveledFault("level0-merged")
-    levels :+= ((0, target0)); ran += target0
-    writeLevels(storeDir, levels)
-    leveledFault("level0-recorded")
-    // cascade: fanout runs at level L fold into a level-(L+1) run
-    var l = 0
-    var cascading = true
-    while (cascading) {
-      val runs = levels.filter(_._1 == l).map(_._2)
-      if (runs.size >= fanout) {
-        val t = runs.max
-        val inputs = runs.filter(_ != t).toSet
-        compactFiltered(spark, storeDir, t, tables, inputs)
-        leveledFault(s"cascade-merged-$l")
-        levels = levels.filterNot { case (lv, id) =>
-          lv == l && (inputs(id) || id == t) } :+ ((l + 1, t))
-        ran += t
+    withStoreLock(storeDir, "maybeCompactLeveled", blocking = false) {
+      val sentinel = tables.head._1
+      val committed = listBatchDirs(new File(storeDir, sentinel))
+        .filter { case (_, p) => new File(p, "_SUCCESS").exists() }
+        .map(_._1)
+      val live = committed.toSet
+      // stale-entry tolerance: a run whose dir a later full compact()
+      // merged away (mixed-API use) simply drops out of the ledger
+      var levels = readLevels(storeDir).filter { case (_, id) => live(id) }
+      val levelIds = levels.map(_._2).toSet
+      val ran = Seq.newBuilder[Long]
+      // cascade: fanout runs at level L fold into a level-(L+1) run.
+      // CHUNKED at fanout (oldest-first), not all-runs-at-once: a
+      // neglected store can hold far more than `fanout` runs at a level
+      // (many level-0 chunks from one catch-up pass, or crash-orphaned
+      // runs), and a single merge of all of them is exactly the
+      // O(accumulated) rewrite the leveling exists to bound. Newer runs
+      // above the chunk's target stay untouched — the protocol admits
+      // any live-dir partition of the rows.
+      def cascade(): Unit = {
+        var l = 0
+        var cascading = true
+        while (cascading) {
+          val runs = levels.filter(_._1 == l).map(_._2).sorted
+          if (runs.size >= fanout) {
+            val chunk = runs.take(fanout)
+            val t = chunk.max
+            val inputs = chunk.filter(_ != t).toSet
+            compactFiltered(spark, storeDir, t, tables, inputs)
+            leveledFault(s"cascade-merged-$l")
+            levels = levels.filterNot { case (lv, id) =>
+              lv == l && chunk.contains(id) } :+ ((l + 1, t))
+            ran += t
+            writeLevels(storeDir, levels)
+            // stay while this level still has a full chunk; else climb
+            if (levels.count(_._1 == l) < fanout) l += 1
+          } else cascading = false
+        }
+      }
+      // level-0: fold fresh dirs in CHUNKS OF `every` (oldest-first),
+      // cascading after each chunk — per-merge work is O(every) no
+      // matter how many fresh dirs accumulated between passes (the
+      // bounded-catch-up property maintain's ceiling branch relies on;
+      // a neglected store pays many bounded merges, never one
+      // O(accumulated) rewrite). The steady-state inline cadence is
+      // unchanged: fresh reaches `every` and folds as one chunk.
+      var fresh = committed.filterNot(levelIds).sorted
+      while (fresh.size >= every) {
+        val chunk = fresh.take(every)
+        val target0 = chunk.max
+        val chunkSet = chunk.toSet
+        compactFiltered(spark, storeDir, target0, tables, chunkSet)
+        leveledFault("level0-merged")
+        levels :+= ((0, target0)); ran += target0
         writeLevels(storeDir, levels)
-        l += 1
-      } else cascading = false
-    }
-    ran.result()
+        leveledFault("level0-recorded")
+        cascade()
+        fresh = fresh.drop(every)
+      }
+      ran.result()
+    }.getOrElse(Seq.empty)
   }
 
   /** Compact every store partition with batch id < `upTo` into the
@@ -689,8 +882,13 @@ private[graft] object GateStore {
     * collapses duplicates (candidate distinct + payload dedup by id).
     */
   def compact(spark: SparkSession, storeDir: String, upTo: Long,
-      tables: Seq[(String, Seq[String])]): Unit =
-    compactFiltered(spark, storeDir, upTo, tables, _ => true)
+      tables: Seq[(String, Seq[String])]): Unit = {
+    // a direct operator call is mandatory work: wait for any in-flight
+    // batch/compaction, then throw loudly rather than silently skip
+    withStoreLock(storeDir, s"compact=$upTo", blocking = true)(
+      compactFiltered(spark, storeDir, upTo, tables, _ => true))
+    ()
+  }
 
   /** [[compact]] restricted to an input SUBSET: only batch dirs whose id
     * satisfies `include` (and is < `upTo`) are merged into `batch=<upTo>`

@@ -200,10 +200,13 @@ class GateStoreLeveledSpec extends AnyFunSuite {
       assert(GateStore.readLevels(ls).toSet == Set((0, 2L), (0, 5L)))
       // restart: batches 6,7 are below threshold (the missed cascade is
       // NOT retried eagerly — it waits for the next fold), batch 8
-      // folds {6,7,8}→8 and the cascade fires with {2,5,8}
+      // folds {6,7,8}→8 and the cascade fires CHUNKED at fanout:
+      // the OLDEST two level-0 runs {2,5} fold to a level-1 run (the
+      // bounded-merge rule — never all runs at a level in one rewrite),
+      // leaving the fresh run 8 at level 0 for a future cascade
       drive(bs, 6 until 9, cs, co, ls, lo, every = 3, fanout = 2)
-      assert(dirs(ls) == Seq(8L), s"recovered dirs: ${dirs(ls)}")
-      assert(GateStore.readLevels(ls).toSet == Set((1, 8L)))
+      assert(dirs(ls) == Seq(5L, 8L), s"recovered dirs: ${dirs(ls)}")
+      assert(GateStore.readLevels(ls).toSet == Set((1, 5L), (0, 8L)))
       assertVerdictsEqual(bs, 9, co, lo, "tear B")
       // no extra rewrite: 4 merges total (folds 2/5/8 + one cascade) —
       // the same count the crash-free run does over 9 batches

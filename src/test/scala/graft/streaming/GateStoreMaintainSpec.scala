@@ -108,6 +108,132 @@ class GateStoreMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("store lock serializes maintain against a live writer: a batch arriving mid-fold waits then throws; maintenance arriving mid-batch skips") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-lock-").toString
+    val (waitWas, pollWas) = (GateStore.LockWaitMs, GateStore.LockPollMs)
+    try {
+      GateStore.LockWaitMs = 300; GateStore.LockPollMs = 50
+      val bs = batches(8)
+      val (cs, co) = (s"$root/cstore", s"$root/cout") // control
+      val (ms, mo) = (s"$root/mstore", s"$root/mout")
+      for (i <- 0 until 4) {
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, cs, co)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      }
+      // interleave INSIDE the fold: at the level0-merged tear point
+      // (merge committed, ledger pending — the worst mid-compaction
+      // state) a batch tries to run and must be excluded, loudly
+      var batchRefusal: Option[IllegalStateException] = None
+      GateStore.leveledFault = {
+        case "level0-merged" =>
+          batchRefusal = Some(intercept[IllegalStateException] {
+            StreamMediaDedup.processBatch(spark, bs(4), 4L, ms, mo)
+          })
+        case _ => ()
+      }
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 4))
+      GateStore.leveledFault = _ => ()
+      assert(rep.compactions == Seq(3L))
+      assert(batchRefusal.exists(_.getMessage.contains("locked by")),
+        s"mid-fold batch was not refused: $batchRefusal")
+      // the refused batch left nothing behind; run it for real now and
+      // its verdicts equal the control's (the fold changed no rows)
+      StreamMediaDedup.processBatch(spark, bs(4), 4L, ms, mo)
+      StreamMediaDedup.processBatch(spark, bs(4), 4L, cs, co)
+      assert(canon(spark.read.parquet(s"$mo/batch=4")) ==
+        canon(spark.read.parquet(s"$co/batch=4")))
+      // the reverse overlap: maintenance arriving while a writer holds
+      // the lock SKIPS (deferrable), and runs once the writer releases
+      for (i <- 5 until 8) {
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      }
+      val skipped = GateStore.withStoreLock(ms, "writer-mid-batch",
+        blocking = true) {
+        StreamMediaDedup.maintain(spark, ms,
+          GateStore.MaintenancePolicy(compactEvery = 4))
+      }.get
+      assert(skipped.compactions.isEmpty,
+        "maintain compacted under a held writer lock")
+      val after = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 4))
+      assert(after.compactions == Seq(7L), s"post-release: ${after.compactions}")
+    } finally {
+      GateStore.leveledFault = _ => ()
+      GateStore.LockWaitMs = waitWas; GateStore.LockPollMs = pollWas
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("a stale lock (crashed holder) is broken, not wedging: the next acquirer proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-stale-").toString
+    try {
+      val bs = batches(4)
+      val (ms, mo) = (s"$root/mstore", s"$root/mout")
+      for (i <- bs.indices)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      // a kill -9'd holder: lock present, timestamp ancient
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ms, "_compaction_lock"),
+        "batch=99@dead-process\n0\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 4))
+      assert(rep.compactions == Seq(3L),
+        s"stale lock wedged maintenance: ${rep.compactions}")
+      assert(!new java.io.File(ms, "_compaction_lock").exists(),
+        "lock not released after the pass")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("bounded catch-up: a neglected store's fresh backlog drains in <=compactEvery-sized merges, verdicts unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-backlog-").toString
+    try {
+      import spark.implicits._
+      val ms = s"$root/mstore"
+      // 60 committed one-item batch dirs written directly in the bands
+      // layout (synthesizing the neglect is the point — no writer ran
+      // maintenance). Every dir plants a REAL media item's band rows
+      // under a distinct id, so a probe of that item must see all 60
+      // corpus dups before AND after maintenance.
+      val media = Multimodal.mediaTable(spark, dir)
+        .select(col("media_id"), col("payload"),
+          col("meta.format").as("format"))
+      val seed = Multimodal.mm9IndexRows(media)
+        .orderBy(col("media_id"), col("band")).limit(4).collect()
+      val probeId = seed.head.getLong(0)
+      for (id <- 0 until 60)
+        seed.toSeq.map(r => (id.toLong, r.getString(1), r.getInt(2),
+            r.getString(3)))
+          .toDF("media_id", "phash", "band", "bs")
+          .coalesce(1).write.parquet(s"$ms/bands/batch=$id")
+      def verdicts(): Set[(Long, Long, Long)] = {
+        val live = GateStore.listBatchDirs(new java.io.File(s"$ms/bands"))
+          .map(_._2)
+        canon(Multimodal.mm9ProbeDirs(spark,
+          media.filter(col("media_id") === probeId), live))
+      }
+      val before = verdicts()
+      assert(before.size == 60, s"probe saw ${before.size} planted dups")
+      val rep = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 8, fanout = 4))
+      // 7 level-0 chunks of EXACTLY 8 dirs each (ids 0-55), one cascade
+      // of the oldest 4 runs after the 4th chunk, 4 stragglers left
+      // fresh — never one 60-dir rewrite
+      assert(rep.compactions == Seq(7L, 15L, 23L, 31L, 31L, 39L, 47L, 55L),
+        s"catch-up merges: ${rep.compactions}")
+      assert(GateStore.readLevels(ms).toSet ==
+        Set((1, 31L), (0, 39L), (0, 47L), (0, 55L)))
+      assert(dirs(ms) == Seq(31L, 39L, 47L, 55L, 56L, 57L, 58L, 59L),
+        s"post-catch-up dirs: ${dirs(ms)}")
+      assert(verdicts() == before, "catch-up maintenance changed verdicts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("an owned store refuses maintenance without the owner's name") {
     val root = java.nio.file.Files.createTempDirectory("maintain-own-").toString
     try {

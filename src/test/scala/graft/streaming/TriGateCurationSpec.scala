@@ -538,6 +538,42 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("a COMMITTED fold is authoritative even for an empty side: stale flat rows are never resurrected") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-foldauth-").toString
+    try {
+      val out = s"$root/out"
+      // history: the batch was once published flat WITH verdict rows...
+      Seq(("text", 7L, 3L, 0.9))
+        .toDF("modality", "new_id", "dup_of", "score")
+        .write.mode("overwrite").parquet(s"$out/verdicts/batch=0")
+      // ...and later (store wiped, foldWrites turned on) re-published
+      // folded with a legitimately EMPTY verdict side: the fold is
+      // committed (_SUCCESS at the batch root) and carries only chunks
+      Seq((2L, 0, "webz", "folded chunk rows", 3))
+        .toDF("doc_id", "chunk_id", "source", "chunk", "n_tok")
+        .write.mode("overwrite").parquet(s"$out/curated/batch=0/kind=chunks")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$out/curated/batch=0/_SUCCESS"))
+      // the committed fold's empty verdict side READS EMPTY — the stale
+      // flat rows must not leak through the data-less fallback
+      val v = TrainingPipeline.readVerdicts(spark, out, 0L)
+      assert(v.isEmpty,
+        s"stale flat verdicts resurrected: ${v.collect().mkString(",")}")
+      assert(v.schema.fieldNames.toSeq ==
+        Seq("modality", "new_id", "dup_of", "score"))
+      // the fold's non-empty side reads normally
+      assert(TrainingPipeline.readChunks(spark, out, 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+      // and with NO fold commit, the flat layout still serves
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$out/curated/batch=0/_SUCCESS"))
+      assert(TrainingPipeline.readVerdicts(spark, out, 0L)
+        .select("new_id").collect().map(_.getLong(0)).toSet == Set(7L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("gate stores refuse a second writer; same owner re-claims; release hands over") {
     val root = java.nio.file.Files.createTempDirectory("owner-").toString
     val store = s"$root/store"
