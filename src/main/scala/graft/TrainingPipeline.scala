@@ -493,16 +493,18 @@ object TrainingPipeline {
       sigSpec: Dedup.SigSpec = Dedup.SigNarrow,
       probeDepth: Int = 0,
       stageCounts: Boolean = true,
-      foldWrites: Boolean = false): Unit = {
+      foldWrites: Boolean = false,
+      mediaProbeDepth: Int = 0): Unit = {
     import graft.streaming.GateStore
     require(batchEmbeddings.isDefined == embedStoreDir.isDefined,
       "batchEmbeddings and embedStoreDir must be supplied together")
     require(batchMedia.isDefined == mediaStoreDir.isDefined,
       "batchMedia and mediaStoreDir must be supplied together")
-    // fail-fast probeDepth validation, even when no embed store is
-    // wired this run — a bad dial must not lie dormant until the first
-    // batch that happens to carry embeddings
+    // fail-fast probeDepth validation, even when no embed/media store
+    // is wired this run — a bad dial must not lie dormant until the
+    // first batch that happens to carry that modality
     Dedup.d20ProbeMasks(sigSpec.bandBits, probeDepth)
+    Dedup.d20ProbeMasks(Multimodal.PhashBandChars, mediaProbeDepth)
     // loud geometry pins BEFORE the replay early-return: a mis-specced
     // caller should fail on its first touch of ANY store, not only on
     // the first unprocessed batch (GateStore.ensureGeometry's contract).
@@ -609,7 +611,7 @@ object TrainingPipeline {
             .join(embedGated.select(col("doc_id").as("media_id")),
               Seq("media_id"))
           Some(Checkpoints.eagerBuild(s)(Multimodal.mm9ProbeDirs(
-            s, survivorMedia, prior(mStore, "bands"))))
+            s, survivorMedia, prior(mStore, "bands"), mediaProbeDepth)))
         case _ => None
       }
       val mediaGated =

@@ -853,11 +853,41 @@ object Multimodal {
 
   /** The per-batch probe: candidates from the band equi-join, exact
     * positionwise hamming on the phashes both sides already carry.
+    *
+    * `probeDepth` is the media gate's RECALL DIAL — the d20ProbeMasks
+    * device on the pHash banding: each batch band value (16 '0'/'1'
+    * chars, bijectively a 16-bit integer) is fanned to every ≤depth-bit
+    * flip of itself BEFORE the equi-join, so a pair whose closest band
+    * still differs in ≤depth bits becomes a candidate. Pigeonhole
+    * arithmetic over 4 bands: a pair within hamming h has some band
+    * with ≤ ⌊h/4⌋ differing bits, so depth d GUARANTEES candidates for
+    * h ≤ 4d+3 — depth 0 certifies h ≤ 3 (h 4-6 probabilistic), depth 1
+    * certifies the full [[Mm6MaxHamming]] = 6 verify radius (through
+    * h ≤ 7), depth 2 certifies h ≤ 11, which only pays off when
+    * `maxHamming` raises the verify radius with it. Candidate volume
+    * scales by ≤ |masks| (17 / 137) on the batch side only; the store
+    * layout, the index scan and the verify are untouched, and depth 0
+    * keeps the original single-probe plan byte-identical (the oracle
+    * pin). Exactness is free here — hamming is verified positionwise
+    * on the full hashes — so the dial trades candidates for recall,
+    * never precision.
     */
-  def mm9Probe(batch: DataFrame, index: DataFrame): DataFrame = {
+  def mm9Probe(batch: DataFrame, index: DataFrame, probeDepth: Int = 0,
+      maxHamming: Int = Mm6MaxHamming): DataFrame = {
+    val masks = Dedup.d20ProbeMasks(PhashBandChars, probeDepth)
     val bp = phashBands(phashOf(batch).cache())
-    val cand = bp.as("p").join(index.as("i"),
-        col("p.band") === col("i.band") && col("p.bs") === col("i.bs"))
+    val cand = (if (masks.size == 1)
+        bp.as("p").join(index.as("i"),
+          col("p.band") === col("i.band") && col("p.bs") === col("i.bs"))
+      else {
+        // integer-keyed fan: decode bs at probe time on BOTH sides so
+        // the XOR masks apply; only the batch side fans |masks|-fold
+        val pv = bp.withColumn("bv", explode(array(masks.map(m =>
+          conv(col("bs"), 2, 10).cast("long").bitwiseXOR(lit(m))): _*)))
+        val iv = index.withColumn("bv", conv(col("bs"), 2, 10).cast("long"))
+        pv.as("p").join(iv.as("i"),
+          col("p.band") === col("i.band") && col("p.bv") === col("i.bv"))
+      })
       .select(col("p.media_id").as("new_id"), col("i.media_id").as("dup_of"),
         col("p.phash").as("p1"), col("i.phash").as("p2"))
       .distinct()
@@ -866,7 +896,7 @@ object Multimodal {
         (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (a, x) => a + x)
     cand.withColumn("hamming", ham.cast("long"))
-      .filter(col("hamming") <= Mm6MaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col("new_id"), col("dup_of"), col("hamming"))
       .orderBy(col("new_id"), col("dup_of"))
   }
@@ -897,18 +927,21 @@ object Multimodal {
     * in `Checkpoints.eagerBuild` and release after materializing.
     */
   def mm9ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String): DataFrame =
-    mm9ProbeDirs(s, batch, Seq(s"$storePath/bands"))
+      storePath: String, probeDepth: Int = 0,
+      maxHamming: Int = Mm6MaxHamming): DataFrame =
+    mm9ProbeDirs(s, batch, Seq(s"$storePath/bands"), probeDepth, maxHamming)
 
   /** [[mm9ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamMediaDedup]]) keeps one
     * bands directory per merged batch. Duplicate index rows from a
     * crashed-and-retried compaction are byte-identical, so the
     * candidate distinct inside [[mm9Probe]] collapses them.
+    * `probeDepth`/`maxHamming` are [[mm9Probe]]'s recall dial.
     */
   def mm9ProbeDirs(s: SparkSession, batch: DataFrame,
-      bandDirs: Seq[String]): DataFrame =
-    mm9Probe(batch, s.read.parquet(bandDirs: _*))
+      bandDirs: Seq[String], probeDepth: Int = 0,
+      maxHamming: Int = Mm6MaxHamming): DataFrame =
+    mm9Probe(batch, s.read.parquet(bandDirs: _*), probeDepth, maxHamming)
 
   /** Oracle: mm6Sql's byte-path phash replay with the asymmetric
     * batch/corpus predicates.

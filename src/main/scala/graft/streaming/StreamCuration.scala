@@ -82,12 +82,16 @@ object StreamCuration {
       compactLeveled: Boolean = false,
       probeDepth: Int = 0,
       stageCounts: Boolean = true,
-      foldWrites: Boolean = false)
+      foldWrites: Boolean = false,
+      mediaProbeDepth: Int = 0)
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
-    // fail-fast probeDepth validation (the geometry/owner doctrine)
+    // fail-fast probeDepth validation (the geometry/owner doctrine) —
+    // both recall dials: embed (sigSpec bands) and media (pHash bands)
     graft.queries.Dedup.d20ProbeMasks(sigSpec.bandBits, probeDepth)
+    graft.queries.Dedup.d20ProbeMasks(
+      graft.queries.Multimodal.PhashBandChars, mediaProbeDepth)
     // construction-time geometry pins, next to the owner claims: a
     // mis-specced restart fails before the stream starts, not at its
     // first micro-batch (round-14 advice)
@@ -106,7 +110,8 @@ object StreamCuration {
         batchEmbeddings = Some(embs), embedStoreDir = Some(embedStoreDir),
         batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
         sigSpec = sigSpec, probeDepth = probeDepth,
-        stageCounts = stageCounts, foldWrites = foldWrites)
+        stageCounts = stageCounts, foldWrites = foldWrites,
+        mediaProbeDepth = mediaProbeDepth)
       // inline maintenance, per store (each keyed off its OWN committed
       // dir count — see GateStore.maybeCompact). Safe relative to the
       // cross-store replay sentinel: compaction's marker-before-delete

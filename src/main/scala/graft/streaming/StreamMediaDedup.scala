@@ -54,18 +54,27 @@ object StreamMediaDedup {
     * longer exists. The geometry pin runs at construction too.
     * `compactEvery` opts into inline compact-every-K maintenance;
     * `compactLeveled` picks the bounded-amplification leveled policy
-    * ([[GateStore.maybeCompactLeveled]]).
+    * ([[GateStore.maybeCompactLeveled]]). `probeDepth` turns on the
+    * gate's multi-probe recall dial ([[Multimodal.mm9Probe]]'s
+    * pigeonhole arithmetic: depth 1 certifies candidates through the
+    * full hamming-6 verify radius; depth 0 is the byte-identical
+    * single-probe default). Probe-time policy, not store shape — the
+    * geometry pin is unchanged, exactly like the embed gate's dial.
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       owner: Option[String] = None,
       compactEvery: Option[Int] = None,
-      compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
+      compactLeveled: Boolean = false,
+      probeDepth: Int = 0): (DataFrame, Long) => Unit = {
     GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)),
       if (owner.isEmpty) GateStore.legacyOwnerFor(outDir).toSeq else Nil)
     GateStore.ensureGeometry(storeDir, Geometry)
+    // fail-fast dial validation at construction (the embed sink's rule)
+    graft.queries.Dedup.d20ProbeMasks(
+      graft.queries.Multimodal.PhashBandChars, probeDepth)
     (batch, batchId) =>
       processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,
-        compactLeveled)
+        compactLeveled, probeDepth)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -74,12 +83,14 @@ object StreamMediaDedup {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
       compactEvery: Option[Int] = None,
-      compactLeveled: Boolean = false): Unit = {
+      compactLeveled: Boolean = false,
+      probeDepth: Int = 0): Unit = {
     GateStore.ensureGeometry(storeDir, Geometry)
     val media = batch.select(col("media_id"), col("payload"), col("format"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, hamming BIGINT",
-      probe = prior => Multimodal.mm9ProbeDirs(spark, media, prior("bands")),
+      probe = prior =>
+        Multimodal.mm9ProbeDirs(spark, media, prior("bands"), probeDepth),
       // single-table append: the bands commit marker is both the store
       // row set's and the replay sentinel's commit point
       append = () => Multimodal.mm9IndexRows(media).write.mode("overwrite")

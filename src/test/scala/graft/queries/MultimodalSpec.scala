@@ -354,4 +354,57 @@ class MultimodalSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
   }
+
+  test("mm9 multi-probe dial: recall is monotone in depth with EXACT planted hammings; depth 0 is byte-identical to the single-probe path") {
+    import spark.implicits._
+    // chunk-controlled payloads: 64 chunks × 4 bytes, even chunks 'z'
+    // (sum 488), odd chunks '!' (sum 132) — the chunk sums sit so far
+    // from the global mean (310 + h·5.57 after h flips) that flipping
+    // an odd chunk to 'z' flips EXACTLY its own hash bit. Planted
+    // variants therefore have hamming == h by construction, with the
+    // flip positions chosen to control the per-band diff distribution
+    // (16 bits per band, 4 bands).
+    def payload(flips: Seq[Int]): Array[Byte] = {
+      val bytes = new Array[Byte](256)
+      for (k <- 0 until 64; j <- 0 until 4)
+        bytes(4 * k + j) =
+          if (k % 2 == 0 || flips.contains(k)) 'z'.toByte else '!'.toByte
+      bytes
+    }
+    val base = payload(Nil)
+    // h=2 spread (1,1,0,0): two bands clean → depth 0 finds it
+    // h=5 spread (2,1,1,1): min band diff 1 → depth 0 misses, 1 finds
+    // h=9 spread (3,2,2,2): min band diff 2 → depth 1 misses, 2 finds
+    //      (only reachable when maxHamming raises the verify radius)
+    val variants = Map(
+      102L -> Seq(1, 17),
+      105L -> Seq(1, 3, 17, 33, 49),
+      109L -> Seq(1, 3, 5, 17, 19, 33, 35, 49, 51))
+    val corpus = Seq((1L, base, "bin")).toDF("media_id", "payload", "format")
+    val batch = variants.toSeq.map { case (id, f) => (id, payload(f), "bin") }
+      .toDF("media_id", "payload", "format")
+    val index = Multimodal.mm9IndexRows(corpus)
+    def found(depth: Int, radius: Int): Map[Long, Long] =
+      Multimodal.mm9Probe(batch, index, depth, radius).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact hammings prove the construction
+    assert(found(2, 11) == Map(102L -> 2L, 105L -> 5L, 109L -> 9L))
+    // recall-monotone at the widened radius: {h2} ⊂ {h2,h5} ⊂ all three
+    assert(found(0, 11).keySet == Set(102L))
+    assert(found(1, 11).keySet == Set(102L, 105L))
+    assert(found(2, 11).keySet == Set(102L, 105L, 109L))
+    // at the default radius 6, depth 1 certifies FULL recall (pigeonhole:
+    // h ≤ 6 over 4 bands leaves some band within 1 bit); h=9 verifies out
+    assert(found(0, Multimodal.Mm6MaxHamming).keySet == Set(102L))
+    assert(found(1, Multimodal.Mm6MaxHamming).keySet == Set(102L, 105L))
+    assert(found(2, Multimodal.Mm6MaxHamming).keySet == Set(102L, 105L))
+    // depth 0 IS the single-probe path: same rows as the 2-arg probe
+    val d0 = Multimodal.mm9Probe(batch, index, 0).collect().map(_.toSeq).toSet
+    val orig = Multimodal.mm9Probe(batch, index).collect().map(_.toSeq).toSet
+    assert(d0 == orig)
+    // an out-of-range dial fails fast
+    intercept[IllegalArgumentException] {
+      Multimodal.mm9Probe(batch, index, 3)
+    }
+  }
 }

@@ -205,4 +205,52 @@ class StreamMediaDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
+
+  test("sink probeDepth dial: depth 1 gates a mid-radius variant depth 0 misses; depth 0 stays byte-identical; bad dial fails at construction") {
+    val root = java.nio.file.Files.createTempDirectory("media-dial-").toString
+    try {
+      // MultimodalSpec's chunk-controlled payloads: hamming is exactly
+      // the flip count, per-band diffs controlled by flip positions
+      def payload(flips: Seq[Int]): Array[Byte] = {
+        val bytes = new Array[Byte](256)
+        for (k <- 0 until 64; j <- 0 until 4)
+          bytes(4 * k + j) =
+            if (k % 2 == 0 || flips.contains(k)) 'z'.toByte else '!'.toByte
+        bytes
+      }
+      val b0 = Seq((1L, payload(Nil), "bin"))
+        .toDF("media_id", "payload", "format")
+      val b1 = Seq(
+          (102L, payload(Seq(1, 17)), "bin"), // h=2: (1,1,0,0) — any depth
+          (105L, payload(Seq(1, 3, 17, 33, 49)), "bin")) // h=5: (2,1,1,1)
+        .toDF("media_id", "payload", "format")
+      def drive(tag: String, depth: Int): Map[Long, Long] = {
+        val sink = StreamMediaDedup.sink(spark, s"$root/store-$tag",
+          s"$root/out-$tag", probeDepth = depth)
+        sink(b0, 0L); sink(b1, 1L)
+        spark.read.parquet(s"$root/out-$tag/batch=1").collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      }
+      assert(drive("d0", 0) == Map(102L -> 2L),
+        "depth 0 should certify only hamming <= 3")
+      assert(drive("d1", 1) == Map(102L -> 2L, 105L -> 5L),
+        "depth 1 should certify the full hamming-6 radius")
+      // the store rows are identical either way — the dial is probe-time
+      // policy, not store shape (same geometry marker, same band rows)
+      def rows(tag: String) = spark.read
+        .parquet(s"$root/store-$tag/bands/batch=1")
+        .collect().map(_.mkString("|")).toSet
+      assert(rows("d0") == rows("d1"))
+      assert(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"$root/store-d1/_geometry")).get(0) ==
+        StreamMediaDedup.Geometry)
+      // an out-of-range dial fails at sink CONSTRUCTION, before batches
+      intercept[IllegalArgumentException] {
+        StreamMediaDedup.sink(spark, s"$root/store-bad", s"$root/out-bad",
+          probeDepth = 7)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
