@@ -494,7 +494,8 @@ object TrainingPipeline {
       probeDepth: Int = 0,
       stageCounts: Boolean = true,
       foldWrites: Boolean = false,
-      mediaProbeDepth: Int = 0): Unit = {
+      mediaProbeDepth: Int = 0,
+      mhSpec: Dedup.MinHashSpec = Dedup.MinHashDefault): Unit = {
     import graft.streaming.GateStore
     require(batchEmbeddings.isDefined == embedStoreDir.isDefined,
       "batchEmbeddings and embedStoreDir must be supplied together")
@@ -510,7 +511,7 @@ object TrainingPipeline {
     // the first unprocessed batch (GateStore.ensureGeometry's contract).
     // All three stores have shape parameters — text shingle/banding,
     // embed SigSpec, media pHash banding — and all three pin them.
-    GateStore.ensureGeometry(storeDir, graft.streaming.StreamNearDedup.Geometry)
+    GateStore.ensureGeometry(storeDir, mhSpec.geometryId)
     embedStoreDir.foreach(GateStore.ensureGeometry(_, sigSpec.geometryId, sigSpec.legacyGeometryIds))
     mediaStoreDir.foreach(
       GateStore.ensureGeometry(_, graft.streaming.StreamMediaDedup.Geometry))
@@ -579,7 +580,7 @@ object TrainingPipeline {
       val textV =
         if (textPrior.isEmpty) None
         else Some(Checkpoints.eagerBuild(s)(Dedup.d19ProbeDirs(
-          s, exact, textPrior, prior(storeDir, "shingles"))))
+          s, exact, textPrior, prior(storeDir, "shingles"), mhSpec)))
       val novel = textV match {
         case None => stage("near_dup_gate", exact)
         case Some(cp) => stage("near_dup_gate",
@@ -749,7 +750,7 @@ object TrainingPipeline {
           }
           if (interrupted != null) throw interrupted
         } else payloadAppends.foreach(_())
-        Dedup.minhashBands(sh).write.mode("overwrite")
+        Dedup.minhashBandsSpec(sh, mhSpec).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       }
       if (prevStage != null) prevStage.release()

@@ -94,9 +94,66 @@ object Dedup {
   private[graft] val MinhashBandCount = 32
   private[graft] val MinhashBandRows = 4
 
-  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
-    val B = MinhashBandCount; val R = MinhashBandRows
-    // cache is load-bearing: 128 element_at references below would
+  /** MinHash banding geometry for the text gate — the [[SigSpec]]
+    * doctrine applied to the d19 family: `bands` bands of `rows`
+    * signature positions each, drawn from the first bands·rows of the
+    * 128 MinHash permutations. The dial is the LSH S-curve
+    * P(collide) = 1 − (1 − s^rows)^bands at shingle-Jaccard s:
+    *
+    *  - [[MinHashDefault]] 32×4 — the oracle-pinned shape: ~87%
+    *    band-collision at the j = 0.5 verify threshold (near-unit on
+    *    fixed fixtures), but ~23% of UNCORRELATED j ≈ 0.3 pairs also
+    *    collide — a candidate rate that grows with corpus² and is the
+    *    saturation risk at 10⁹+ docs (SigNarrow's failure mode).
+    *  - [[MinHashSharp]] 16×8 — the production near-clone geometry:
+    *    j = 0.3 decoys collide at ~0.1% (output-bound at any corpus
+    *    size), j ≥ 0.8 clones at ~95%, verbatim clones (j = 1) with
+    *    certainty under ANY banding (every band hash equal). The price
+    *    is recall AT the 0.5 threshold (~6%) — this is the geometry
+    *    for a gate whose job is near-verbatim dedup, not borderline
+    *    similarity; HALF the index rows per doc is the bonus.
+    *
+    * Like SigSpec: geometry is a STORE-shape parameter — one store,
+    * one geometry, for life (`geometryId` feeds the `_geometry` pin;
+    * the default derives exactly the frozen round-14 marker string, so
+    * existing stores are untouched). The exact-Jaccard verify keeps
+    * precision exact under every geometry.
+    */
+  final case class MinHashSpec(bands: Int, rows: Int) {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 128,
+      s"MinHashSpec($bands, $rows): bands and rows must be positive " +
+        "with bands*rows <= 128 (the MinHash128 signature width)")
+    /** FROZEN serialized form for the `_geometry` marker (SigSpec's
+      * doctrine: never a derived toString). Matches the pre-spec
+      * marker string exactly at the default shape.
+      */
+    def geometryId: String =
+      s"minhash:shingle=$ShingleWidth,bands=${bands}x$rows,buckets=$D19Buckets"
+  }
+
+  /** The oracle-pinned 32-band × 4-row default — [[minhashBands]]'
+    * exact banding, byte-identical plans (DedupSpec pins it).
+    */
+  val MinHashDefault: MinHashSpec = MinHashSpec(MinhashBandCount, MinhashBandRows)
+
+  /** The production near-clone geometry (16 bands × 8 rows) — see
+    * [[MinHashSpec]] for the S-curve arithmetic and SCALING.md for the
+    * measured receipt.
+    */
+  val MinHashSharp: MinHashSpec = MinHashSpec(16, 8)
+
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
+    minhashBandsSpec(sh, MinHashDefault)
+
+  /** [[minhashBands]] at an arbitrary [[MinHashSpec]] geometry. The
+    * 128-permutation signature is computed whole at every geometry
+    * (the native expression's one pass is cheaper than a parameterized
+    * variant would save); banding uses its first bands·rows positions.
+    */
+  private[graft] def minhashBandsSpec(sh: DataFrame,
+      spec: MinHashSpec): DataFrame = {
+    val B = spec.bands; val R = spec.rows
+    // cache is load-bearing: the element_at references below would
     // otherwise each inline (and recompute) the full signature scan
     val sig = sh.select(col("doc_id"),
       GraftNative.column(graft.expressions.MinHash128(
@@ -1704,7 +1761,8 @@ object Dedup {
     * out so a batch probe reads only the candidate buckets, never the
     * corpus. Raw text is in neither table.
     */
-  def d19WriteStore(corpus: DataFrame, path: String): Unit =
+  def d19WriteStore(corpus: DataFrame, path: String,
+      mhSpec: MinHashSpec = MinHashDefault): Unit =
     // sweep: the banding caches its signature frame internally; once
     // both tables are on disk nothing in memory is needed
     graft.Checkpoints.sweep(corpus.sparkSession) {
@@ -1714,7 +1772,8 @@ object Dedup {
         .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/shingles")
-      minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
+      minhashBandsSpec(sh, mhSpec).write.mode("overwrite")
+        .parquet(s"$path/bands")
     }
 
   /** The at-scale probe against a [[d19WriteStore]] layout. Differs from
@@ -1740,9 +1799,9 @@ object Dedup {
     * designed.
     */
   def d19ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String): DataFrame =
+      storePath: String, mhSpec: MinHashSpec = MinHashDefault): DataFrame =
     d19ProbeDirs(s, batch, Seq(s"$storePath/bands"),
-      Seq(s"$storePath/shingles"))
+      Seq(s"$storePath/shingles"), mhSpec)
 
   /** [[d19ProbeStored]] against explicit directory LISTS — the
     * streaming store keeps one bands and one shingle directory per
@@ -1752,10 +1811,11 @@ object Dedup {
     * (bounded: candidate buckets only).
     */
   def d19ProbeDirs(s: SparkSession, batch: DataFrame,
-      bandDirs: Seq[String], shingleDirs: Seq[String]): DataFrame = {
+      bandDirs: Seq[String], shingleDirs: Seq[String],
+      mhSpec: MinHashSpec = MinHashDefault): DataFrame = {
     val batchSh = shingleSetsOf(batch).cache()
     val index = s.read.parquet(bandDirs: _*)
-    val cand = minhashBands(batchSh).as("p")
+    val cand = minhashBandsSpec(batchSh, mhSpec).as("p")
       .join(index.as("i"),
         col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
       .select(col("p.doc_id").as("new_id"), col("i.doc_id").as("dup_of"))

@@ -83,7 +83,9 @@ object StreamCuration {
       probeDepth: Int = 0,
       stageCounts: Boolean = true,
       foldWrites: Boolean = false,
-      mediaProbeDepth: Int = 0)
+      mediaProbeDepth: Int = 0,
+      mhSpec: graft.queries.Dedup.MinHashSpec =
+        graft.queries.Dedup.MinHashDefault)
       : (DataFrame, Long) => Unit = {
     Seq(textStoreDir, embedStoreDir, mediaStoreDir)
       .foreach(GateStore.claimOwner(_, owner))
@@ -95,7 +97,7 @@ object StreamCuration {
     // construction-time geometry pins, next to the owner claims: a
     // mis-specced restart fails before the stream starts, not at its
     // first micro-batch (round-14 advice)
-    GateStore.ensureGeometry(textStoreDir, StreamNearDedup.Geometry)
+    GateStore.ensureGeometry(textStoreDir, mhSpec.geometryId)
     GateStore.ensureGeometry(embedStoreDir, sigSpec.geometryId, sigSpec.legacyGeometryIds)
     GateStore.ensureGeometry(mediaStoreDir, StreamMediaDedup.Geometry)
     (batch, batchId) => {
@@ -111,7 +113,7 @@ object StreamCuration {
         batchMedia = Some(media), mediaStoreDir = Some(mediaStoreDir),
         sigSpec = sigSpec, probeDepth = probeDepth,
         stageCounts = stageCounts, foldWrites = foldWrites,
-        mediaProbeDepth = mediaProbeDepth)
+        mediaProbeDepth = mediaProbeDepth, mhSpec = mhSpec)
       // inline maintenance, per store (each keyed off its OWN committed
       // dir count — see GateStore.maybeCompact). Safe relative to the
       // cross-store replay sentinel: compaction's marker-before-delete

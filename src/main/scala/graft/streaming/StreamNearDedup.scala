@@ -55,12 +55,12 @@ object StreamNearDedup {
     * A store probed at any other shape would band-match nothing and
     * wave near-dups through with zero errors — the same silent-recall
     * failure mode the embed store's SigSpec pin guards. FROZEN format
-    * (SigSpec.geometryId's doctrine: never a derived toString).
+    * (SigSpec.geometryId's doctrine: never a derived toString); the
+    * default [[graft.queries.Dedup.MinHashSpec]] derives this exact
+    * string, so pre-spec stores re-claim unchanged.
     */
   private[graft] val Geometry: String =
-    s"minhash:shingle=${graft.queries.Dedup.ShingleWidth}," +
-      s"bands=${graft.queries.Dedup.MinhashBandCount}x${graft.queries.Dedup.MinhashBandRows}," +
-      s"buckets=${graft.queries.Dedup.D19Buckets}"
+    graft.queries.Dedup.MinHashDefault.geometryId
 
   /** The foreachBatch body, curried with the store/output roots:
     * `stream.writeStream.foreachBatch(sink(spark, store, out)).start()`.
@@ -77,17 +77,24 @@ object StreamNearDedup {
     * maintenance; `compactLeveled` picks the bounded-amplification
     * leveled policy ([[GateStore.maybeCompactLeveled]]) over the
     * fixture-scale full rewrite ([[GateStore.maybeCompact]]).
+    * `mhSpec` picks the MinHash banding geometry
+    * ([[graft.queries.Dedup.MinHashSpec]]: default 32×4 oracle shape,
+    * [[graft.queries.Dedup.MinHashSharp]] 16×8 for production
+    * near-clone gates) — a STORE-shape parameter pinned by the
+    * `_geometry` marker, one store, one geometry, for life.
     */
   def sink(spark: SparkSession, storeDir: String, outDir: String,
       owner: Option[String] = None,
       compactEvery: Option[Int] = None,
-      compactLeveled: Boolean = false): (DataFrame, Long) => Unit = {
+      compactLeveled: Boolean = false,
+      mhSpec: Dedup.MinHashSpec = Dedup.MinHashDefault)
+      : (DataFrame, Long) => Unit = {
     GateStore.claimOwner(storeDir, owner.getOrElse(GateStore.ownerFor(outDir)),
       if (owner.isEmpty) GateStore.legacyOwnerFor(outDir).toSeq else Nil)
-    GateStore.ensureGeometry(storeDir, Geometry)
+    GateStore.ensureGeometry(storeDir, mhSpec.geometryId)
     (batch, batchId) =>
       processBatch(spark, batch, batchId, storeDir, outDir, compactEvery,
-        compactLeveled)
+        compactLeveled, mhSpec)
   }
 
   /** One gate step; package-visible so the spec can drive batches
@@ -96,13 +103,15 @@ object StreamNearDedup {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, outDir: String,
       compactEvery: Option[Int] = None,
-      compactLeveled: Boolean = false): Unit = {
-    GateStore.ensureGeometry(storeDir, Geometry)
+      compactLeveled: Boolean = false,
+      mhSpec: Dedup.MinHashSpec = Dedup.MinHashDefault): Unit = {
+    GateStore.ensureGeometry(storeDir, mhSpec.geometryId)
     val docs = batch.select(col("doc_id"), col("text"))
     GateStore.runBatch(spark, batchId, storeDir, outDir, Tables,
       verdictsDdl = "new_id BIGINT, dup_of BIGINT, jaccard DOUBLE",
       probe = prior =>
-        Dedup.d19ProbeDirs(spark, docs, prior("bands"), prior("shingles")),
+        Dedup.d19ProbeDirs(spark, docs, prior("bands"), prior("shingles"),
+          mhSpec),
       append = () => {
         // shingles first, bands (the sentinel table) LAST —
         // GateStore's append-order contract
@@ -112,7 +121,7 @@ object StreamNearDedup {
           .repartition(col("bucket")) // small-files guard (sigStoreRows' note)
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$storeDir/shingles/batch=$batchId")
-        Dedup.minhashBands(sh).write.mode("overwrite")
+        Dedup.minhashBandsSpec(sh, mhSpec).write.mode("overwrite")
           .parquet(s"$storeDir/bands/batch=$batchId")
       })
     compactEvery.foreach { k =>

@@ -734,6 +734,78 @@ class DedupSpec extends AnyFunSuite {
       n == 9000007L && d == srcRow.getLong(0) && j == 1.0 })
   }
 
+  test("MinHashSpec geometry: default is the frozen oracle shape; the sharp 16x8 store halves index rows, surfaces clones, and refines candidates") {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    // the default spec derives EXACTLY the pre-spec frozen marker
+    // string — existing stores re-claim unchanged
+    assert(Dedup.MinHashDefault.geometryId ==
+      "minhash:shingle=3,bands=32x4,buckets=64")
+    assert(Dedup.MinHashSharp.geometryId ==
+      "minhash:shingle=3,bands=16x8,buckets=64")
+    // ...and IS minhashBands: same rows, and half the rows at sharp
+    // (16 vs 32 band rows per doc — the index-size dividend)
+    val sh = Dedup.shingleSetsOf(corpus).cache()
+    try {
+      val legacy = Dedup.minhashBands(sh).collect().map(_.toSeq).toSet
+      val viaSpec = Dedup.minhashBandsSpec(sh, Dedup.MinHashDefault)
+        .collect().map(_.toSeq).toSet
+      assert(viaSpec == legacy)
+      val nDocs = sh.count()
+      assert(Dedup.minhashBandsSpec(sh, Dedup.MinHashSharp).count() ==
+        16 * nDocs)
+      assert(legacy.size == 32 * nDocs)
+    } finally sh.unpersist()
+
+    val defStore = java.nio.file.Files.createTempDirectory("mh-def-")
+    val sharpStore = java.nio.file.Files.createTempDirectory("mh-sharp-")
+    try {
+      Dedup.d19WriteStore(corpus, defStore.toString)
+      Dedup.d19WriteStore(corpus, sharpStore.toString, Dedup.MinHashSharp)
+      def verdicts(store: java.nio.file.Path, spec: Dedup.MinHashSpec,
+          b: org.apache.spark.sql.DataFrame) =
+        Dedup.d19ProbeStored(spark, b, store.toString, spec).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val defV = verdicts(defStore, Dedup.MinHashDefault, batch)
+      val sharpV = verdicts(sharpStore, Dedup.MinHashSharp, batch)
+      // sharp bands are pairwise refinements of adjacent default bands
+      // (perms 8b..8b+7 agreeing implies both 4-perm halves agree), so
+      // sharp candidates — and therefore verified verdicts — are a
+      // SUBSET of the default's; shared pairs carry identical jaccard
+      assert(sharpV.keySet.subsetOf(defV.keySet),
+        s"sharp produced non-default pairs: ${sharpV.keySet -- defV.keySet}")
+      sharpV.foreach { case (k, j) => assert(j == defV(k)) }
+      // a verbatim clone (j = 1: every band hash equal) surfaces under
+      // ANY geometry — the planted-positive guarantee the sharp
+      // near-clone gate is for
+      val srcRow = corpus.select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(1).collect().head
+      val clone = Seq((9000008L, srcRow.getString(1))).toDF("doc_id", "text")
+      val found = verdicts(sharpStore, Dedup.MinHashSharp, clone)
+      assert(found.get((9000008L, srcRow.getLong(0))).contains(1.0),
+        s"sharp store missed the planted clone: $found")
+      // a mis-specced probe of a live store is refused by the geometry
+      // pin at the streaming layer, before any banding runs
+      val out = java.nio.file.Files.createTempDirectory("mh-out-")
+      graft.streaming.StreamNearDedup.processBatch(spark,
+        corpus.limit(50), 0L, s"$out/store", s"$out/out",
+        mhSpec = Dedup.MinHashSharp)
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamNearDedup.processBatch(spark,
+          batch.limit(50), 1L, s"$out/store", s"$out/out")
+      }
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+      org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(defStore.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(sharpStore.toFile)
+    }
+    // the spec space is validated up front
+    intercept[IllegalArgumentException](Dedup.MinHashSpec(33, 4))
+    intercept[IllegalArgumentException](Dedup.MinHashSpec(0, 4))
+  }
+
   test("d20 SigWide geometry: clones survive any geometry, verdicts agree where shared") {
     // the production-width path: 64-bit/4×16-band signatures for at-scale
     // stores (the 16-bit/4-band narrow form stays the oracle-pinned
