@@ -246,6 +246,36 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
+    // prior-run context: the newest committed BENCH_FULL_r<N>.json for
+    // THIS sf (the 3-run medians each round closes with) rides along in
+    // the summary, so the driver's one parsed number carries the
+    // baseline it should be read against — a single cold run 25% over
+    // the prior median is VM noise, not a regression, and the summary
+    // now says so itself. Best-effort: unreadable/sf-mismatched priors
+    // just omit the field.
+    val priorJson: String = {
+      val pat = "BENCH_FULL_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case pat(n) => Some((n.toInt, f))
+          case _ => None
+        })
+        .sortBy(-_._1).iterator.flatMap { case (_, f) =>
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val sfOk = "\"sf(?:_name)?\"\\s*:\\s*\"([^\"]+)\"".r
+              .findFirstMatchIn(txt)
+              .map(m => new java.io.File(m.group(1)).getName)
+              .contains(sfName)
+            val v = "\"value\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+              .map(_.group(1))
+            if (sfOk) v.map(value =>
+              s""","prior_median":$value,"prior_from":"${f.getName}"""")
+            else None
+          } catch { case _: java.io.IOException => None }
+        }.nextOption().getOrElse("")
+    }
     // stop() BEFORE the summary so no Spark shutdown chatter can land
     // after it — with build.sbt's StdoutOutput + showSuccess=false this
     // line is the process's last stdout line, which is exactly what the
@@ -257,6 +287,6 @@ object Bench {
       System.err.println(s"[bench] spark.stop() failed (ignored — " +
         s"timings already captured): ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson,"full":"$latestName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson$priorJson,"full":"$latestName","sf":"$sfDir"}""")
   }
 }
