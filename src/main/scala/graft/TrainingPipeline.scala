@@ -464,9 +464,12 @@ object TrainingPipeline {
     *    the respective store roots.
     *
     * `sigSpec` picks the embedding-signature geometry (SigWide for
-    * production-scale stores); one store, one geometry, for life.
-    * `probeDepth` turns on the embed gate's multi-probe recall dial
-    * ([[Dedup.d20ProbeDirs]]). `stageCounts = false` drops the
+    * production-scale stores) and `mhSpec` the text gate's MinHash
+    * banding ([[Dedup.MinHashSharp]] for near-clone production gates);
+    * one store, one geometry, for life. `probeDepth` turns on the embed
+    * gate's multi-probe recall dial ([[Dedup.d20ProbeDirs]]) and
+    * `mediaProbeDepth` the media gate's ([[Multimodal.mm9Probe]];
+    * depth 1 certifies the full hamming-6 radius). `stageCounts = false` drops the
     * per-stage accounting — each stage's eager count() is a full Spark
     * job, and at production batch sizes the 8 count jobs plus the
     * stage_counts write are pure fixed floor (TriGateScaleProbe's ~8 s

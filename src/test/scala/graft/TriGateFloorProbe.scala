@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * line while verdicts stay byte-identical (the spec pins equality;
   * this pins the saving).
   *
-  * Usage: tools/run.sh graft.TriGateFloorProbe [N] [docsPerBatch]
+  * Usage: tools/run.sh graft.TriGateFloorProbe [N] [docsPerBatch] [legOrder] [src]
+  * — arg 4 points at an alternative fixture dir (e.g. the Gate50Probe
+  * ×50 replica) for the PAYLOAD-VOLUME legs: at 500 docs/batch the
+  * three concurrent store appends each carry real megabytes, so the
+  * fold's overlap claim is measured against actual I/O instead of
+  * fixed job floor only.
   */
 object TriGateFloorProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 48
     val perBatch = if (args.length > 1) args(1).toInt else 8
-    val src = "/root/testdata/sf0.1"
+    val src = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .appName("tri-gate-floor-probe")
       .config("spark.sql.shuffle.partitions", 32)
