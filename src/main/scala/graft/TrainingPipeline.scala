@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPipeline {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Runs curation over `dir`'s documents; returns the final chunk
     * DataFrame and the per-stage row counts, and optionally writes the
     * chunks range-sharded by doc_id.
@@ -732,19 +734,40 @@ object TrainingPipeline {
           // re-delivered with the flag restored.
           val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
           val threads = payloadAppends.zipWithIndex.map { case (a, i) =>
-            new Thread(() =>
-              try a() catch { case t: Throwable =>
-                if (!failure.compareAndSet(null, t))
-                  failure.get().addSuppressed(t)
+            val t = new Thread(() =>
+              try a() catch { case x: Throwable =>
+                if (!failure.compareAndSet(null, x))
+                  failure.get().addSuppressed(x)
               }, s"graft-payload-append-$batchId-$i")
+            // daemon: a leg wedged on non-Spark I/O must not keep the
+            // JVM alive past the driver
+            t.setDaemon(true)
+            t
           }
           threads.foreach(_.start())
+          // join with a DEFERRED interrupt: the first interrupt is
+          // recorded, the writer threads are interrupted too, and each
+          // gets a bounded grace join — so cancellation can't leave a
+          // detached leg racing the sentinel, and a wedged leg can't
+          // make the batch uninterruptible (the old infinite re-join)
           var interrupted: InterruptedException = null
           threads.foreach { t =>
-            var joined = false
-            while (!joined)
-              try { t.join(); joined = true }
-              catch { case ie: InterruptedException => interrupted = ie }
+            var done = false
+            while (!done)
+              try {
+                // un-cancelled: wait for the leg; after a cancellation
+                // interrupt: one bounded grace join per leg
+                t.join(if (interrupted == null) 0L else 10000L)
+                done = true
+              } catch { case ie: InterruptedException =>
+                interrupted = ie
+                threads.foreach(_.interrupt())
+              }
+            if (t.isAlive)
+              log.warn(s"payload append ${t.getName} still running after " +
+                "the 10 s cancellation grace — abandoning the join " +
+                "(daemon thread); the batch fails before its sentinel, " +
+                "so replay repairs it")
           }
           if (interrupted != null) Thread.currentThread().interrupt()
           if (failure.get() != null) {

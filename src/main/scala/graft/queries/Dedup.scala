@@ -1762,7 +1762,12 @@ object Dedup {
     * corpus. Raw text is in neither table.
     */
   def d19WriteStore(corpus: DataFrame, path: String,
-      mhSpec: MinHashSpec = MinHashDefault): Unit =
+      mhSpec: MinHashSpec = MinHashDefault): Unit = {
+    // the flat store layout pins its banding geometry exactly like the
+    // streaming layout: a store written sharp and probed default would
+    // band-match NOTHING and wave every near-dup through silently —
+    // the failure mode the `_geometry` marker exists to make loud
+    graft.streaming.GateStore.ensureGeometry(path, mhSpec.geometryId)
     // sweep: the banding caches its signature frame internally; once
     // both tables are on disk nothing in memory is needed
     graft.Checkpoints.sweep(corpus.sparkSession) {
@@ -1775,6 +1780,7 @@ object Dedup {
       minhashBandsSpec(sh, mhSpec).write.mode("overwrite")
         .parquet(s"$path/bands")
     }
+  }
 
   /** The at-scale probe against a [[d19WriteStore]] layout. Differs from
     * [[d19Probe]] (which shingles the live corpus frame — a full corpus
@@ -1799,9 +1805,13 @@ object Dedup {
     * designed.
     */
   def d19ProbeStored(s: SparkSession, batch: DataFrame,
-      storePath: String, mhSpec: MinHashSpec = MinHashDefault): DataFrame =
+      storePath: String, mhSpec: MinHashSpec = MinHashDefault): DataFrame = {
+    // loud geometry check against the store's pin (first touch of a
+    // pre-pin store plants it); mismatches throw before any banding
+    graft.streaming.GateStore.ensureGeometry(storePath, mhSpec.geometryId)
     d19ProbeDirs(s, batch, Seq(s"$storePath/bands"),
       Seq(s"$storePath/shingles"), mhSpec)
+  }
 
   /** [[d19ProbeStored]] against explicit directory LISTS — the
     * streaming store keeps one bands and one shingle directory per
@@ -1953,12 +1963,17 @@ object Dedup {
     * append has no index/payload ordering hazard at all.
     */
   def d20WriteStore(corpus: DataFrame, path: String,
-      spec: SigSpec = SigNarrow): Unit =
+      spec: SigSpec = SigNarrow): Unit = {
+    // flat-layout geometry pin (d19WriteStore's rationale): stored sig
+    // bits mean nothing under another spec's banding
+    graft.streaming.GateStore.ensureGeometry(path, spec.geometryId,
+      spec.legacyGeometryIds)
     graft.Checkpoints.sweep(corpus.sparkSession) {
       sigStoreRows(corpus, spec)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/sigs")
     }
+  }
 
   /** The d20 sig-store rows of a (vec_id, embedding) frame:
     * (vec_id, embedding float[], nrm, sig, bucket) — what
@@ -1991,8 +2006,13 @@ object Dedup {
     */
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String, spec: SigSpec = SigNarrow,
-      probeDepth: Int = 0): DataFrame =
+      probeDepth: Int = 0): DataFrame = {
+    // loud geometry check (d19ProbeStored's rule; pre-pin stores are
+    // pinned on first touch)
+    graft.streaming.GateStore.ensureGeometry(storePath, spec.geometryId,
+      spec.legacyGeometryIds)
     d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"), spec, probeDepth)
+  }
 
   /** [[d20ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamEmbedDedup]]) keeps one

@@ -915,11 +915,17 @@ object Multimodal {
     * all (d19's shingles-before-bands discipline has nothing to order
     * here — d20's single sig table reached the same shape).
     */
-  def mm9WriteStore(corpus: DataFrame, path: String): Unit =
+  def mm9WriteStore(corpus: DataFrame, path: String): Unit = {
+    // flat-layout geometry pin (d19WriteStore's rationale) — the pHash
+    // banding is fixed policy today, but the pin makes a future split
+    // change fail loudly on existing stores instead of silently
+    graft.streaming.GateStore.ensureGeometry(path,
+      graft.streaming.StreamMediaDedup.Geometry)
     graft.Checkpoints.sweep(corpus.sparkSession) {
       phashBands(phashOf(corpus)).write.mode("overwrite")
         .parquet(s"$path/bands")
     }
+  }
 
   /** The at-scale probe against a [[mm9WriteStore]] layout. Release
     * contract as for the d19/d20 stored probes: the probe caches the
@@ -928,8 +934,11 @@ object Multimodal {
     */
   def mm9ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String, probeDepth: Int = 0,
-      maxHamming: Int = Mm6MaxHamming): DataFrame =
+      maxHamming: Int = Mm6MaxHamming): DataFrame = {
+    graft.streaming.GateStore.ensureGeometry(storePath,
+      graft.streaming.StreamMediaDedup.Geometry)
     mm9ProbeDirs(s, batch, Seq(s"$storePath/bands"), probeDepth, maxHamming)
+  }
 
   /** [[mm9ProbeStored]] against explicit directory LISTS — the
     * streaming store ([[graft.streaming.StreamMediaDedup]]) keeps one

@@ -139,6 +139,20 @@ private[graft] object GateStore {
     try Some("out:" + java.nio.file.Paths.get(outDir).toAbsolutePath.normalize)
     catch { case _: java.nio.file.InvalidPathException => None }
 
+  /** UUID-tmp + atomic-rename REPLACE of a marker file — the shared
+    * migration/refresh write. Atomic but NOT exclusive (rename
+    * replaces): safe strictly where the caller already holds the
+    * single-writer role for the marker (the migration paths' contract,
+    * the lock heartbeat's own-token check); first claims use the
+    * exclusive hard-link CAS instead.
+    */
+  private def replaceMarker(root: File, name: String, content: String): Unit = {
+    val tmp = new File(root, s".$name-${java.util.UUID.randomUUID()}").toPath
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, new File(root, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def claimOwner(storeDir: String, owner: String,
       legacyForms: Seq[String] = Nil): Unit = {
     require(owner.nonEmpty && !owner.contains('\n'),
@@ -158,11 +172,7 @@ private[graft] object GateStore {
     // process constructing sinks for a given store); a migrator racing
     // a concurrent releaseOwner/claim has no exclusive guard.
     if (marker.exists() && legacyForms.contains(existing())) {
-      val tmp = new File(root,
-        s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
-      Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, marker.toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      replaceMarker(root, OwnerMarker, owner)
       return
     }
     val tmp = new File(root, s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
@@ -207,11 +217,7 @@ private[graft] object GateStore {
     // never orphan a live store (the exact failure the frozen form
     // prevents). Same single-writer caveat as claimOwner's migration.
     if (marker.exists() && legacyForms.contains(existing())) {
-      val tmp = new File(root,
-        s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
-      Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, marker.toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      replaceMarker(root, GeometryMarker, geometry)
       return
     }
     val tmp = new File(root, s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
@@ -242,13 +248,17 @@ private[graft] object GateStore {
     Files.deleteIfExists(marker.toPath)
   }
 
-  /** How long a held store lock may go unrefreshed before a new
-    * acquirer presumes its holder crashed (a kill -9 cannot run the
-    * release) and breaks it with a warning. Breaking is SAFE: every
-    * operation the lock brackets is individually crash-enveloped
-    * (duplicates-not-losses for compaction, overwrite-mode replay
-    * repair for batches), so the lock is hazard DETECTION, never a
-    * correctness dependency. Test-adjustable, like [[leveledFault]].
+  /** How long a held store lock may go without a HEARTBEAT refresh
+    * before a new acquirer presumes its holder crashed (a kill -9
+    * cannot run the release) and breaks it with a warning. Live
+    * holders refresh the timestamp from a daemon heartbeat at a third
+    * of this interval ([[withStoreLock]]), so only a genuinely dead —
+    * or pathologically paused — holder ever looks stale. Breaking is
+    * SAFE: every operation the lock brackets is individually
+    * crash-enveloped (duplicates-not-losses for compaction,
+    * overwrite-mode replay repair for batches), so the lock is hazard
+    * DETECTION, never a correctness dependency. Test-adjustable, like
+    * [[leveledFault]].
     */
   private[graft] var LockStaleMs: Long = 15L * 60 * 1000
 
@@ -260,55 +270,93 @@ private[graft] object GateStore {
   private[graft] var LockWaitMs: Long = 60L * 1000
   private[graft] var LockPollMs: Long = 100L
 
-  /** One atomic claim attempt on the store's `_compaction_lock` (the
-    * hard-link CAS every marker here uses). Returns None on success,
-    * or the current holder's name. A lock whose timestamp is older
-    * than [[LockStaleMs]] — or unparseable — is presumed crashed,
-    * broken loudly, and re-claimed (two breakers racing get exactly
-    * one winner from the CAS).
+  private def lockBody(token: String): String =
+    s"$token\n${System.currentTimeMillis()}\n"
+
+  private def readLockLines(marker: File): Seq[String] =
+    try new String(Files.readAllBytes(marker.toPath),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    catch { case _: java.io.IOException => Seq.empty[String] }
+
+  /** Atomically take the lock marker OUT (rename to a unique tombstone
+    * — one renamer wins, unlike delete-then-recreate) iff its current
+    * holder line equals `expected`. True = this caller removed exactly
+    * the lock it read; false = the marker was gone or had changed
+    * hands first. If the rename yanked a DIFFERENT holder's marker
+    * (the read→rename window), it is put back via the exclusive-create
+    * CAS; when even that loses (an acquirer claimed the vacancy first)
+    * the mis-take is logged loudly — the residual window is
+    * microseconds against [[LockStaleMs]]-scale decisions, and the
+    * lock stays advisory (crash envelopes carry correctness).
+    */
+  private def takeLockIfHolder(root: File, expected: String): Boolean = {
+    val marker = new File(root, LockMarker)
+    val tomb = new File(root,
+      s".$LockMarker-taken-${java.util.UUID.randomUUID()}").toPath
+    try Files.move(marker.toPath, tomb, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException => return false }
+    val got = (try new String(Files.readAllBytes(tomb), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" })
+      .linesIterator.toSeq.headOption.getOrElse("")
+    if (got == expected) { Files.deleteIfExists(tomb); true }
+    else {
+      // we yanked a fresh lock that changed hands mid-decision — put it
+      // back exclusively; if the vacancy was already re-claimed, the
+      // restore loses and the displaced holder is named in the log
+      try Files.createLink(marker.toPath, tomb)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        log.warn(s"store lock in ${root} was displaced from '$got' during " +
+          "a break/release race and the slot was re-claimed before restore " +
+          "— advisory-lock residual; crash envelopes carry correctness")
+      }
+      Files.deleteIfExists(tomb)
+      false
+    }
+  }
+
+  /** One claim attempt on the store's `_compaction_lock`. None on
+    * success; Some(holder) when held by a live lock. Fast path: a
+    * held, fresh lock is answered from one read — no tmp-file churn
+    * per poll. A lock whose heartbeat timestamp is older than
+    * [[LockStaleMs]] (or unparseable) is presumed crashed and broken
+    * via the single-winner tombstone rename before re-claiming.
     */
   private def tryLock(storeDir: String, token: String): Option[String] = {
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, LockMarker)
-    val body = s"$token\n${System.currentTimeMillis()}\n"
-    val tmp = new File(root, s".$LockMarker-${java.util.UUID.randomUUID()}").toPath
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(marker.toPath, tmp)
-      None
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val lines =
-          try new String(Files.readAllBytes(marker.toPath),
-            StandardCharsets.UTF_8).linesIterator.toSeq
-          catch { case _: java.io.IOException => Seq.empty[String] }
-        val ts = lines.lift(1).flatMap(s =>
-          scala.util.Try(s.trim.toLong).toOption)
-        val holder = lines.headOption.getOrElse("<unreadable>")
-        if (ts.forall(t => System.currentTimeMillis() - t > LockStaleMs)) {
-          log.warn(s"breaking stale compaction lock in $storeDir held by " +
-            s"'$holder' (age > $LockStaleMs ms or unreadable) — presumed " +
-            "crashed; every bracketed operation is crash-enveloped, so " +
-            "this is safe")
-          Files.deleteIfExists(marker.toPath)
-          try { Files.createLink(marker.toPath, tmp); None }
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            Some(holder) } // a racing breaker won — yield to it
-        } else Some(holder)
-    } finally Files.deleteIfExists(tmp)
+    def claim(): Option[String] = {
+      val tmp = new File(root,
+        s".$LockMarker-${java.util.UUID.randomUUID()}").toPath
+      Files.write(tmp, lockBody(token).getBytes(StandardCharsets.UTF_8))
+      try { Files.createLink(marker.toPath, tmp); None }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Some(readLockLines(marker).headOption.getOrElse("<unreadable>")) }
+      finally Files.deleteIfExists(tmp)
+    }
+    val lines = readLockLines(marker)
+    if (lines.isEmpty) return claim()
+    val holder = lines.head
+    val ts = lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    if (ts.exists(t => System.currentTimeMillis() - t <= LockStaleMs))
+      return Some(holder) // held and fresh — the cheap common case
+    if (takeLockIfHolder(root, holder)) {
+      log.warn(s"broke stale compaction lock in $storeDir held by " +
+        s"'$holder' (no heartbeat for > $LockStaleMs ms or unreadable) — " +
+        "presumed crashed; every bracketed operation is crash-enveloped, " +
+        "so this is safe")
+      claim()
+    } else Some(holder)
   }
 
+  /** Release = the same content-conditioned atomic take as the stale
+    * break: only OUR lock is ever deleted, never a breaker's fresh
+    * re-claim (the read-check-delete race of a naive release).
+    */
   private def releaseLock(storeDir: String, token: String): Unit = {
-    val marker = new File(storeDir, LockMarker)
-    if (!marker.exists()) return
-    val holder =
-      try new String(Files.readAllBytes(marker.toPath),
-        StandardCharsets.UTF_8).linesIterator.toSeq.headOption.getOrElse("")
-      catch { case _: java.io.IOException => "" }
-    if (holder == token) Files.deleteIfExists(marker.toPath)
-    else log.warn(s"compaction lock in $storeDir changed hands while " +
-      s"'$token' held it (staleness break by '$holder'?) — not releasing")
+    if (!takeLockIfHolder(new File(storeDir), token))
+      log.warn(s"compaction lock in $storeDir was no longer held by " +
+        s"'$token' at release (staleness break?) — nothing released")
   }
 
   /** Run `body` holding the store's advisory writer/compaction lock —
@@ -325,10 +373,13 @@ private[graft] object GateStore {
     * holder's name — the streaming engine's retry absorbs it;
     * DEFERRABLE work (opportunistic compaction, a maintenance cron)
     * sees a held lock, logs, and returns None — it will run on a later
-    * pass. The lock is ADVISORY hazard detection, not a correctness
-    * dependency: every bracketed operation already carries its own
-    * crash envelope, which is also why a crashed holder's lock can be
-    * broken after [[LockStaleMs]] with no repair step.
+    * pass. A held lock carries a daemon HEARTBEAT refreshing its
+    * timestamp at LockStaleMs/3, so a long batch or compaction never
+    * loses exclusion merely by running long — only a dead (or paused
+    * past LockStaleMs) process looks stale. The lock is ADVISORY
+    * hazard detection, not a correctness dependency: every bracketed
+    * operation already carries its own crash envelope, which is also
+    * why a crashed holder's lock can be broken with no repair step.
     */
   private[graft] def withStoreLock[T](storeDir: String, what: String,
       blocking: Boolean)(body: => T): Option[T] = {
@@ -344,14 +395,42 @@ private[graft] object GateStore {
       case Some(h) if blocking => throw new IllegalStateException(
         s"gate store $storeDir is locked by '$h' (a batch or compaction " +
           s"in progress) — '$what' timed out after $LockWaitMs ms. A " +
-          "crashed holder's lock expires after " + LockStaleMs + " ms; " +
-          "a live holder finishing releases it.")
+          "crashed holder's lock expires after " + LockStaleMs + " ms " +
+          "without heartbeats; a live holder finishing releases it.")
       case Some(h) =>
         log.warn(s"gate store $storeDir is locked by '$h' — skipping " +
           s"deferrable '$what'; a later pass will retry")
         None
       case None =>
-        try Some(body) finally releaseLock(storeDir, token)
+        val root = new File(storeDir)
+        val marker = new File(root, LockMarker)
+        // heartbeat: refresh the timestamp while held (atomic replace —
+        // readers see old or new, never torn). Refuses to refresh a
+        // marker that is no longer ours (a pathological-pause break):
+        // it logs and stops instead of resurrecting our claim over the
+        // breaker's.
+        val hb = new Thread(() => {
+          try {
+            var live = true
+            while (live) {
+              Thread.sleep(math.max(LockStaleMs / 3, 25))
+              if (readLockLines(marker).headOption.contains(token)) {
+                replaceMarker(root, LockMarker, lockBody(token))
+              } else {
+                log.warn(s"store lock in $storeDir is no longer held by " +
+                  s"'$token' (stale-broken during a pause?) — heartbeat " +
+                  "stopping; the crash envelope carries correctness")
+                live = false
+              }
+            }
+          } catch { case _: InterruptedException => () }
+        }, s"graft-store-lock-heartbeat-$what")
+        hb.setDaemon(true)
+        hb.start()
+        try Some(body) finally {
+          hb.interrupt()
+          releaseLock(storeDir, token)
+        }
     }
   }
 
@@ -410,10 +489,7 @@ private[graft] object GateStore {
     */
   private def writeCompactedMarker(storeDir: String, upTo: Long): Unit = {
     val v = math.max(upTo, compactedUpTo(storeDir))
-    val tmp = new File(storeDir, CompactedMarker + ".tmp").toPath
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, new File(storeDir, CompactedMarker).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    replaceMarker(new File(storeDir), CompactedMarker, v.toString)
   }
 
   /** The shared per-micro-batch skeleton all three gates run —
@@ -744,10 +820,7 @@ private[graft] object GateStore {
   private def writeLevels(storeDir: String, levels: Seq[(Int, Long)]): Unit = {
     val body = levels.sortBy(e => (e._1, e._2))
       .map { case (lv, id) => s"$lv $id" }.mkString("", "\n", "\n")
-    val tmp = new File(storeDir, LevelsMarker + ".tmp").toPath
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, new File(storeDir, LevelsMarker).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    replaceMarker(new File(storeDir), LevelsMarker, body)
   }
 
   /** LEVELED compact-every-K — the bounded-write-amplification policy

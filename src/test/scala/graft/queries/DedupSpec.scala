@@ -785,6 +785,13 @@ class DedupSpec extends AnyFunSuite {
       val found = verdicts(sharpStore, Dedup.MinHashSharp, clone)
       assert(found.get((9000008L, srcRow.getLong(0))).contains(1.0),
         s"sharp store missed the planted clone: $found")
+      // the FLAT store layout pins its geometry too: probing the sharp
+      // store at the default spec is refused loudly instead of silently
+      // band-matching nothing
+      val eGeom = intercept[IllegalStateException] {
+        Dedup.d19ProbeStored(spark, batch, sharpStore.toString)
+      }
+      assert(eGeom.getMessage.contains("geometry"), eGeom.getMessage)
       // a mis-specced probe of a live store is refused by the geometry
       // pin at the streaming layer, before any banding runs
       val out = java.nio.file.Files.createTempDirectory("mh-out-")

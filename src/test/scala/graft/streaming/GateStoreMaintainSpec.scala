@@ -165,6 +165,36 @@ class GateStoreMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("a live long-running holder is never stale-broken: the heartbeat refreshes the lock") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-hb-").toString
+    val staleWas = GateStore.LockStaleMs
+    try {
+      GateStore.LockStaleMs = 400 // heartbeat refreshes every ~133 ms
+      val bs = batches(4)
+      val (ms, mo) = (s"$root/mstore", s"$root/mout")
+      for (i <- bs.indices)
+        StreamMediaDedup.processBatch(spark, bs(i), i.toLong, ms, mo)
+      // hold the lock 3× past staleness: WITHOUT the heartbeat this
+      // holder would look dead and a concurrent maintain would break
+      // the lock and fold under it; WITH it the maintain must defer
+      val duringHold = GateStore.withStoreLock(ms, "long-batch",
+        blocking = true) {
+        Thread.sleep(3 * GateStore.LockStaleMs)
+        StreamMediaDedup.maintain(spark, ms,
+          GateStore.MaintenancePolicy(compactEvery = 4)).compactions
+      }.get
+      assert(duringHold.isEmpty,
+        "maintain stale-broke a live, heartbeat-refreshed lock")
+      // once released, the same maintain runs
+      val after = StreamMediaDedup.maintain(spark, ms,
+        GateStore.MaintenancePolicy(compactEvery = 4))
+      assert(after.compactions == Seq(3L))
+    } finally {
+      GateStore.LockStaleMs = staleWas
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("a stale lock (crashed holder) is broken, not wedging: the next acquirer proceeds") {
     val root = java.nio.file.Files.createTempDirectory("maintain-stale-").toString
     try {
