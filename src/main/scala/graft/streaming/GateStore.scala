@@ -610,19 +610,33 @@ private[graft] object GateStore {
   final case class TableStats(table: String, liveDirs: Int,
       committedDirs: Int, dataLessDirs: Int, bytes: Long, files: Int)
 
+  /** The writer/compaction lock as an observer sees it: who holds it
+    * and how long since its heartbeat last refreshed (None when the
+    * timestamp line is unreadable). `presumedStale` mirrors the
+    * acquirers' break decision at the moment of the snapshot — an
+    * operator's "is this holder dead?" answer, not a guarantee (the
+    * heartbeat may land right after the read).
+    */
+  final case class LockInfo(holder: String, heartbeatAgeMs: Option[Long]) {
+    def presumedStale: Boolean = heartbeatAgeMs.forall(_ > LockStaleMs)
+  }
+
   /** Operational snapshot of a gate store — the numbers an operator
     * (or a maintenance cron deciding whether to compact) needs, read
     * straight off the directory protocol with no Spark job:
     * per-table live/committed/data-less dir counts, bytes and file
-    * counts, the compaction high-water mark, the `_levels` ledger, and
-    * the owner/geometry markers. Pure metadata walk: safe to call
-    * concurrently with the single writer (it may see a batch mid-
-    * commit, which shows up as a live-but-uncommitted dir — exactly
-    * what it is).
+    * counts, the compaction high-water mark, the `_levels` ledger,
+    * the owner/geometry markers, and the writer/compaction lock (who
+    * holds the store right now, heartbeat age — the "why did my
+    * maintenance pass defer?" answer). Pure metadata walk: safe to
+    * call concurrently with the single writer (it may see a batch
+    * mid-commit, which shows up as a live-but-uncommitted dir —
+    * exactly what it is).
     */
   final case class StoreStats(storeDir: String, owner: Option[String],
       geometry: Option[String], compactedUpTo: Option[Long],
-      levels: Seq[(Int, Long)], tables: Seq[TableStats]) {
+      levels: Seq[(Int, Long)], tables: Seq[TableStats],
+      lock: Option[LockInfo] = None) {
     def totalBytes: Long = tables.map(_.bytes).sum
     def totalFiles: Int = tables.map(_.files).sum
   }
@@ -651,9 +665,15 @@ private[graft] object GateStore {
         dirs.map(d => countFiles(new File(d._2))).sum)
     }
     val upTo = compactedUpTo(storeDir)
+    val lockLines = readLockLines(new File(storeDir, LockMarker))
+    val lock = lockLines.headOption.map { holder =>
+      LockInfo(holder, lockLines.lift(1)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .map(t => System.currentTimeMillis() - t))
+    }
     StoreStats(storeDir, marker(OwnerMarker), marker(GeometryMarker),
       if (upTo == Long.MinValue) None else Some(upTo),
-      readLevels(storeDir), ts)
+      readLevels(storeDir), ts, lock)
   }
 
   /** When [[maintain]] compacts, everything it needs to decide with:

@@ -218,6 +218,79 @@ class GateStoreMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("contended stale break: racing acquirers get exactly one winner and never overlap") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-race-").toString
+    try {
+      val ms = s"$root/mstore"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ms))
+      // a kill -9'd holder: lock present, heartbeat ancient — every
+      // racer below decides "stale" simultaneously; the tombstone
+      // rename must hand the break to exactly one of them
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ms, "_compaction_lock"),
+        "batch=99@dead-process\n0\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val n = 8
+      val active = new java.util.concurrent.atomic.AtomicInteger
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val returned = new java.util.concurrent.atomic.AtomicInteger
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val threads = (0 until n).map { i =>
+        val t = new Thread(() => {
+          barrier.await()
+          GateStore.withStoreLock(ms, s"racer-$i", blocking = false) {
+            if (active.incrementAndGet() > 1) overlapped.set(true)
+            // hold until every OTHER racer's attempt has returned, so
+            // a scheduling-delayed loser can't legitimately acquire
+            // after our release and fake a second winner
+            val deadline = System.nanoTime() + 10_000_000_000L
+            while (returned.get() < n - 1 && System.nanoTime() < deadline)
+              Thread.sleep(2)
+            active.decrementAndGet()
+            wins.incrementAndGet()
+          }
+          returned.incrementAndGet()
+        }, s"race-$i")
+        t.start(); t
+      }
+      threads.foreach(_.join(30000))
+      assert(!overlapped.get(), "two racers held the store lock at once")
+      assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+      assert(!new java.io.File(ms, "_compaction_lock").exists(),
+        "the winner's release left the lock behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("describe surfaces the lock: holder, heartbeat age, staleness verdict") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-lockinfo-").toString
+    try {
+      val ms = s"$root/mstore"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ms))
+      assert(StreamMediaDedup.describe(ms).lock.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ms, "_compaction_lock"),
+        "batch=99@dead-process\n0\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val li = StreamMediaDedup.describe(ms).lock.get
+      assert(li.holder == "batch=99@dead-process")
+      assert(li.heartbeatAgeMs.exists(_ > GateStore.LockStaleMs) &&
+        li.presumedStale)
+      // a live hold is visible and fresh
+      GateStore.withStoreLock(ms, "live-hold", blocking = true) {
+        val held = StreamMediaDedup.describe(ms).lock.get
+        assert(held.holder.startsWith("live-hold@") && !held.presumedStale,
+          s"live holder misread: $held")
+      }
+      assert(StreamMediaDedup.describe(ms).lock.isEmpty,
+        "lock still visible after release")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("bounded catch-up: a neglected store's fresh backlog drains in <=compactEvery-sized merges, verdicts unchanged") {
     val root = java.nio.file.Files.createTempDirectory("maintain-backlog-").toString
     try {
