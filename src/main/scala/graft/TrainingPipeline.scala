@@ -728,46 +728,78 @@ object TrainingPipeline {
           // in ANY payload leg must still fail the batch BEFORE the
           // sentinel lands (rethrown after the join), so the replay
           // envelope is untouched. Losing failures attach as suppressed
-          // on the first; an interrupt during join() is deferred until
-          // every writer thread has actually finished (no leg may
-          // outlive this call detached, racing the sentinel) and then
-          // re-delivered with the flag restored.
+          // on the first; an interrupt during join() is deferred —
+          // recorded, converted into a job-group cancellation of every
+          // leg's Spark jobs, and re-delivered with the flag restored
+          // after the legs wind down (no leg's WRITE may outlive this
+          // call, racing the sentinel or the replay).
           val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+          val jobGroup =
+            s"graft-payload-append-$batchId-${java.util.UUID.randomUUID()}"
           val threads = payloadAppends.zipWithIndex.map { case (a, i) =>
-            val t = new Thread(() =>
+            val t = new Thread(() => {
+              // job group (thread-local): cancellation must stop the
+              // leg's SPARK JOBS, not just its thread — an interrupted
+              // thread dies while its submitted write keeps running
+              // detached, racing the replayed batch's overwrite of the
+              // very same batch=$batchId directory
+              s.sparkContext.setJobGroup(jobGroup,
+                s"payload append batch=$batchId leg=$i",
+                interruptOnCancel = true)
               try a() catch { case x: Throwable =>
                 if (!failure.compareAndSet(null, x))
                   failure.get().addSuppressed(x)
-              }, s"graft-payload-append-$batchId-$i")
+              } finally s.sparkContext.clearJobGroup()
+            }, s"graft-payload-append-$batchId-$i")
             // daemon: a leg wedged on non-Spark I/O must not keep the
             // JVM alive past the driver
             t.setDaemon(true)
             t
           }
           threads.foreach(_.start())
-          // join with a DEFERRED interrupt: the first interrupt is
-          // recorded, the writer threads are interrupted too, and each
-          // gets a bounded grace join — so cancellation can't leave a
-          // detached leg racing the sentinel, and a wedged leg can't
-          // make the batch uninterruptible (the old infinite re-join)
+          // join with a DEFERRED, JOB-CANCELLING interrupt: the first
+          // interrupt cancels the legs' job group (the Spark writes
+          // themselves stop — nothing keeps writing detached) and
+          // interrupts the threads; all legs then share ONE grace
+          // deadline (repeated interrupts do NOT re-arm it) before the
+          // join is abandoned — with the jobs already cancelled, an
+          // abandoned leg can no longer race the replay's overwrite.
           var interrupted: InterruptedException = null
+          var graceDeadline = 0L
+          def cancelLegs(): Unit = {
+            // swallow a stopping-context error: then there are no live
+            // jobs to cancel anyway
+            try s.sparkContext.cancelJobGroup(jobGroup)
+            catch { case _: Throwable => () }
+            threads.foreach(_.interrupt())
+          }
           threads.foreach { t =>
             var done = false
-            while (!done)
+            while (!done) {
+              val wait =
+                if (interrupted == null) 0L
+                else math.max(1L, graceDeadline - System.currentTimeMillis())
               try {
-                // un-cancelled: wait for the leg; after a cancellation
-                // interrupt: one bounded grace join per leg
-                t.join(if (interrupted == null) 0L else 10000L)
-                done = true
+                t.join(wait)
+                done = interrupted == null || !t.isAlive ||
+                  System.currentTimeMillis() >= graceDeadline
               } catch { case ie: InterruptedException =>
-                interrupted = ie
-                threads.foreach(_.interrupt())
+                if (interrupted == null) {
+                  interrupted = ie
+                  graceDeadline = System.currentTimeMillis() + 30000L
+                }
+                cancelLegs()
               }
-            if (t.isAlive)
+            }
+            if (t.isAlive) {
+              // one more sweep catches a job submitted after the first
+              // cancel landed
+              cancelLegs()
               log.warn(s"payload append ${t.getName} still running after " +
-                "the 10 s cancellation grace — abandoning the join " +
-                "(daemon thread); the batch fails before its sentinel, " +
-                "so replay repairs it")
+                "the 30 s cancellation grace — abandoning the join " +
+                "(daemon thread, Spark jobs cancelled); the batch fails " +
+                "before its sentinel, so replay repairs it")
+            }
           }
           if (interrupted != null) Thread.currentThread().interrupt()
           if (failure.get() != null) {

@@ -1806,9 +1806,11 @@ object Dedup {
     */
   def d19ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String, mhSpec: MinHashSpec = MinHashDefault): DataFrame = {
-    // loud geometry check against the store's pin (first touch of a
-    // pre-pin store plants it); mismatches throw before any banding
-    graft.streaming.GateStore.ensureGeometry(storePath, mhSpec.geometryId)
+    // loud geometry check against the store's pin, READ-ONLY: a probe
+    // must never plant a pin (it would poison a legacy pre-pin store
+    // with its own spec) or materialize a mistyped path; mismatches
+    // throw before any banding, a missing pin defers to the read
+    graft.streaming.GateStore.checkGeometry(storePath, mhSpec.geometryId)
     d19ProbeDirs(s, batch, Seq(s"$storePath/bands"),
       Seq(s"$storePath/shingles"), mhSpec)
   }
@@ -2007,9 +2009,9 @@ object Dedup {
   def d20ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String, spec: SigSpec = SigNarrow,
       probeDepth: Int = 0): DataFrame = {
-    // loud geometry check (d19ProbeStored's rule; pre-pin stores are
-    // pinned on first touch)
-    graft.streaming.GateStore.ensureGeometry(storePath, spec.geometryId,
+    // loud READ-ONLY geometry check (d19ProbeStored's rule: probes
+    // never plant pins or directories)
+    graft.streaming.GateStore.checkGeometry(storePath, spec.geometryId,
       spec.legacyGeometryIds)
     d20ProbeDirs(s, batch, Seq(s"$storePath/sigs"), spec, probeDepth)
   }

@@ -935,7 +935,8 @@ object Multimodal {
   def mm9ProbeStored(s: SparkSession, batch: DataFrame,
       storePath: String, probeDepth: Int = 0,
       maxHamming: Int = Mm6MaxHamming): DataFrame = {
-    graft.streaming.GateStore.ensureGeometry(storePath,
+    // READ-ONLY check (d19ProbeStored's rule: probes never plant pins)
+    graft.streaming.GateStore.checkGeometry(storePath,
       graft.streaming.StreamMediaDedup.Geometry)
     mm9ProbeDirs(s, batch, Seq(s"$storePath/bands"), probeDepth, maxHamming)
   }

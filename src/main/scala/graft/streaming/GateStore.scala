@@ -153,10 +153,41 @@ private[graft] object GateStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** UUID-tmp + hard-link EXCLUSIVE create of a marker file — the
+    * shared first-claim write (claimOwner, ensureGeometry, the lock).
+    * True = this caller planted the marker; false = one already
+    * existed (read it to learn whose). The hard link is the only
+    * primitive here that is atomic AND exclusive, which is also why
+    * gate stores require a locally-mounted filesystem.
+    */
+  private def casMarker(root: File, name: String, content: String): Boolean = {
+    val tmp = new File(root, s".$name-${java.util.UUID.randomUUID()}").toPath
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(new File(root, name).toPath, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** The gate-store directory protocol (batch dirs, hard-link CAS
+    * markers, atomic renames) runs on the java.io/nio File API: it
+    * REQUIRES a locally-mounted filesystem. A URI-schemed path
+    * (`hdfs://`, `s3a://`, even `file://`) would not fail — File
+    * treats it as a relative path and the protocol would run against
+    * a junk directory under the CWD while the real store goes
+    * unprotected — so it is refused loudly here instead.
+    */
+  private def requireLocalStorePath(storeDir: String): Unit =
+    require(!storeDir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
+      s"gate store path '$storeDir' is a URI: the store directory " +
+        "protocol (hard-link CAS markers, atomic renames) requires a " +
+        "locally-mounted filesystem path. Mount the store locally (or " +
+        "run the gate against a local staging dir) and pass a plain path.")
+
   def claimOwner(storeDir: String, owner: String,
       legacyForms: Seq[String] = Nil): Unit = {
     require(owner.nonEmpty && !owner.contains('\n'),
       s"owner name must be a non-empty single line, got '$owner'")
+    requireLocalStorePath(storeDir)
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, OwnerMarker)
@@ -175,19 +206,14 @@ private[graft] object GateStore {
       replaceMarker(root, OwnerMarker, owner)
       return
     }
-    val tmp = new File(root, s".$OwnerMarker-${java.util.UUID.randomUUID()}").toPath
-    Files.write(tmp, owner.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(marker.toPath, tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val e = existing()
-        if (e != owner) throw new IllegalStateException(
-          s"gate store $storeDir is owned by '$e' — refusing claim by " +
-            s"'$owner'. Two writers interleaving batch dirs would " +
-            "silently skip each other's batches; decommission the owner " +
-            "(releaseOwner) before repointing.")
-    } finally Files.deleteIfExists(tmp)
+    if (!casMarker(root, OwnerMarker, owner)) {
+      val e = existing()
+      if (e != owner) throw new IllegalStateException(
+        s"gate store $storeDir is owned by '$e' — refusing claim by " +
+          s"'$owner'. Two writers interleaving batch dirs would " +
+          "silently skip each other's batches; decommission the owner " +
+          "(releaseOwner) before repointing.")
+    }
   }
 
   /** Pin the signature geometry (or any store-shape parameter) a store
@@ -205,6 +231,7 @@ private[graft] object GateStore {
       legacyForms: Seq[String] = Nil): Unit = {
     require(geometry.nonEmpty && !geometry.contains('\n'),
       s"geometry must be a non-empty single line, got '$geometry'")
+    requireLocalStorePath(storeDir)
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, GeometryMarker)
@@ -220,19 +247,39 @@ private[graft] object GateStore {
       replaceMarker(root, GeometryMarker, geometry)
       return
     }
-    val tmp = new File(root, s".$GeometryMarker-${java.util.UUID.randomUUID()}").toPath
-    Files.write(tmp, geometry.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(marker.toPath, tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val e = existing()
-        if (e != geometry) throw new IllegalStateException(
-          s"gate store $storeDir was written with signature geometry '$e' " +
-            s"— refusing to probe/append at '$geometry'. Stored sig bits " +
-            "mean nothing under another spec's banding (near-dups would " +
-            "pass the gate silently); one store, one geometry, for life.")
-    } finally Files.deleteIfExists(tmp)
+    if (!casMarker(root, GeometryMarker, geometry)) {
+      val e = existing()
+      if (e != geometry && !legacyForms.contains(e))
+        throw new IllegalStateException(geometryMismatch(storeDir, e, geometry))
+    }
+  }
+
+  private def geometryMismatch(storeDir: String, pinned: String,
+      asked: String): String =
+    s"gate store $storeDir was written with signature geometry '$pinned' " +
+      s"— refusing to probe/append at '$asked'. Stored sig bits " +
+      "mean nothing under another spec's banding (near-dups would " +
+      "pass the gate silently); one store, one geometry, for life."
+
+  /** The READ-side geometry check: verify a probe's spec against the
+    * store's `_geometry` pin without mutating anything. Planting the
+    * pin belongs to the WRITE path ([[ensureGeometry]]) — a probe that
+    * planted its own spec would poison a legacy pre-pin store (the
+    * first mis-specced probe would pin its wrong spec and make every
+    * later CORRECT probe fail), and a mistyped path would materialize
+    * a junk marker-only directory instead of failing the read cleanly.
+    * No marker (a pre-pin store, or the probe runs before the first
+    * write) = no-op: the read itself decides whether the path exists.
+    */
+  def checkGeometry(storeDir: String, geometry: String,
+      legacyForms: Seq[String] = Nil): Unit = {
+    requireLocalStorePath(storeDir)
+    val marker = new File(storeDir, GeometryMarker)
+    if (!marker.exists()) return
+    val e = new String(Files.readAllBytes(marker.toPath),
+      StandardCharsets.UTF_8).trim
+    if (e != geometry && !legacyForms.contains(e))
+      throw new IllegalStateException(geometryMismatch(storeDir, e, geometry))
   }
 
   /** Release an [[claimOwner]] claim (decommission path). Throws if the
@@ -280,26 +327,33 @@ private[graft] object GateStore {
 
   /** Atomically take the lock marker OUT (rename to a unique tombstone
     * — one renamer wins, unlike delete-then-recreate) iff its current
-    * holder line equals `expected`. True = this caller removed exactly
-    * the lock it read; false = the marker was gone or had changed
-    * hands first. If the rename yanked a DIFFERENT holder's marker
-    * (the read→rename window), it is put back via the exclusive-create
-    * CAS; when even that loses (an acquirer claimed the vacancy first)
-    * the mis-take is logged loudly — the residual window is
-    * microseconds against [[LockStaleMs]]-scale decisions, and the
-    * lock stays advisory (crash envelopes carry correctness).
+    * holder line equals `expected` — and, when `expectedTs` is given
+    * (the stale-break path), its timestamp line too, so a heartbeat
+    * that refreshed the lock between the staleness read and the take
+    * makes the take FAIL instead of yanking a provably-live holder.
+    * True = this caller removed exactly the lock it read; false = the
+    * marker was gone or had changed content first. If the rename
+    * yanked a lock that changed mid-decision, it is put back via the
+    * exclusive-create CAS; when even that loses (an acquirer claimed
+    * the vacancy first) the mis-take is logged loudly — the residual
+    * window is microseconds against [[LockStaleMs]]-scale decisions,
+    * and the lock stays advisory (crash envelopes carry correctness).
     */
-  private def takeLockIfHolder(root: File, expected: String): Boolean = {
+  private def takeLockIfHolder(root: File, expected: String,
+      expectedTs: Option[String] = None): Boolean = {
     val marker = new File(root, LockMarker)
     val tomb = new File(root,
       s".$LockMarker-taken-${java.util.UUID.randomUUID()}").toPath
     try Files.move(marker.toPath, tomb, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.NoSuchFileException => return false }
-    val got = (try new String(Files.readAllBytes(tomb), StandardCharsets.UTF_8)
-      catch { case _: java.io.IOException => "" })
-      .linesIterator.toSeq.headOption.getOrElse("")
-    if (got == expected) { Files.deleteIfExists(tomb); true }
-    else {
+    val gotLines = (try new String(Files.readAllBytes(tomb),
+      StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }).linesIterator.toSeq
+    val got = gotLines.headOption.getOrElse("")
+    if (got == expected &&
+        expectedTs.forall(_ == gotLines.lift(1).getOrElse(""))) {
+      Files.deleteIfExists(tomb); true
+    } else {
       // we yanked a fresh lock that changed hands mid-decision — put it
       // back exclusively; if the vacancy was already re-claimed, the
       // restore loses and the displaced holder is named in the log
@@ -325,22 +379,18 @@ private[graft] object GateStore {
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, LockMarker)
-    def claim(): Option[String] = {
-      val tmp = new File(root,
-        s".$LockMarker-${java.util.UUID.randomUUID()}").toPath
-      Files.write(tmp, lockBody(token).getBytes(StandardCharsets.UTF_8))
-      try { Files.createLink(marker.toPath, tmp); None }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Some(readLockLines(marker).headOption.getOrElse("<unreadable>")) }
-      finally Files.deleteIfExists(tmp)
-    }
+    def claim(): Option[String] =
+      if (casMarker(root, LockMarker, lockBody(token))) None
+      else Some(readLockLines(marker).headOption.getOrElse("<unreadable>"))
     val lines = readLockLines(marker)
     if (lines.isEmpty) return claim()
     val holder = lines.head
     val ts = lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
     if (ts.exists(t => System.currentTimeMillis() - t <= LockStaleMs))
       return Some(holder) // held and fresh — the cheap common case
-    if (takeLockIfHolder(root, holder)) {
+    // break conditioned on the EXACT content read (holder + timestamp):
+    // a heartbeat landing in the decision window defeats the take
+    if (takeLockIfHolder(root, holder, Some(lines.lift(1).getOrElse("")))) {
       log.warn(s"broke stale compaction lock in $storeDir held by " +
         s"'$holder' (no heartbeat for > $LockStaleMs ms or unreadable) — " +
         "presumed crashed; every bracketed operation is crash-enveloped, " +
@@ -408,7 +458,13 @@ private[graft] object GateStore {
         // readers see old or new, never torn). Refuses to refresh a
         // marker that is no longer ours (a pathological-pause break):
         // it logs and stops instead of resurrecting our claim over the
-        // breaker's.
+        // breaker's. Residual: the own-token check and the replace are
+        // two steps, so a breaker claiming INSIDE that window can still
+        // be clobbered — reaching it requires this holder to have been
+        // paused past LockStaleMs already, and takeLockIfHolder's
+        // timestamp condition keeps the reverse direction (a break
+        // racing a live refresh) impossible; the lock stays advisory,
+        // crash envelopes carry correctness.
         val hb = new Thread(() => {
           try {
             var live = true
@@ -428,7 +484,14 @@ private[graft] object GateStore {
         hb.setDaemon(true)
         hb.start()
         try Some(body) finally {
+          // join BEFORE releasing: a heartbeat mid-refresh (its
+          // own-token check already passed) would otherwise re-create
+          // the marker after the release deleted it, orphaning a
+          // fresh-looking lock that blocks the store until it goes
+          // stale. replaceMarker is not interrupt-responsive, so the
+          // join is bounded only by one in-flight refresh.
           hb.interrupt()
+          hb.join()
           releaseLock(storeDir, token)
         }
     }

@@ -169,7 +169,9 @@ class GateStoreMaintainSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("maintain-hb-").toString
     val staleWas = GateStore.LockStaleMs
     try {
-      GateStore.LockStaleMs = 400 // heartbeat refreshes every ~133 ms
+      // generous staleness (vs the scenario's needs) so a CI scheduling
+      // stall of the ~666 ms heartbeat can't fake a dead holder
+      GateStore.LockStaleMs = 2000
       val bs = batches(4)
       val (ms, mo) = (s"$root/mstore", s"$root/mout")
       for (i <- bs.indices)
@@ -213,6 +215,43 @@ class GateStoreMaintainSpec extends AnyFunSuite {
         s"stale lock wedged maintenance: ${rep.compactions}")
       assert(!new java.io.File(ms, "_compaction_lock").exists(),
         "lock not released after the pass")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("probes never mutate a store: check-only geometry, no planted pins, no materialized dirs, URIs refused") {
+    val root = java.nio.file.Files.createTempDirectory("maintain-checkgeom-").toString
+    try {
+      // a legacy PRE-PIN store: probing it with any spec must not plant
+      // that spec (the first mis-specced probe would poison every later
+      // correct one) — and must not throw (the read decides)
+      val legacy = s"$root/legacy"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacy))
+      GateStore.checkGeometry(legacy, "sig:64/16")
+      assert(!new java.io.File(legacy, "_geometry").exists(),
+        "a read-side check planted a pin")
+      // a mistyped path stays nonexistent instead of materializing a
+      // marker-only junk directory
+      val typo = s"$root/no-such-store"
+      GateStore.checkGeometry(typo, "sig:64/16")
+      assert(!new java.io.File(typo).exists(),
+        "a read-side check materialized the store root")
+      // a pinned store still refuses a mismatched read loudly
+      GateStore.ensureGeometry(s"$root/pinned", "sig:64/16")
+      val e = intercept[IllegalStateException] {
+        GateStore.checkGeometry(s"$root/pinned", "sig:256/16")
+      }
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+      // the directory protocol is java.io.File-based: URI-schemed store
+      // paths would run against a junk CWD-relative dir — refused loudly
+      // at the marker layer (write AND read side)
+      for (call <- Seq(
+          () => GateStore.ensureGeometry("hdfs://nn/store", "sig:64/16"),
+          () => GateStore.checkGeometry("s3a://bucket/store", "sig:64/16"),
+          () => GateStore.claimOwner("file:///x/store", "out:/x/out")))
+        assert(intercept[IllegalArgumentException](call())
+          .getMessage.contains("locally-mounted"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
