@@ -765,43 +765,52 @@ object TrainingPipeline {
           // join is abandoned — with the jobs already cancelled, an
           // abandoned leg can no longer race the replay's overwrite.
           var interrupted: InterruptedException = null
-          var graceDeadline = 0L
+          var graceDeadlineNanos = 0L
+          def graceLeftMs: Long =
+            (graceDeadlineNanos - System.nanoTime()) / 1000000L
           def cancelLegs(): Unit = {
-            // swallow a stopping-context error: then there are no live
-            // jobs to cancel anyway
-            try s.sparkContext.cancelJobGroup(jobGroup)
+            // ...AndFutureJobs: a leg still in query planning when the
+            // cancel lands would otherwise submit its write AFTER the
+            // sweep and run it detached; future-job cancellation kills
+            // it at submission (the group is per-batch, never reused).
+            // Swallow a stopping-context error: then there are no live
+            // jobs to cancel anyway.
+            try s.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
             catch { case _: Throwable => () }
             threads.foreach(_.interrupt())
           }
           threads.foreach { t =>
             var done = false
             while (!done) {
+              // monotonic deadline (nanoTime): a wall-clock step must
+              // not stretch or collapse the grace window
               val wait =
-                if (interrupted == null) 0L
-                else math.max(1L, graceDeadline - System.currentTimeMillis())
+                if (interrupted == null) 0L else math.max(1L, graceLeftMs)
               try {
                 t.join(wait)
-                done = interrupted == null || !t.isAlive ||
-                  System.currentTimeMillis() >= graceDeadline
+                done = interrupted == null || !t.isAlive || graceLeftMs <= 0
               } catch { case ie: InterruptedException =>
                 if (interrupted == null) {
                   interrupted = ie
-                  graceDeadline = System.currentTimeMillis() + 30000L
+                  graceDeadlineNanos = System.nanoTime() + 30000L * 1000000L
                 }
                 cancelLegs()
               }
             }
-            if (t.isAlive) {
-              // one more sweep catches a job submitted after the first
-              // cancel landed
-              cancelLegs()
+            if (t.isAlive)
               log.warn(s"payload append ${t.getName} still running after " +
                 "the 30 s cancellation grace — abandoning the join " +
-                "(daemon thread, Spark jobs cancelled); the batch fails " +
-                "before its sentinel, so replay repairs it")
-            }
+                "(daemon thread, its future jobs cancelled with the " +
+                "group); the batch fails before its sentinel, so replay " +
+                "repairs it")
           }
-          if (interrupted != null) Thread.currentThread().interrupt()
+          // belt-and-braces final sweep: every leg that exited can no
+          // longer submit, and any abandoned leg's future submissions
+          // die at the cancelled group
+          if (interrupted != null) {
+            cancelLegs()
+            Thread.currentThread().interrupt()
+          }
           if (failure.get() != null) {
             if (interrupted != null) failure.get().addSuppressed(interrupted)
             throw failure.get()

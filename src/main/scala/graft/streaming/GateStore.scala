@@ -176,6 +176,16 @@ private[graft] object GateStore {
     * a junk directory under the CWD while the real store goes
     * unprotected — so it is refused loudly here instead.
     */
+  /** Read-and-trim of a single-value marker file; None when absent.
+    * The one read-side twin of [[casMarker]]/[[replaceMarker]].
+    */
+  private def readMarker(root: File, name: String): Option[String] = {
+    val f = new File(root, name)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim)
+  }
+
   private def requireLocalStorePath(storeDir: String): Unit =
     require(!storeDir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
       s"gate store path '$storeDir' is a URI: the store directory " +
@@ -191,8 +201,7 @@ private[graft] object GateStore {
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, OwnerMarker)
-    def existing(): String =
-      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
+    def existing(): String = readMarker(root, OwnerMarker).getOrElse("")
     if (marker.exists() && existing() == owner) return
     // migration path (ensureGeometry's doctrine): a marker holding a
     // superseded derivation of the SAME owner (the pre-scheme-aware
@@ -235,8 +244,7 @@ private[graft] object GateStore {
     val root = new File(storeDir)
     Files.createDirectories(root.toPath)
     val marker = new File(root, GeometryMarker)
-    def existing(): String =
-      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim
+    def existing(): String = readMarker(root, GeometryMarker).getOrElse("")
     if (marker.exists() && existing() == geometry) return
     // migration path: a marker written in a superseded serialized form
     // of the SAME geometry (e.g. the pre-frozen case-class toString) is
@@ -274,25 +282,25 @@ private[graft] object GateStore {
   def checkGeometry(storeDir: String, geometry: String,
       legacyForms: Seq[String] = Nil): Unit = {
     requireLocalStorePath(storeDir)
-    val marker = new File(storeDir, GeometryMarker)
-    if (!marker.exists()) return
-    val e = new String(Files.readAllBytes(marker.toPath),
-      StandardCharsets.UTF_8).trim
-    if (e != geometry && !legacyForms.contains(e))
-      throw new IllegalStateException(geometryMismatch(storeDir, e, geometry))
+    readMarker(new File(storeDir), GeometryMarker).foreach { e =>
+      if (e != geometry && !legacyForms.contains(e))
+        throw new IllegalStateException(geometryMismatch(storeDir, e, geometry))
+    }
   }
 
   /** Release an [[claimOwner]] claim (decommission path). Throws if the
     * store is owned by someone else; a missing marker is a no-op.
     */
   def releaseOwner(storeDir: String, owner: String): Unit = {
-    val marker = new File(storeDir, OwnerMarker)
-    if (!marker.exists()) return
-    val e = new String(Files.readAllBytes(marker.toPath),
-      StandardCharsets.UTF_8).trim
-    if (e != owner) throw new IllegalStateException(
-      s"gate store $storeDir is owned by '$e', not '$owner'")
-    Files.deleteIfExists(marker.toPath)
+    requireLocalStorePath(storeDir)
+    val root = new File(storeDir)
+    readMarker(root, OwnerMarker) match {
+      case None => ()
+      case Some(e) if e != owner => throw new IllegalStateException(
+        s"gate store $storeDir is owned by '$e', not '$owner'")
+      case Some(_) =>
+        Files.deleteIfExists(new File(root, OwnerMarker).toPath)
+    }
   }
 
   /** How long a held store lock may go without a HEARTBEAT refresh
@@ -433,6 +441,7 @@ private[graft] object GateStore {
     */
   private[graft] def withStoreLock[T](storeDir: String, what: String,
       blocking: Boolean)(body: => T): Option[T] = {
+    requireLocalStorePath(storeDir)
     val token = s"$what@${java.util.UUID.randomUUID()}"
     val deadline = System.currentTimeMillis() + LockWaitMs
     var held = tryLock(storeDir, token)
@@ -489,10 +498,19 @@ private[graft] object GateStore {
           // the marker after the release deleted it, orphaning a
           // fresh-looking lock that blocks the store until it goes
           // stale. replaceMarker is not interrupt-responsive, so the
-          // join is bounded only by one in-flight refresh.
+          // join is bounded by one in-flight refresh — short enough to
+          // ride out a pending cancellation interrupt on THIS thread:
+          // an interruptible join here would skip the release (a
+          // 15-minute orphan) and mask the body's real exception, so
+          // the join retries with the flag re-delivered afterwards.
           hb.interrupt()
-          hb.join()
-          releaseLock(storeDir, token)
+          var joined = false
+          var selfInterrupted = false
+          while (!joined)
+            try { hb.join(); joined = true }
+            catch { case _: InterruptedException => selfInterrupted = true }
+          try releaseLock(storeDir, token)
+          finally if (selfInterrupted) Thread.currentThread().interrupt()
         }
     }
   }
@@ -706,12 +724,13 @@ private[graft] object GateStore {
 
   def describe(storeDir: String,
       tables: Seq[(String, Seq[String])]): StoreStats = {
-    def marker(name: String): Option[String] = {
-      val f = new File(storeDir, name)
-      if (!f.exists()) None
-      else Some(new String(Files.readAllBytes(f.toPath),
-        StandardCharsets.UTF_8).trim)
-    }
+    // the guard here covers every out-of-band reader too ([[maintain]]
+    // decides off this snapshot): a URI path would describe a junk
+    // CWD-relative dir as a clean empty store — "maintenance ran"
+    // while the real store accumulates dirs unbounded
+    requireLocalStorePath(storeDir)
+    def marker(name: String): Option[String] =
+      readMarker(new File(storeDir), name)
     def countFiles(dir: File): Int = {
       val cs = Option(dir.listFiles()).getOrElse(Array.empty[File])
       cs.count(f => f.isFile && f.getName.endsWith(".parquet")) +

@@ -249,7 +249,12 @@ class GateStoreMaintainSpec extends AnyFunSuite {
       for (call <- Seq(
           () => GateStore.ensureGeometry("hdfs://nn/store", "sig:64/16"),
           () => GateStore.checkGeometry("s3a://bucket/store", "sig:64/16"),
-          () => GateStore.claimOwner("file:///x/store", "out:/x/out")))
+          () => GateStore.claimOwner("file:///x/store", "out:/x/out"),
+          // describe covers maintain: a URI path would snapshot a junk
+          // CWD-relative dir as a clean empty store
+          () => { StreamMediaDedup.describe("hdfs://nn/store"); () },
+          () => { GateStore.withStoreLock("s3a://b/store", "t",
+            blocking = false)(()); () }))
         assert(intercept[IllegalArgumentException](call())
           .getMessage.contains("locally-mounted"))
     } finally {
