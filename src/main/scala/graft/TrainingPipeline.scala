@@ -32,6 +32,16 @@ object TrainingPipeline {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Test-only fault injection for the concurrent payload appends
+    * ([[graft.streaming.GateStore.leveledFault]]'s doctrine): called
+    * with the leg index at the start of each payload-append thread, so
+    * a spec can hold a leg open (an interruptible sleep) and cancel
+    * the batch mid-append deterministically — pinning the cancellation
+    * envelope (jobs cancelled, no sentinel, replay repairs) instead of
+    * trusting it. No-op in production.
+    */
+  private[graft] var payloadFault: Int => Unit = _ => ()
+
   /** Runs curation over `dir`'s documents; returns the final chunk
     * DataFrame and the per-stage row counts, and optionally writes the
     * chunks range-sharded by doc_id.
@@ -746,7 +756,7 @@ object TrainingPipeline {
               s.sparkContext.setJobGroup(jobGroup,
                 s"payload append batch=$batchId leg=$i",
                 interruptOnCancel = true)
-              try a() catch { case x: Throwable =>
+              try { payloadFault(i); a() } catch { case x: Throwable =>
                 if (!failure.compareAndSet(null, x))
                   failure.get().addSuppressed(x)
               } finally s.sparkContext.clearJobGroup()

@@ -472,6 +472,68 @@ class TriGateCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cancellation mid-append: batch fails before its sentinel, locks release, replay equals an uninterrupted control") {
+    val root = java.nio.file.Files.createTempDirectory("trigate-cx-").toString
+    try {
+      val bs = alignedBatches()
+      def mk(tag: String) = StreamCuration.triGateSink(spark,
+        s"$root/text-$tag", s"$root/embed-$tag", s"$root/media-$tag",
+        dir, s"$root/out-$tag", owner = s"trigate-cx-$tag",
+        stageCounts = false, foldWrites = true)
+      // control trio: the same batches, uninterrupted
+      val control = mk("c")
+      bs.zipWithIndex.foreach { case (b, i) => control(b, i.toLong) }
+      // victim trio: bootstrap batch 0, then cancel batch 1 while its
+      // concurrent payload appends are in flight — the payloadFault
+      // holds leg 0 open so the interrupt lands mid-append by
+      // construction, not by luck
+      val victim = mk("v")
+      victim(bs(0), 0L)
+      val legStarted = new java.util.concurrent.CountDownLatch(1)
+      TrainingPipeline.payloadFault = i =>
+        if (i == 0) { legStarted.countDown(); Thread.sleep(20000) }
+      val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val runner = new Thread(() =>
+        try victim(bs(1), 1L)
+        catch { case t: Throwable => thrown.set(t) },
+        "trigate-cancel-runner")
+      runner.start()
+      assert(legStarted.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "payload legs never started")
+      runner.interrupt()
+      runner.join(90000) // 30 s grace + wind-down slack
+      assert(!runner.isAlive, "cancelled batch did not wind down")
+      TrainingPipeline.payloadFault = _ => ()
+      assert(thrown.get() != null, "cancelled batch reported success")
+      // the batch failed BEFORE its replay sentinel: the text-bands
+      // append (dead last by contract) never landed
+      assert(!new java.io.File(s"$root/text-v/bands/batch=1").exists(),
+        "text-bands sentinel landed despite cancellation")
+      // the store locks released through the interrupt (the
+      // interrupt-proof heartbeat-join release): the replay acquires
+      // them immediately instead of blocking LockWaitMs and throwing,
+      // and repairs the batch to the control's exact verdicts/chunks
+      victim(bs(1), 1L)
+      // folded layout → compare through the layout-agnostic readers
+      def vSet(out: String, id: Long): Set[String] =
+        TrainingPipeline.readVerdicts(spark, out, id)
+          .collect().map(_.mkString("|")).toSet
+      def cSet(out: String, id: Long): Set[String] =
+        TrainingPipeline.readChunks(spark, out, id)
+          .collect().map(_.mkString("|")).toSet
+      assert(vSet(s"$root/out-v", 1L) == vSet(s"$root/out-c", 1L),
+        "replayed cancelled batch diverged from the control")
+      assert(cSet(s"$root/out-v", 1L) == cSet(s"$root/out-c", 1L))
+      // and the repaired stores gate a later batch identically
+      victim(bs(1), 2L); control(bs(1), 2L)
+      assert(vSet(s"$root/out-v", 2L) == vSet(s"$root/out-c", 2L),
+        "post-repair gating diverged from the control")
+    } finally {
+      TrainingPipeline.payloadFault = _ => ()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("maintainTriGate: one out-of-band pass maintains all three stores under the sink's owner, verdicts unchanged") {
     val root = java.nio.file.Files.createTempDirectory("trigate-mt-").toString
     try {
