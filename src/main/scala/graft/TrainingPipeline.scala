@@ -545,7 +545,14 @@ object TrainingPipeline {
           withLocks(rest)(body))
         ()
     }
-    withLocks(Seq(storeDir) ++ embedStoreDir ++ mediaStoreDir) {
+    // the payload-append cancellation path defers its interrupt-flag
+    // restore to THIS outermost frame: restoring before the throw would
+    // let the sweep/lock finallys' own blocking calls (unpersist's
+    // askSync, marker I/O) see the flag, throw a fresh
+    // InterruptedException that REPLACES the batch's real failure, and
+    // consume the flag on the way
+    var deferredInterrupt = false
+    try withLocks(Seq(storeDir) ++ embedStoreDir ++ mediaStoreDir) {
     // exception safety: the per-stage and per-probe releases below run
     // on the SUCCESS path only; a mid-batch failure (and its
     // at-least-once retry) would otherwise leak every localCheckpoint
@@ -819,7 +826,7 @@ object TrainingPipeline {
           // die at the cancelled group
           if (interrupted != null) {
             cancelLegs()
-            Thread.currentThread().interrupt()
+            deferredInterrupt = true
           }
           if (failure.get() != null) {
             if (interrupted != null) failure.get().addSuppressed(interrupted)
@@ -832,7 +839,7 @@ object TrainingPipeline {
       }
       if (prevStage != null) prevStage.release()
     }
-    }
+    } finally if (deferredInterrupt) Thread.currentThread().interrupt()
   }
 
   /** One [[graft.streaming.GateStore.maintain]] pass over all three of

@@ -148,9 +148,16 @@ private[graft] object GateStore {
     */
   private def replaceMarker(root: File, name: String, content: String): Unit = {
     val tmp = new File(root, s".$name-${java.util.UUID.randomUUID()}").toPath
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, new File(root, name).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, new File(root, name).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch { case t: Throwable =>
+      // a failed write/move (disk error, an interrupt closing the
+      // channel mid-write) must not leak its tmp file into the store
+      Files.deleteIfExists(tmp)
+      throw t
+    }
   }
 
   /** UUID-tmp + hard-link EXCLUSIVE create of a marker file — the
@@ -479,13 +486,25 @@ private[graft] object GateStore {
             var live = true
             while (live) {
               Thread.sleep(math.max(LockStaleMs / 3, 25))
-              if (readLockLines(marker).headOption.contains(token)) {
-                replaceMarker(root, LockMarker, lockBody(token))
-              } else {
-                log.warn(s"store lock in $storeDir is no longer held by " +
-                  s"'$token' (stale-broken during a pause?) — heartbeat " +
-                  "stopping; the crash envelope carries correctness")
-                live = false
+              try {
+                if (readLockLines(marker).headOption.contains(token)) {
+                  replaceMarker(root, LockMarker, lockBody(token))
+                } else {
+                  log.warn(s"store lock in $storeDir is no longer held by " +
+                    s"'$token' (stale-broken during a pause?) — heartbeat " +
+                    "stopping; the crash envelope carries correctness")
+                  live = false
+                }
+              } catch {
+                // an interrupt mid-refresh surfaces as the channel
+                // closing, NOT InterruptedException — exit cleanly (the
+                // release is coming) instead of dying uncaught, which
+                // would leave the main thread a dead-before-join hb
+                case _: java.nio.channels.ClosedByInterruptException =>
+                  live = false
+                case e: java.io.IOException =>
+                  log.warn(s"store lock heartbeat refresh failed in " +
+                    s"$storeDir (${e.getMessage}) — retrying next beat")
               }
             }
           } catch { case _: InterruptedException => () }
@@ -509,6 +528,12 @@ private[graft] object GateStore {
           while (!joined)
             try { hb.join(); joined = true }
             catch { case _: InterruptedException => selfInterrupted = true }
+          // drain a flag that arrived WITHOUT a join throw (hb already
+          // dead, or an async interrupt after the join): an
+          // interruptible NIO read inside the release would otherwise
+          // throw ClosedByInterrupt, be swallowed as an unreadable
+          // marker, and RESTORE the lock instead of releasing it
+          if (Thread.interrupted()) selfInterrupted = true
           try releaseLock(storeDir, token)
           finally if (selfInterrupted) Thread.currentThread().interrupt()
         }
@@ -542,12 +567,9 @@ private[graft] object GateStore {
     * dirs were merged into a higher batch dir, and the marker vouches
     * for them instead.
     */
-  def compactedUpTo(storeDir: String): Long = {
-    val f = new File(storeDir, CompactedMarker)
-    if (!f.exists()) Long.MinValue
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .trim.toLong
-  }
+  def compactedUpTo(storeDir: String): Long =
+    readMarker(new File(storeDir), CompactedMarker)
+      .fold(Long.MinValue)(_.toLong)
 
   /** True iff `batchId` was already merged: its sentinel dir (the first
     * store table's batch dir) was COMMITTED, or the compaction marker

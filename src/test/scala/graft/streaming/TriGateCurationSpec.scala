@@ -493,9 +493,15 @@ class TriGateCurationSpec extends AnyFunSuite {
       TrainingPipeline.payloadFault = i =>
         if (i == 0) { legStarted.countDown(); Thread.sleep(20000) }
       val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val flagRestored = new java.util.concurrent.atomic.AtomicBoolean(false)
       val runner = new Thread(() =>
         try victim(bs(1), 1L)
-        catch { case t: Throwable => thrown.set(t) },
+        catch { case t: Throwable =>
+          thrown.set(t)
+          // the interrupt status must survive the sweep/lock finallys
+          // and reach the canceller alongside the real failure
+          flagRestored.set(Thread.currentThread().isInterrupted)
+        },
         "trigate-cancel-runner")
       runner.start()
       assert(legStarted.await(120, java.util.concurrent.TimeUnit.SECONDS),
@@ -505,10 +511,21 @@ class TriGateCurationSpec extends AnyFunSuite {
       assert(!runner.isAlive, "cancelled batch did not wind down")
       TrainingPipeline.payloadFault = _ => ()
       assert(thrown.get() != null, "cancelled batch reported success")
+      assert(flagRestored.get(),
+        "interrupt status was not restored to the canceller")
       // the batch failed BEFORE its replay sentinel: the text-bands
       // append (dead last by contract) never landed
       assert(!new java.io.File(s"$root/text-v/bands/batch=1").exists(),
         "text-bands sentinel landed despite cancellation")
+      // the interrupted release left no lock and leaked no marker tmp
+      // in any of the three store roots
+      for (store <- Seq("text-v", "embed-v", "media-v")) {
+        val left = Option(new java.io.File(s"$root/$store").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.contains("_compaction_lock")).map(_.getName)
+        assert(left.isEmpty, s"$store store kept lock artifacts: " +
+          left.mkString(", "))
+      }
       // the store locks released through the interrupt (the
       // interrupt-proof heartbeat-join release): the replay acquires
       // them immediately instead of blocking LockWaitMs and throwing,
