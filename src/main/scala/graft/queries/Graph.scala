@@ -48,7 +48,9 @@ object Graph {
         (col("id") * 29 + 7) % n)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    pageRankFrame(docs, edges)
+    // n already counted for the edge formula — pass it through so the
+    // loop doesn't schedule a second count job over the same scan
+    pageRankConverged(docs, edges, PrMaxIters, PrNodeTol, Some(n))._1
       .select(col("id").as("doc_id"), round(col("rank"), 8).as("rank"))
       .orderBy(col("rank").desc, col("doc_id"))
       .limit(100)
@@ -80,50 +82,75 @@ object Graph {
 
   /** As [[pageRankFrame]], additionally returning the number of rounds
     * actually run — GraphSpec pins that this varies with structure.
+    *
+    * Round-17 loop slimming (guide §2.4 — remove per-round shuffles the
+    * loop doesn't need):
+    *   - the out-degree is ATTACHED to the pinned edge row once, so the
+    *     per-round join against a corpus-sized degree table is gone
+    *     (was one extra keyed join × rounds at cluster scale);
+    *   - dangling-ness is a STATIC per-node boolean computed once and
+    *     carried through the rank state, so the per-round anti-join
+    *     against the degree table is gone;
+    *   - the dangling mass is a scalar that depends only on the
+    *     PREVIOUS round's materialized state, so it rides the same
+    *     cached-block aggregation job as the L1 delta (one extra column
+    *     in an existing 1-row agg) instead of a per-round subtree
+    *     cross-joined into the plan.
+    * Per round the plan is now: edges⋈ranks (one keyed join), one
+    * map-side-combined sum to node grain, one join back to the state —
+    * the minimum the operator admits. Results are unchanged: identical
+    * per-edge contributions, identical per-node sums (g1 is rows-only;
+    * FP sum order inside an aggregate was never pinned).
     */
   private[queries] def pageRankConverged(nodes: DataFrame,
       edges: DataFrame, maxIters: Int = PrMaxIters,
-      nodeTol: Double = PrNodeTol): (DataFrame, Int) = {
-    val n = nodes.count()
+      nodeTol: Double = PrNodeTol, nKnown: Option[Long] = None): (DataFrame, Int) = {
+    val n = nKnown.getOrElse(nodes.count())
     val tol = nodeTol * n
-    // the edge list and degree table are STATIC across rounds — pin both
-    // once (r7: each round's checkpoint job was otherwise re-running the
-    // edge derivation incl. its distinct() shuffle and the degree
-    // groupBy, ~2 redundant shuffles × rounds; at cluster scale this is
-    // the difference between O(1) and O(rounds) passes over the graph)
-    val eEdges = Checkpoints.eager(edges)
-    val outDeg = Checkpoints.eager(
-      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // the edge list and degree table are STATIC across rounds — pin the
+    // degree-attached edge list once (r7: each round's checkpoint job
+    // was otherwise re-running the edge derivation incl. its distinct()
+    // shuffle and the degree groupBy; r17: the degree JOIN itself also
+    // left the loop)
+    val eRaw = Checkpoints.eager(edges)
+    val eEdges = Checkpoints.eager(eRaw.df.join(
+      eRaw.df.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
     var ranks = Checkpoints.eager(
-      nodes.select(col("id"), lit(1.0 / n).as("rank")))
+      nodes.select(col("id"))
+        .join(eEdges.df.select(col("src").as("id")).distinct()
+          .withColumn("has_out", lit(true)), Seq("id"), "left")
+        .select(col("id"), lit(1.0 / n).as("rank"),
+          col("has_out").isNull.as("dangling")))
+    eRaw.release()
+    // initial dangling mass off the just-pinned blocks (same shape as
+    // the per-round delta scan)
+    var m = ranks.df.filter(col("dangling"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= tol) {
-      // dangling mass rides the SAME action as the rank update (1-row
-      // agg cross-joined in), so each round is one full job — the
-      // checkpoint materialization — plus a cached-block delta scan
-      val dangling = ranks.df
-        .join(outDeg.df.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
       val contribs = eEdges.df
         .join(ranks.df.select(col("id").as("src"), col("rank")), Seq("src"))
-        .join(outDeg.df, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
       val next = Checkpoints.eager(
-        ranks.df.select(col("id"), col("rank").as("prev"))
-          .join(contribs, Seq("id"), "left").crossJoin(dangling)
+        ranks.df.select(col("id"), col("rank").as("prev"), col("dangling"))
+          .join(contribs, Seq("id"), "left")
           .withColumn("rank",
             lit((1 - Damping) / n) + lit(Damping) *
-              (coalesce(col("in_sum"), lit(0.0)) + col("m") / n))
-          .select(col("id"), col("rank"),
+              (coalesce(col("in_sum"), lit(0.0)) + lit(m / n)))
+          .select(col("id"), col("rank"), col("dangling"),
             abs(col("rank") - col("prev")).as("delta")))
-      delta = next.df.agg(sum(col("delta"))).first().getDouble(0)
+      // delta + next round's dangling mass in ONE cached-block scan
+      val r = next.df.agg(sum(col("delta")),
+        coalesce(sum(when(col("dangling"), col("rank"))), lit(0.0))).first()
+      delta = r.getDouble(0)
+      m = r.getDouble(1)
       ranks.release()
       ranks = next
       it += 1
     }
-    eEdges.release(); outDeg.release()
+    eEdges.release()
     (ranks.df.select(col("id"), col("rank")), it)
   }
 
@@ -170,23 +197,26 @@ object Graph {
         (col("id") + 1) % n)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val eEdges = Checkpoints.eager(edges)
-    val deg = Checkpoints.eager(
-      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // degree attached to the pinned edge row once (r17, g1's rationale)
+    // — 10 unrolled rounds each drop one keyed join from the plan, and
+    // integer arithmetic makes the restructure bit-exact for the twin
+    val eRaw = Checkpoints.eager(edges)
+    val eEdges = Checkpoints.eager(eRaw.df.join(
+      eRaw.df.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
+    eRaw.release()
     val base = (15L * G1bScale / 100L) / n
     var ranks = docs.select(col("id"), lit(G1bScale / n).as("r"))
     for (_ <- 1 to G1bRounds) {
       ranks = eEdges.df
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.df, Seq("src"))
         .select(col("dst").as("id"), expr("r DIV deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
         .select(col("id"), (lit(base) + expr("(85 * s) DIV 100")).as("r"))
     }
     // one materialization job (10 shuffle stages over the pinned edge
-    // blocks), then the static pins are safe to release
+    // blocks), then the static pin is safe to release
     val fin = Checkpoints.eager(ranks)
-    eEdges.release(); deg.release()
+    eEdges.release()
     fin.df.select(col("id").as("doc_id"), col("r").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("doc_id"))
       .limit(100)
@@ -259,7 +289,9 @@ object Graph {
   def g2Hits(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
     val n = docs.count()
-    hitsFrame(docs, g2Edges(docs, n))
+    // n already counted for the edge formula — pass it through (g1's
+    // round-17 rationale: no second count job)
+    hitsConverged(docs, g2Edges(docs, n), PrMaxIters, PrNodeTol, Some(n))._1
       .select(col("id").as("doc_id"),
         round(col("authority"), 8).as("authority"),
         round(col("hub"), 8).as("hub"))
@@ -311,48 +343,67 @@ object Graph {
       nodeTol: Double = PrNodeTol): DataFrame =
     hitsConverged(nodes, edges, maxIters, nodeTol)._1
 
+  /** Round-17 loop slimming, mirroring [[pageRankConverged]]'s:
+    * out-/in-degrees are ATTACHED to the pinned edge row once (the two
+    * per-round joins against corpus-sized degree tables are gone);
+    * no-out-link / no-in-link are STATIC per-node booleans carried
+    * through the state (the two per-round anti-joins are gone); and the
+    * hub dangling mass mH — a scalar over the PREVIOUS round's
+    * materialized state — rides the delta's cached-block aggregation
+    * job instead of a per-round subtree cross-joined into the plan.
+    * The authority mass mA depends on a₂ computed mid-plan, so it stays
+    * a 1-row agg cross-joined in. Per round: two keyed edge⋈state
+    * joins + two map-side-combined node-grain sums + two joins back —
+    * the minimum the a/h half-step pair admits.
+    */
   private[queries] def hitsConverged(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = PrMaxIters,
-      nodeTol: Double = PrNodeTol): (DataFrame, Int) = {
-    val n = nodes.count()
+      nodeTol: Double = PrNodeTol, nKnown: Option[Long] = None): (DataFrame, Int) = {
+    val n = nKnown.getOrElse(nodes.count())
     val tol = nodeTol * n
     val eps = HitsReset
     // static across rounds — pin once (g1's r7 rationale: the synthetic
     // edge derivation's distinct() shuffle and both degree groupBys were
-    // re-running inside every round's checkpoint job)
-    val eEdges = Checkpoints.eager(edges)
-    val outDeg = Checkpoints.eager(
-      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
-    val inDeg = Checkpoints.eager(
-      eEdges.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")))
+    // re-running inside every round's checkpoint job; r17: the degree
+    // joins themselves also left the loop)
+    val eRaw = Checkpoints.eager(edges)
+    val eEdges = Checkpoints.eager(eRaw.df
+      .join(eRaw.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")), Seq("src"))
+      .join(eRaw.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")), Seq("dst")))
     var state = Checkpoints.eager(
-      nodes.select(col("id"), lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth")))
+      nodes.select(col("id"))
+        .join(eEdges.df.select(col("src").as("id")).distinct()
+          .withColumn("ho", lit(true)), Seq("id"), "left")
+        .join(eEdges.df.select(col("dst").as("id")).distinct()
+          .withColumn("hi", lit(true)), Seq("id"), "left")
+        .select(col("id"), lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"),
+          col("ho").isNull.as("no_out"), col("hi").isNull.as("no_in")))
+    eRaw.release()
+    // initial hub dangling mass off the just-pinned blocks
+    var mH = state.df.filter(col("no_out"))
+      .agg(coalesce(sum(col("hub")), lit(0.0))).first().getDouble(0)
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= tol) {
-      // hub mass parked on nodes with no out-links (1-row agg)
-      val mH = state.df
-        .join(outDeg.df.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("hub")), lit(0.0)).as("mh"))
       // a' = εu + (1−ε)(row-normalized hub flow + dangling share);
       // built over state.df so nodes with no in-links keep their row
       val inSum = eEdges.df
         .join(state.df.select(col("id").as("src"), col("hub")), Seq("src"))
-        .join(outDeg.df, Seq("src"))
         .select(col("dst").as("id"), (col("hub") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
-      val aNew = state.df.select(col("id"), col("auth").as("prev_a"))
-        .join(inSum, Seq("id"), "left").crossJoin(mH)
+      val aNew = state.df.select(col("id"), col("auth").as("prev_a"),
+          col("no_out"), col("no_in"))
+        .join(inSum, Seq("id"), "left")
         .withColumn("a2", lit(eps / n) + lit(1 - eps) *
-          (coalesce(col("in_sum"), lit(0.0)) + col("mh") / n))
-        .select(col("id"), col("a2"), col("prev_a"))
-      // authority mass parked on nodes with no in-links
-      val mA = aNew
-        .join(inDeg.df.withColumnRenamed("dst", "id"), Seq("id"), "left_anti")
+          (coalesce(col("in_sum"), lit(0.0)) + lit(mH / n)))
+        .select(col("id"), col("a2"), col("prev_a"),
+          col("no_out"), col("no_in"))
+      // authority mass parked on nodes with no in-links (depends on the
+      // mid-plan a2, so it cannot ride the previous delta job like mH)
+      val mA = aNew.filter(col("no_in"))
         .agg(coalesce(sum(col("a2")), lit(0.0)).as("ma"))
       val hubSum = eEdges.df
         .join(aNew.select(col("id").as("dst"), col("a2")), Seq("dst"))
-        .join(inDeg.df, Seq("dst"))
         .select(col("src").as("id"), (col("a2") / col("ideg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("hub_sum"))
       val next = Checkpoints.eager(
@@ -360,17 +411,21 @@ object Graph {
           .select(col("id"),
             (lit(eps / n) + lit(1 - eps) *
               (coalesce(col("hub_sum"), lit(0.0)) + col("ma") / n)).as("hub"),
-            col("a2").as("auth"),
+            col("a2").as("auth"), col("no_out"), col("no_in"),
             abs(col("a2") - col("prev_a")).as("delta")))
-      delta = next.df.agg(sum(col("delta"))).first().getDouble(0)
+      // delta + next round's hub dangling mass in ONE cached-block scan
+      val r = next.df.agg(sum(col("delta")),
+        coalesce(sum(when(col("no_out"), col("hub"))), lit(0.0))).first()
+      delta = r.getDouble(0)
+      mH = r.getDouble(1)
       state.release()
       state = next
       it += 1
     }
-    // release the static pins like pageRankConverged does — a long-lived
-    // caller would otherwise leak three corpus-scale checkpoint sets per
+    // release the static pin like pageRankConverged does — a long-lived
+    // caller would otherwise leak corpus-scale checkpoint sets per
     // invocation (the exact class behind round 3's 13-40x bench inflation)
-    eEdges.release(); outDeg.release(); inDeg.release()
+    eEdges.release()
     (state.df.select(col("id"), col("auth").as("authority"), col("hub")), it)
   }
 
@@ -417,30 +472,31 @@ object Graph {
         sqDst(99991L, 13), expr(s"(id + 1) % $n"))).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val eEdges = Checkpoints.eager(edges)
-    val odeg = Checkpoints.eager(
-      eEdges.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
-    val ideg = Checkpoints.eager(
-      eEdges.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")))
+    // both degrees attached to the pinned edge row once (r17, g1b's
+    // rationale): 10 unrolled a/h round pairs each drop TWO keyed joins
+    // from the plan; integer arithmetic keeps the twin bit-exact
+    val eRaw = Checkpoints.eager(edges)
+    val eEdges = Checkpoints.eager(eRaw.df
+      .join(eRaw.df.groupBy(col("src")).agg(count(lit(1)).as("odeg")), Seq("src"))
+      .join(eRaw.df.groupBy(col("dst")).agg(count(lit(1)).as("ideg")), Seq("dst")))
+    eRaw.release()
     val epsBase = (15L * G1bScale / 100L) / n
     var hubs = docs.select(col("id"), lit(G1bScale / n).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to G2bRounds) {
       auths = eEdges.df
         .join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
-        .join(odeg.df, Seq("src"))
         .select(col("dst").as("id"), expr("h DIV odeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
         .select(col("id"), (lit(epsBase) + expr("(85 * s) DIV 100")).as("a"))
       hubs = eEdges.df
         .join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
-        .join(ideg.df, Seq("dst"))
         .select(col("src").as("id"), expr("a DIV ideg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
         .select(col("id"), (lit(epsBase) + expr("(85 * s) DIV 100")).as("h"))
     }
     val fin = Checkpoints.eager(hubs.join(auths, Seq("id")))
-    eEdges.release(); odeg.release(); ideg.release()
+    eEdges.release()
     fin.df.select(col("id").as("doc_id"), col("a").as("auth_e12"),
         col("h").as("hub_e12"))
       .orderBy(col("auth_e12").desc, col("doc_id"))
