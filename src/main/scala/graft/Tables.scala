@@ -50,4 +50,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Scale-adaptive parallelism floor for compute-heavy map stages
+    * (guide §2.5, "input skew: one huge unsplittable file — repartition
+    * immediately after the read").
+    *
+    * The fixture parquet tables are single-row-group files, so a scan
+    * plans as ONE task and any codegen-heavy chain fused into the scan
+    * stage (clean/tokenize/shingle, per-dim explodes) runs on one core
+    * while the other 31 idle — measured 4 tasks / 3.0 s for t12 at
+    * sf0.1. At production scale a table is thousands of splits and this
+    * helper is a no-op: the repartition is inserted ONLY when the
+    * scan's planned parallelism is below the session's default
+    * parallelism. Keyed by a stable id column (deterministic
+    * row→partition assignment under task retry — the SPARK-38388
+    * doctrine; round-robin would also pay a local sort), with an
+    * explicit partition count so AQE does not coalesce the fan-out
+    * away. Callers must be order-independent downstream (every
+    * hash-twinned query already is — the DuckDB oracle aggregates in
+    * its own order); model-fitting paths whose floats depend on
+    * partition layout (LDA, L-BFGS) deliberately do NOT use it.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
 }

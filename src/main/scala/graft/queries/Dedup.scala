@@ -219,7 +219,14 @@ object Dedup {
   val D1SmallDoc = 10
   val D1MaxDf = 64L
   def d1JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir).cache()
+    // fanOut: the shingle chain (tokenize + 3-gram + sort) and the exact
+    // verify both read this cache; single-row-group fixture files plan
+    // the scan as ONE task otherwise (no-op at real scale). Measured
+    // isolated 5-run median 3.33 s -> 2.00 s; d2/d16 measured flat-to-
+    // worse with the same fan-out (their cost is the pair-enumeration
+    // join, not the scan stage), so it stays d1-local.
+    val sh = shingleSetsOf(
+      Tables.fanOut(Tables.documents(s, dir), col("doc_id"))).cache()
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val hot = inv.groupBy(col("shingle"))

@@ -130,7 +130,7 @@ object Extraction {
       concat(lit("https://www.example.com/news/"), base, lit("?a=1&b=2")),
       concat(lit("https://example.com/news/"), base,
         lit("?b=2&ref=home&a=1#x")))
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(variants).as("url"))
       .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
       .groupBy(col("canon_url"))

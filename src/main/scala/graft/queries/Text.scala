@@ -45,7 +45,9 @@ object Text {
     * re-join (data_preparation.py:54-56).
     */
   def t3CleanText(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // fanOut: the clean chain is the scan stage's compute — single-task
+    // on one-row-group fixture files otherwise (no-op at real scale)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), cleanText(col("text")).as("clean"))
 
   val t3Sql: String =
@@ -202,7 +204,8 @@ object Text {
     * row_number window over unioned per-language scores.
     */
   def t11LangId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // fanOut: per-doc language scoring is scan-stage compute (t3's note)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       // tokenize once in its own projection; CollapseProject keeps the
       // non-cheap multi-referenced split() from being re-inlined 8×
       .select(tokenize(lower(col("text"))).as("toks"))
@@ -248,7 +251,9 @@ object Text {
     * from the same word sets; PosLemmaSpec additionally pins exact pairs.
     */
   def t12PosLemma(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // fanOut: the tag+lemmatize chain is by far the suite's heaviest
+    // scan-stage compute (measured 3.0 s on ONE task at sf0.1; t3's note)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.PosLemma.posFilterLemmatize(
           contentTokens(tokenize(cleanChain(col("text"))))).as("toks"))
@@ -535,7 +540,7 @@ object Text {
   def t20QualitySample(s: SparkSession, dir: String): DataFrame = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), qualityScore(col("text")).as("quality"),
         bucket.as("b"))
       .filter(col("b") < floor(col("quality") * 1000000).cast("long"))
@@ -1215,7 +1220,12 @@ object Text {
     * frequent domains/URLs/n-grams at 100 TB.)
     */
   def t32HeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // fanOut: tokenize+explode is the scan-stage compute (t3's note).
+    // The sketch's CANDIDATE set may vary with partitioning, but the
+    // exact recount + threshold filter make the final rows provably
+    // partition-independent (completeness above n/(k+1) holds under any
+    // partitioning; sub-threshold extras are filtered exactly).
+    val toks = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokenize(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .cache() // two passes: sketch + total, then candidate recount

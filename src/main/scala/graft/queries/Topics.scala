@@ -1813,7 +1813,7 @@ object Topics {
   def m26DomainKl(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{cleanChain, contentTokens, tokenize}
     // source rides the token scan directly — one pass, no corpus join
-    val flat = Tables.documents(s, dir)
+    val flat = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(col("source"),
         explode(contentTokens(tokenize(cleanChain(col("text"))))).as("term"))
     val srcTerm = flat.groupBy(col("source"), col("term"))
@@ -1898,7 +1898,7 @@ object Topics {
   def m27VocabCoverage(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{cleanChain, contentTokens, tokenize}
     import s.implicits._
-    val counts = Tables.documents(s, dir)
+    val counts = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .select(explode(contentTokens(tokenize(cleanChain(col("text"))))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .cache()
@@ -2027,7 +2027,13 @@ object Topics {
     val coefDim = coefs.zipWithIndex.collect {
       case (w, b) if w != 0.0 => (b.toLong, w)
     }.toSeq.toDF("b", "w")
-    buckets(labeled).join(broadcast(coefDim), Seq("b"), "left")
+    // fanOut on the SCORING pass only (the corpus-wide shingle+fnv64
+    // bucketing is scan-stage compute — single-task on one-row-group
+    // fixture files, no-op at scale); the training path above keeps the
+    // raw layout so the fitted coefficients cannot drift. The margin
+    // fold is array_sort'ed, so scores are partition-independent.
+    buckets(Tables.fanOut(labeled, col("doc_id")))
+      .join(broadcast(coefDim), Seq("b"), "left")
       .select(col("doc_id"), col("label"), col("b"), col("cnt"),
         coalesce(col("w"), lit(0.0)).as("w"))
       .groupBy(col("doc_id"), col("label"))
