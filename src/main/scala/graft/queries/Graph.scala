@@ -345,16 +345,24 @@ object Graph {
 
   /** Round-17 loop slimming, mirroring [[pageRankConverged]]'s:
     * out-/in-degrees are ATTACHED to the pinned edge row once (the two
-    * per-round joins against corpus-sized degree tables are gone);
-    * no-out-link / no-in-link are STATIC per-node booleans carried
-    * through the state (the two per-round anti-joins are gone); and the
-    * hub dangling mass mH — a scalar over the PREVIOUS round's
-    * materialized state — rides the delta's cached-block aggregation
-    * job instead of a per-round subtree cross-joined into the plan.
-    * The authority mass mA depends on a₂ computed mid-plan, so it stays
-    * a 1-row agg cross-joined in. Per round: two keyed edge⋈state
-    * joins + two map-side-combined node-grain sums + two joins back —
-    * the minimum the a/h half-step pair admits.
+    * per-round joins against corpus-sized degree tables are gone), and
+    * BOTH dangling masses are driver-side scalar recurrences — no
+    * per-round anti-joins, no per-round 1-row aggregate subtrees at all.
+    *
+    * The closed form: a node with no in-links receives no hub flow
+    * (its in_sum is exactly 0), so its a₂ is the CONSTANT
+    * ε/n + (1−ε)·mH/n; symmetrically a node with no out-links closes no
+    * wedge (its hub_sum is exactly 0), so its new hub is the constant
+    * ε/n + (1−ε)·mA/n. With nNoIn/nNoOut counted once, the masses are
+    * {{{
+    *   mA_t = nNoIn  · (ε/n + (1−ε)·mH_{t−1}/n)
+    *   mH_t = nNoOut · (ε/n + (1−ε)·mA_t/n)
+    * }}}
+    * — two driver multiplications per round in place of an anti-join +
+    * aggregate + cross-join pair. Per round the plan is: two keyed
+    * edge⋈state joins, two map-side-combined node-grain sums, two
+    * joins back — the minimum the a/h half-step pair admits — plus one
+    * cached-block delta scan.
     */
   private[queries] def hitsConverged(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = PrMaxIters,
@@ -379,12 +387,17 @@ object Graph {
         .select(col("id"), lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"),
           col("ho").isNull.as("no_out"), col("hi").isNull.as("no_in")))
     eRaw.release()
-    // initial hub dangling mass off the just-pinned blocks
-    var mH = state.df.filter(col("no_out"))
-      .agg(coalesce(sum(col("hub")), lit(0.0))).first().getDouble(0)
+    // the two static class sizes, in one scan of the just-pinned blocks
+    val cnt = state.df.agg(
+      coalesce(sum(when(col("no_out"), 1L)), lit(0L)),
+      coalesce(sum(when(col("no_in"), 1L)), lit(0L))).first()
+    val nNoOut = cnt.getLong(0)
+    val nNoIn = cnt.getLong(1)
+    var mH = nNoOut * (1.0 / n) // initial hub = 1/n on every node
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= tol) {
+      val mA = nNoIn * (eps / n + (1 - eps) * mH / n)
       // a' = εu + (1−ε)(row-normalized hub flow + dangling share);
       // built over state.df so nodes with no in-links keep their row
       val inSum = eEdges.df
@@ -398,26 +411,19 @@ object Graph {
           (coalesce(col("in_sum"), lit(0.0)) + lit(mH / n)))
         .select(col("id"), col("a2"), col("prev_a"),
           col("no_out"), col("no_in"))
-      // authority mass parked on nodes with no in-links (depends on the
-      // mid-plan a2, so it cannot ride the previous delta job like mH)
-      val mA = aNew.filter(col("no_in"))
-        .agg(coalesce(sum(col("a2")), lit(0.0)).as("ma"))
       val hubSum = eEdges.df
         .join(aNew.select(col("id").as("dst"), col("a2")), Seq("dst"))
         .select(col("src").as("id"), (col("a2") / col("ideg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("hub_sum"))
       val next = Checkpoints.eager(
-        aNew.join(hubSum, Seq("id"), "left").crossJoin(mA)
+        aNew.join(hubSum, Seq("id"), "left")
           .select(col("id"),
             (lit(eps / n) + lit(1 - eps) *
-              (coalesce(col("hub_sum"), lit(0.0)) + col("ma") / n)).as("hub"),
+              (coalesce(col("hub_sum"), lit(0.0)) + lit(mA / n))).as("hub"),
             col("a2").as("auth"), col("no_out"), col("no_in"),
             abs(col("a2") - col("prev_a")).as("delta")))
-      // delta + next round's hub dangling mass in ONE cached-block scan
-      val r = next.df.agg(sum(col("delta")),
-        coalesce(sum(when(col("no_out"), col("hub"))), lit(0.0))).first()
-      delta = r.getDouble(0)
-      mH = r.getDouble(1)
+      delta = next.df.agg(sum(col("delta"))).first().getDouble(0)
+      mH = nNoOut * (eps / n + (1 - eps) * mA / n)
       state.release()
       state = next
       it += 1
