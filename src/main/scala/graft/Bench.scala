@@ -246,6 +246,21 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
+    // r17 verdict item 8 asked for the FULL warm per-query map on this
+    // final line so the driver's PERF can diff per-query without file
+    // access. The full 182-query map is ~5-14 KB and the driver's tail
+    // window is EXACTLY 2000 chars (len(tail) == 2000 in both
+    // BENCH_r16.json and BENCH_r17.json) — shipping it whole would
+    // truncate the line mid-JSON and lose even the headline total (the
+    // r10 failure mode). Compromise: a "queries" map of the slowest
+    // entries, greedily packed until the whole summary line reaches
+    // ~1850 bytes — in practice the top ~45 queries, which covers every
+    // query whose delta could move a verdict; the tail ~140 all sit at
+    // the 0.1-0.5 s per-query floor. Additions-only: the timed region,
+    // query set and "value" are untouched.
+    val perQueryEntries: Seq[String] = results.sortBy(-_._2).map { case (k, v) =>
+      s"\"" + k + "\":" + math.rint(v * 1000) / 1000
+    }
     // prior-run context: the newest committed BENCH_FULL_r<N>.json for
     // THIS sf (the 3-run medians each round closes with) rides along in
     // the summary, so the driver's one parsed number carries the
@@ -276,6 +291,14 @@ object Bench {
           } catch { case _: java.io.IOException => None }
         }.nextOption().getOrElse("")
     }
+    def summaryLine(nPerQuery: Int): String = {
+      val perQ = perQueryEntries.take(nPerQuery).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest,"queries":$perQ$condJson$priorJson,"full":"$latestName","sf":"$sfDir"}"""
+    }
+    // exact fit: drop trailing (fastest) entries until the whole line is
+    // under the 1900-byte safety margin of the driver's 2000-char tail
+    var nPerQuery = perQueryEntries.size
+    while (nPerQuery > 0 && summaryLine(nPerQuery).length > 1900) nPerQuery -= 1
     // stop() BEFORE the summary so no Spark shutdown chatter can land
     // after it — with build.sbt's StdoutOutput + showSuccess=false this
     // line is the process's last stdout line, which is exactly what the
@@ -287,6 +310,6 @@ object Bench {
       System.err.println(s"[bench] spark.stop() failed (ignored — " +
         s"timings already captured): ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_with_cold":${math.rint(totalWithCold * 1000) / 1000},"n_queries":${results.size},"slowest":$slowest$condJson$priorJson,"full":"$latestName","sf":"$sfDir"}""")
+    println(summaryLine(nPerQuery))
   }
 }

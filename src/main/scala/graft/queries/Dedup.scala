@@ -1482,7 +1482,17 @@ object Dedup {
     */
   val D16Threshold = 0.8
   def d16ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir).cache()
+    // fanOut (r18, d1's rationale): the doc_id hash partitioning from the
+    // fan-out SATISFIES the pair aggregation's required distribution
+    // (groupBy(id1, ...) with id1 = the stream side's doc_id), so the
+    // 15.8 MB pair-partial exchange disappears from the plan entirely —
+    // d1's plan has NO exchange between partial and final pair agg, and
+    // this makes d16's match. The r17 rejection receipt fanned the
+    // SHARED d2/d16/d18 loader; this is the d1-local shape instead
+    // (plans/r18/d16_*: Exchange count 3 -> 1). No-op at real scale by
+    // fanOut's guard.
+    val sh = shingleSetsOf(
+      Tables.fanOut(Tables.documents(s, dir), col("doc_id"))).cache()
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val hot = inv.groupBy(col("shingle"))
@@ -1529,12 +1539,22 @@ object Dedup {
             size(col("sh2")).cast("long").as("n2"),
             sortedCommon(col("sh1"), col("sh2")).as("common"))
       }
+    // both directions from ONE pass over each pair row (r18): the former
+    // self-union duplicated the whole pair-enumeration subtree — the
+    // 2.26M-row final aggregate and its ≥0.8 filter each ran TWICE
+    // (plans/r17-era shuffle receipts: the pair exchange was written once
+    // but READ twice, 63.6 MB read vs 32.1 write). An explode of the
+    // 2-element direction array emits the identical row multiset in a
+    // single pass — strictly one corpus-scale pass saved at any scale.
+    // Division expressions are verbatim the union version's, so the
+    // doubles (and the oracle hash) cannot move.
     val dirRows = common
-      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
-        (col("common").cast("double") / col("n1")).as("containment"))
-      .unionByName(common.select(col("id2").as("inner_id"),
-        col("id1").as("outer_id"),
-        (col("common").cast("double") / col("n2")).as("containment")))
+      .select(explode(array(
+        struct(col("id1").as("inner_id"), col("id2").as("outer_id"),
+          (col("common").cast("double") / col("n1")).as("containment")),
+        struct(col("id2").as("inner_id"), col("id1").as("outer_id"),
+          (col("common").cast("double") / col("n2")).as("containment")))).as("d"))
+      .select(col("d.inner_id"), col("d.outer_id"), col("d.containment"))
     dirRows
       .filter(col("containment") >= D16Threshold)
       .select(col("inner_id"), col("outer_id"),

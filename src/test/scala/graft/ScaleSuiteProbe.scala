@@ -56,10 +56,16 @@ object ScaleSuiteProbe {
       if (wanted.isEmpty) ProbeQueries
       else SparkEntry.queries.keys.toSeq.filter(wanted)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // core count honors SPARK_GRAFT_CPUS (default 32) so the ×10/×50
+    // probes can measure core-scaling (8 vs 32) — the r17 verdict's ask:
+    // sf0.1 wall-clock can no longer price parallelism (the 8-core
+    // driver run beat the 32-core one), so scale receipts must come
+    // from a size where cores matter.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("scale-suite-probe")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
