@@ -50,6 +50,7 @@ object Dedup {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingleSetsOf(Tables.documents(s, dir))
 
+
   /** [[shingleSets]] over an arbitrary (doc_id, text, ...) frame — the
     * d19 incremental path shingles the corpus and the incoming batch
     * separately.
@@ -320,6 +321,13 @@ object Dedup {
     * the signature column against that CollapseProject re-inline).
     */
   def d2MinHashPairs(s: SparkSession, dir: String): DataFrame = {
+    // loader deliberately NOT fanned (re-measured r18, confirming the
+    // r17 rejection): unlike d16 — whose win was the 15.8 MB pair-agg
+    // exchange the doc_id partitioning eliminates — d2/d3/d5's pair
+    // shuffles are ~10 KB (AQE broadcasts everything), so a fan-out only
+    // adds an ~860 KB corpus-text exchange and 32-task stage latency.
+    // Isolated 5-run medians: d2 1.77→1.69 (flat), d3 0.69→0.87,
+    // d5 0.70→1.07, d18 3.49→4.44 — reverted.
     val sh = shingleSets(s, dir).cache()
     val bands = minhashBands(sh)
     val cand = bands.as("a").join(bands.as("b"),
@@ -728,13 +736,24 @@ object Dedup {
     // edges are self-loops, which the edge canonicalization drops
     val nodes = eager(raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct())
+    // edge-set signature for the fixed-point check: exact integers
+    // (count + order-independent xor of xxhash64), so the observation's
+    // task-completion-order merge cannot change the value
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
+    }
+    def observed(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
     // undirected edges oriented high→low (smallStar's output orientation,
     // so an already-converged star forest is detected in one round),
-    // self-loops dropped
-    val init = eager(raw
+    // self-loops dropped; the initial signature rides this checkpoint
+    val obs0 = org.apache.spark.sql.Observation()
+    val init = eager(observed(raw
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
+      .distinct(), obs0))
     raw0.release()
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -742,10 +761,16 @@ object Dedup {
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NO distinct here (r18): smallStar is duplicate-insensitive — its
+      // groupBy-min ignores multiplicity and its own final distinct kills
+      // duplicate rewrites — so the round's edge SET is identical while a
+      // full-edge-set exchange per round disappears (the old distinct was
+      // one of the two big per-round shuffles). Duplicates from two
+      // sources re-pointing the same (v, m) are bounded by the graph's
+      // multiplicity of shared neighbors and die at the round's end.
       sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // orient high→low: every u's neighbors are all < u
@@ -759,28 +784,31 @@ object Dedup {
     }
 
     // fixed point ⇔ identical edge sets (both are distinct'ed and
-    // identically oriented). Per round: ONE cheap aggregate over the
-    // just-materialized blocks — (count, order-independent xor of
-    // xxhash64; xor can't overflow under ANSI and duplicates can't
-    // cancel because the sets are distinct) — compared to the previous
-    // round's; the EXACT set check (`except`) runs only when both
-    // agree, i.e. once at true convergence, instead of on every
-    // coincidental count match.
-    def edgeSig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
-    }
+    // identically oriented). The per-round signature — (count,
+    // order-independent xor of xxhash64; xor can't overflow under ANSI
+    // and duplicates can't cancel because the sets are distinct) — RIDES
+    // THE CHECKPOINT MATERIALIZATION via Dataset.observe (r18): the
+    // former shape re-scanned the just-pinned blocks as a second job
+    // every round, i.e. one extra pass over the corpus-sized edge state
+    // per round at cluster scale (guide §1.2, remove passes; ObserveProbe
+    // pins that observed metrics fire under localCheckpoint(eager)).
+    // Safe ONLY because both metrics are exact integers, so the
+    // task-completion-order accumulator merge cannot change them — the
+    // g1/g2 loops' double-valued delta scans deliberately stay separate
+    // aggregates for exactly that reason (merge order would jitter ULPs).
+    // The EXACT set check (`except`) still runs only when signatures
+    // agree, i.e. once at true convergence.
     var edges = init
-    var sig = edgeSig(init.df)
+    var sig = sigOf(obs0)
     var stable = false
     var rounds = 0
     while (!stable && rounds < maxRounds) {
-      val next = eager(smallStar(largeStar(edges.df)))
+      val obsR = org.apache.spark.sql.Observation()
+      val next = eager(observed(smallStar(largeStar(edges.df)), obsR))
       // `next` is materialized, so the superseded round's blocks
       // release immediately — storage stays O(1) in rounds (CCSpec
       // asserts this).
-      val nextSig = edgeSig(next.df)
+      val nextSig = sigOf(obsR)
       stable = nextSig == sig && next.df.except(edges.df).isEmpty
       edges.release()
       edges = next

@@ -1057,12 +1057,6 @@ object Similarity {
       .join(corpus.select(col("id2"), col("v2"), col("n2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("prank"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-      // cached: the tagged sweep feeds TWO consumers (candidate counts,
-      // recall hits) — each would rescan the scored frame's join/dot
-      // tail without the pin (ReuseExchange dedups the exchanges, not
-      // the projections). Bounded: ≤ NQ · avg_candidates rows of
-      // (id,id,int,double).
-      .cache()
     // ONE broadcast θ-join against the 4-row settings dim instead of a
     // 4-way union of filtered branches: same rows (probe sets are
     // nested, so prank ≤ nprobe IS membership), but a single plan
@@ -1070,15 +1064,27 @@ object Similarity {
     // and was the suite's most JIT-hungry plan (r10's 40 s outlier)
     val settings = { import s.implicits._; S13Probes.toDF("nprobe") }
     val tagged = scored.join(broadcast(settings), col("prank") <= col("nprobe"))
-    val candCounts = tagged.groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("n_candidates"))
-    val hits = tagged
+    // ONE linear consumer chain (r18): the former two-branch shape
+    // (candidate counts ⟕ recall hits over the cached `scored`) rescanned
+    // the sweep and re-joined two 4-row aggregates. Folding the per-query
+    // candidate count into the TopK aggregation and summing both per
+    // nprobe keeps every value integer-identical (n_candidates = Σ nc,
+    // n_hits = Σ indicator — the left_semi count re-expressed), drops the
+    // scored cache (single consumer now), one full sweep rescan, two
+    // exchanges and the final join. The hit-count groupBy reuses the
+    // (nprobe, id1) partitioning of the TopK aggregate — no new exchange.
+    val perQ = tagged.groupBy(col("nprobe"), col("id1"))
+      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"),
+        count(lit(1)).as("nc"))
+    val hitsPerQ = perQ
+      .select(col("nprobe"), col("id1"), col("nc"),
+        explode(col("top.id")).as("id2"))
+      .join(broadcast(exact.withColumn("hit", lit(1))), Seq("id1", "id2"), "left")
       .groupBy(col("nprobe"), col("id1"))
-      .agg(TopK.topK(K)(col("cos"), col("id2")).as("top"))
-      .select(col("nprobe"), col("id1"), explode(col("top.id")).as("id2"))
-      .join(exact, Seq("id1", "id2"), "left_semi")
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-    candCounts.join(hits, Seq("nprobe"))
+      .agg(first(col("nc")).as("nc"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("h"))
+    hitsPerQ.groupBy(col("nprobe"))
+      .agg(sum(col("nc")).as("n_candidates"), sum(col("h")).as("n_hits"))
       .select(col("nprobe"), lit(NQ).as("n_queries"), col("n_hits"),
         round(col("n_hits") / lit((NQ * K).toDouble), 6).as("mean_recall"),
         round(col("n_candidates") / lit(NQ.toDouble), 6).as("avg_candidates"))
